@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated test tables (TESTDATA.md).
+  *
+  * Always read through these: `spark.read.parquet` + the caller's
+  * immediate `.select(...)` lets Catalyst prune columns and push filters
+  * into the scan — at 100 TB the difference between reading 2 columns
+  * and reading 11 is the whole game.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The event_type lexicon used by the declared one-hot queries.
+    * `zz_declared_zero` is a category deliberately absent from the data:
+    * the reference keeps declared-but-unseen categories as all-zero
+    * columns (test_sparse_frame.py:353-363) and so do we. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  val EventTypesPlusZero: Seq[String] = EventTypes :+ "zz_declared_zero"
+}
