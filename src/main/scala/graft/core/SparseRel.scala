@@ -2,7 +2,6 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** How to align row-index sets when combining two frames.
   *
@@ -24,14 +23,52 @@ object AlignHow {
   }
 }
 
+/** The ordered column lexicon of a sparse frame — the reference's
+  * `_columns` index (sparsity/sparse_frame.py:66-70), which may declare
+  * labels for which no cell is stored (all-zero columns survive,
+  * test_sparse_frame.py:353-363).
+  *
+  * Two shapes:
+  *  - [[ColUniverse.Explicit]]: a small driver-side list, the common case
+  *    (one-hot category lists, renamed/joined universes).
+  *  - [[ColUniverse.Deferred]]: a *distributed* dims relation. This is the
+  *    100 TB-safe shape for data-dependent lexicons (event-log scans whose
+  *    field may have millions of distinct values): nothing is collected to
+  *    the driver unless a consumer explicitly asks for the materialized
+  *    list (`seq`), and the hot query path never does.
+  */
+sealed trait ColUniverse {
+  /** Materialized ordered label list. For [[ColUniverse.Deferred]] this
+    * collects the dims relation to the driver — only call at the edge
+    * (metadata persistence, dense pivot), never inside an operator. */
+  def seq: Seq[String]
+  /** The universe as a 1-column (`col: string`) relation. */
+  def dims(spark: SparkSession): DataFrame
+}
+object ColUniverse {
+  final case class Explicit(seq: Seq[String]) extends ColUniverse {
+    def dims(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      seq.toDF(SparseRel.COL)
+    }
+  }
+  /** `dimsDf` must be a 1-column string relation of distinct labels. */
+  final class Deferred(val dimsDf: DataFrame) extends ColUniverse {
+    lazy val seq: Seq[String] =
+      dimsDf.collect().map(_.getString(0)).sorted.toSeq
+    def dims(spark: SparkSession): DataFrame = dimsDf
+  }
+  def apply(labels: Seq[String]): ColUniverse = Explicit(labels)
+}
+
 /** A distributed sparse 2-D table in COO ("long") form.
   *
   * The logical model follows the reference's `SparseFrame`
   * (reference: sparsity/sparse_frame.py:39-45): a matrix with labelled
   * rows (`indexCols` — one column, or several for a MultiIndex), labelled
-  * columns (`columnUniverse` — the ordered lexicon, which may contain
-  * labels for which no cell is stored), and homogeneous double values
-  * where an *absent* cell means exactly 0.0, never NULL.
+  * columns (`universe` — the ordered lexicon, which may contain labels
+  * for which no cell is stored), and homogeneous double values where an
+  * *absent* cell means exactly 0.0, never NULL.
   *
   * Physical representation is a long/COO `DataFrame` with schema
   * `(<indexCols...>, col: string, value: double)`. This replaces the
@@ -43,27 +80,34 @@ object AlignHow {
   * All operators are pure Catalyst-optimizable DataFrame transforms:
   * filters push down to the parquet scan, aggregations get map-side
   * partial combine, joins pick broadcast/sort-merge via AQE. Nothing
-  * here collects to the driver except explicit validation counts.
+  * here collects to the driver on the query path; only explicit
+  * edge materializations (`toDense`, metadata persistence) may.
   */
 final case class SparseRel(
     df: DataFrame,
     indexCols: Seq[String],
-    columnUniverse: Seq[String]) {
+    universe: ColUniverse) {
 
   require(indexCols.nonEmpty, "SparseRel needs at least one index column")
 
   import SparseRel._
 
-  /** Column expressions for the row key. */
-  private def keyCols: Seq[Column] = indexCols.map(df.col)
+  /** Materialized ordered column lexicon (collects when deferred). */
+  def columnUniverse: Seq[String] = universe.seq
 
   /** Logical shape: (#distinct row labels, #columns in the universe).
-    * (reference: sparse_frame.py:58,127). Triggers a job for rows. */
+    * (reference: sparse_frame.py:58,127). Triggers a job. */
   def shape: (Long, Int) =
     (df.select(indexCols.map(col): _*).distinct().count(), columnUniverse.size)
 
   /** Count of stored non-zero cells (reference: sparse_frame.py:162-163). */
   def nnz: Long = df.filter(col(VALUE) =!= 0.0).count()
+
+  /** 1-row relation `(__n: long)` with the logical row count — used by
+    * the logical-zero statistics without a driver round-trip. */
+  private def nRowsRel: DataFrame =
+    df.select(indexCols.map(col): _*).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
 
   // ------------------------------------------------------------------
   // Projections / filters (SURVEY §2.2)
@@ -75,12 +119,16 @@ final case class SparseRel(
   def projectCols(names: Seq[String]): SparseRel = {
     val missing = names.filterNot(columnUniverse.contains)
     require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
-    copy(df = df.filter(col(COL).isin(names: _*)), columnUniverse = names)
+    copy(df = df.filter(col(COL).isin(names: _*)),
+      universe = ColUniverse.Explicit(names))
   }
 
   /** Label-range row selection, *inclusive* of both endpoints like a
     * pandas `.loc[a:b]` label slice (reference: sparsity/indexing.py:3-11;
-    * test_sparse_frame.py:159-171). Operates on one index level. */
+    * test_sparse_frame.py:159-171). Operates on one index level; the
+    * range predicate pushes down to the parquet scan (row-group min/max
+    * pruning — the distributed analogue of dask divisions,
+    * dask/io.py:38-48). */
   def locRange(level: String, lo: Column, hi: Column): SparseRel =
     copy(df = df.filter(col(level) >= lo && col(level) <= hi))
 
@@ -95,16 +143,17 @@ final case class SparseRel(
   /** Positional head — the reference's `iloc[:n]` / `head(n)`
     * (sparse_frame.py:382-387). Spark rows have no stable position, so
     * positions are defined against the sorted index (documented
-    * deviation, SURVEY §7.0). Ranking runs in one window over the
-    * distinct *row labels* (small), then semi-joins back — avoids a
-    * global sort of the full COO set. */
+    * deviation, SURVEY §7.0).
+    *
+    * Scale note: `distinct.orderBy.limit(n)` plans as
+    * TakeOrderedAndProject — a parallel partial top-n per partition and
+    * an O(n) driver merge — NOT a global single-partition sort. The
+    * winner keys then semi-join back (broadcast for small n via AQE). */
   def takeRows(n: Int): SparseRel = {
-    val w = Window.orderBy(indexCols.map(col): _*)
     val keep = df.select(indexCols.map(col): _*).distinct()
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
-    copy(df = df.join(keep, indexCols, "left_semi"))
+      .orderBy(indexCols.map(col): _*)
+      .limit(n)
+    copy(df = df.join(broadcast(keep), indexCols, "left_semi"))
   }
 
   /** Drop rows whose index label is NULL/NaN
@@ -123,13 +172,24 @@ final case class SparseRel(
     copy(df = df.filter(pred))
   }
 
-  /** Keep the first row per duplicated index label
-    * (reference: sparse_frame.py:454-458). "First" is pinned by an
-    * explicit deterministic ordering column since Spark has no row
-    * order (SURVEY §7.4). Keeps *whole logical rows*: ranks the
-    * distinct (key, ord) pairs, then semi-joins the winners back. */
-  def dropDupIdx(dedupKey: Seq[String], orderBy: Seq[Column]): SparseRel = {
-    val w = Window.partitionBy(dedupKey.map(col): _*).orderBy(orderBy: _*)
+  /** Keep the first logical row per duplicated `dedupKey`
+    * (reference `drop_duplicate_idx`, sparse_frame.py:454-458; test
+    * test_sparse_frame.py:503-511). "First" is pinned by `orderCols`
+    * (must be index levels) since Spark rows have no order
+    * (SURVEY §7.4).
+    *
+    * COO semantics note (documented deviation): a *logical row* is a
+    * full index tuple, so the index must contain a tie-breaker level
+    * (e.g. an event id) for rows to be distinguishable — two cells
+    * sharing the complete index tuple belong to the same logical row by
+    * definition and are never "duplicates" of each other. The
+    * reference's positional keep-first over equal full labels has no
+    * COO counterpart. */
+  def dropDupIdx(dedupKey: Seq[String], orderCols: Seq[String]): SparseRel = {
+    require(dedupKey.forall(indexCols.contains), "dedupKey must be index levels")
+    require(orderCols.forall(indexCols.contains), "orderCols must be index levels")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dedupKey.map(col): _*).orderBy(orderCols.map(col): _*)
     val keep = df.select(indexCols.map(col): _*).distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -138,19 +198,43 @@ final case class SparseRel(
   }
 
   /** Rename columns through a total function
-    * (reference: sparse_frame.py:290-300). The rename is applied to both
-    * the stored COO labels and the universe metadata. */
+    * (reference: sparse_frame.py:290-300), applied to both the stored
+    * COO labels and the universe metadata.
+    *
+    * Scale note: the mapping is shipped as a broadcast-joined 2-column
+    * relation, not a literal `map(...)` expression — at a
+    * reference-realistic 37k-label lexicon a literal map would be a
+    * 74 000-argument expression (plan/codegen blowup). */
   def renameCols(f: String => String): SparseRel = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val mapping = columnUniverse.map(c => c -> f(c))
-    val m = map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val mapDf = mapping.toDF(COL, "__newcol")
     copy(
-      df = df.withColumn(COL, element_at(m, col(COL))),
-      columnUniverse = mapping.map(_._2))
+      df = df.join(broadcast(mapDf), Seq(COL))
+        .select((indexCols.map(col) :+ col("__newcol").as(COL) :+ col(VALUE)): _*),
+      universe = ColUniverse.Explicit(mapping.map(_._2)))
   }
 
+  /** Rename columns through a Column *expression* — the fully
+    * distributed path for deferred universes: no driver materialization
+    * of the lexicon at all. */
+  def renameColsExpr(f: Column => Column): SparseRel =
+    copy(
+      df = df.withColumn(COL, f(col(COL)).cast("string")),
+      universe = universe match {
+        case ColUniverse.Explicit(_) =>
+          new ColUniverse.Deferred(
+            universe.dims(df.sparkSession)
+              .select(f(col(COL)).cast("string").as(COL)).distinct())
+        case d: ColUniverse.Deferred =>
+          new ColUniverse.Deferred(
+            d.dimsDf.select(f(col(COL)).cast("string").as(COL)).distinct())
+      })
+
   /** Re-key the frame through a mapping relation `(oldKey..., newKey...)`
-    * (reference `set_index`, sparse_frame.py:476-494). At scale: if the
-    * mapping is small, mark it broadcastable at the call site. */
+    * (reference `set_index`, sparse_frame.py:476-494). Wrap `mapping` in
+    * `broadcast(...)` at the call site when it is a small dim. */
   def setIndexFrom(mapping: DataFrame, newIndexCols: Seq[String]): SparseRel =
     copy(
       df = df.join(mapping, indexCols)
@@ -202,10 +286,37 @@ final case class SparseRel(
   def sumAxis0: DataFrame = df.groupBy(col(COL)).agg(sum(VALUE).as(VALUE))
 
   /** Per-column mean over the *logical* row count — zeros included, like
-    * scipy's matrix mean, not nnz (SURVEY §2.4 A2 caveat). */
-  def meanAxis0: DataFrame = {
-    val n = df.select(indexCols.map(col): _*).distinct().count()
-    df.groupBy(col(COL)).agg((sum(VALUE) / lit(n.toDouble)).as(VALUE))
+    * scipy's matrix mean, not nnz (SURVEY §2.4 A2 caveat). The row count
+    * rides along as a broadcast 1-row cross join; no driver round-trip. */
+  def meanAxis0: DataFrame =
+    df.groupBy(col(COL)).agg(sum(VALUE).as("__s"))
+      .crossJoin(broadcast(nRowsRel))
+      .select(col(COL), (col("__s") / col("__n")).as(VALUE))
+
+  /** Per-column sum/mean/std/max/min with logical-zero semantics
+    * (reference: sparse_frame.py:143-156 delegates to scipy csr, whose
+    * stats run over the full dimension including zeros): mean and
+    * (population) std divide by the logical row count; max/min consider
+    * an implicit 0.0 whenever the column has fewer stored cells than
+    * logical rows. Output: (col, sum_val, mean_val, std_val, max_val,
+    * min_val). */
+  def statsAxis0: DataFrame = {
+    val agged = df.groupBy(col(COL)).agg(
+      sum(VALUE).as("__s"),
+      sum(col(VALUE) * col(VALUE)).as("__ss"),
+      max(VALUE).as("__mx"),
+      min(VALUE).as("__mn"),
+      count(lit(1)).cast("double").as("__c"))
+    agged.crossJoin(broadcast(nRowsRel)).select(
+      col(COL),
+      col("__s").as("sum_val"),
+      (col("__s") / col("__n")).as("mean_val"),
+      sqrt(col("__ss") / col("__n") - pow(col("__s") / col("__n"), 2.0))
+        .as("std_val"),
+      when(col("__c") < col("__n"), greatest(col("__mx"), lit(0.0)))
+        .otherwise(col("__mx")).as("max_val"),
+      when(col("__c") < col("__n"), least(col("__mn"), lit(0.0)))
+        .otherwise(col("__mn")).as("min_val"))
   }
 
   /** Per-row sums, axis=1. */
@@ -219,7 +330,7 @@ final case class SparseRel(
   /** Restrict this frame's rows to the index set dictated by `how`.
     * Inner/left/right use distinct-key semi-joins; Spark broadcasts the
     * key set automatically when small (AQE), so the common small-dim
-    * case costs no extra shuffle. */
+    * case costs no extra shuffle. Outer is a pure union — no shuffle. */
   private def restrictKeys(a: DataFrame, b: DataFrame, how: AlignHow): DataFrame = {
     def keysOf(d: DataFrame) = d.select(indexCols.map(col): _*).distinct()
     how match {
@@ -234,6 +345,17 @@ final case class SparseRel(
     }
   }
 
+  /** True when both universes are explicit and satisfy `p`; deferred
+    * universes skip driver-side checks by design (documented: validation
+    * of distributed lexicons is the caller's concern at 100 TB). */
+  private def universesCheck(other: SparseRel)(p: (Seq[String], Seq[String]) => Boolean,
+      msg: String): Unit =
+    (universe, other.universe) match {
+      case (ColUniverse.Explicit(a), ColUniverse.Explicit(b)) =>
+        require(p(a, b), msg)
+      case _ => ()
+    }
+
   /** Index-aligned elementwise addition (reference: sparse_frame.py:319-337;
     * zero-fill semantics test_sparse_frame.py:293-342). Requires equal
     * column universes like the reference (sparse_frame.py:331). In COO
@@ -241,8 +363,7 @@ final case class SparseRel(
     * rows present on one side pass through unchanged because the missing
     * side contributes nothing (= 0). */
   def add(other: SparseRel, how: AlignHow = AlignHow.Outer): SparseRel = {
-    require(columnUniverse == other.columnUniverse,
-      "add requires identical column universes")
+    universesCheck(other)((a, b) => a == b, "add requires identical column universes")
     require(indexCols == other.indexCols, "add requires identical index")
     copy(df = restrictKeys(df, other.df, how)
       .groupBy((indexCols.map(col) :+ col(COL)): _*)
@@ -261,19 +382,23 @@ final case class SparseRel(
     * no wide shuffle at all for `outer`. */
   def joinAxis1(other: SparseRel, how: AlignHow = AlignHow.Outer): SparseRel = {
     require(indexCols == other.indexCols, "joinAxis1 requires same index")
-    val overlap = columnUniverse.intersect(other.columnUniverse)
-    require(overlap.isEmpty, s"overlapping columns: ${overlap.mkString(",")}")
-    copy(
-      df = restrictKeys(df, other.df, how),
-      columnUniverse = columnUniverse ++ other.columnUniverse)
+    universesCheck(other)((a, b) => a.intersect(b).isEmpty, "overlapping columns")
+    val combined = (universe, other.universe) match {
+      case (ColUniverse.Explicit(a), ColUniverse.Explicit(b)) =>
+        ColUniverse.Explicit(a ++ b)
+      case (u, v) =>
+        val spark = df.sparkSession
+        new ColUniverse.Deferred(
+          u.dims(spark).unionByName(v.dims(spark)).distinct())
+    }
+    copy(df = restrictKeys(df, other.df, how), universe = combined)
   }
 
   /** Vertical concatenation (reference `vstack`, sparse_frame.py:496-507):
     * requires identical column sets, concatenates row sets. Duplicate
     * index labels are allowed, as in the reference. */
   def vstack(other: SparseRel): SparseRel = {
-    require(columnUniverse == other.columnUniverse,
-      "vstack requires identical column universes")
+    universesCheck(other)((a, b) => a == b, "vstack requires identical column universes")
     require(indexCols == other.indexCols, "vstack requires identical index")
     copy(df = df.unionByName(other.df))
   }
@@ -290,7 +415,8 @@ final case class SparseRel(
     val newCells = df.select(indexCols.map(col): _*).distinct()
       .withColumn(COL, lit(name))
       .withColumn(VALUE, lit(value))
-    copy(df = df.unionByName(newCells), columnUniverse = columnUniverse :+ name)
+    copy(df = df.unionByName(newCells),
+      universe = ColUniverse.Explicit(columnUniverse :+ name))
   }
 
   /** Append a NEW column from a relation `(indexCols..., value)`. */
@@ -298,7 +424,8 @@ final case class SparseRel(
     require(!columnUniverse.contains(name), s"column exists: $name")
     val cells = values.select(
       (indexCols.map(col) :+ lit(name).as(COL) :+ col(VALUE).cast("double").as(VALUE)): _*)
-    copy(df = df.unionByName(cells), columnUniverse = columnUniverse :+ name)
+    copy(df = df.unionByName(cells),
+      universe = ColUniverse.Explicit(columnUniverse :+ name))
   }
 
   // ------------------------------------------------------------------
@@ -309,7 +436,14 @@ final case class SparseRel(
     * label, absent cells as literal 0.0 (the reference's `todense`,
     * sparse_frame.py:102-123). Pivot with the *explicit* universe list —
     * no extra distinct-scan job, and all-zero declared columns survive
-    * (test_sparse_frame.py:353-363). */
+    * (test_sparse_frame.py:353-363).
+    *
+    * Edge op: materializes the lexicon on the driver (pivot needs the
+    * column list at plan time) and produces a plan as wide as the
+    * universe. Documented deviation from the reference: rows sharing a
+    * full index label are *summed* into one output row (the reference
+    * preserves duplicate rows positionally — positions don't exist
+    * here). */
   def toDense: DataFrame = {
     val pivoted = df.groupBy(indexCols.map(col): _*)
       .pivot(COL, columnUniverse)
@@ -325,6 +459,11 @@ object SparseRel {
   val COL = "col"
   val VALUE = "value"
 
+  /** Construct with an explicit label list (compatibility shim). */
+  def apply(df: DataFrame, indexCols: Seq[String],
+      columnUniverse: Seq[String]): SparseRel =
+    SparseRel(df, indexCols, ColUniverse.Explicit(columnUniverse))
+
   /** Construct from an already-COO relation. */
   def fromCoo(coo: DataFrame, indexCols: Seq[String],
       columnUniverse: Seq[String]): SparseRel =
@@ -332,7 +471,28 @@ object SparseRel {
       coo.select((indexCols.map(coo.col) :+
         coo.col(COL).cast("string").as(COL) :+
         coo.col(VALUE).cast("double").as(VALUE)): _*),
-      indexCols, columnUniverse)
+      indexCols, ColUniverse.Explicit(columnUniverse))
+
+  /** Melt a *wide* numeric relation into COO form — the Spark
+    * counterpart of constructing a SparseFrame from a dense
+    * DataFrame/ndarray (`SparseFrame.__init__`,
+    * sparse_frame.py:47-100): each (row, numeric column) pair becomes
+    * one cell; exact zeros are dropped (they are representationally
+    * absent in sparse form). Uses the `stack` expression — one
+    * generator, no per-column union. */
+  def fromDense(wide: DataFrame, indexCols: Seq[String],
+      valueCols: Seq[String]): SparseRel = {
+    require(valueCols.nonEmpty, "fromDense needs at least one value column")
+    val stackArgs = valueCols
+      .map(c => s"'${c.replace("'", "\\'")}', cast(`$c` as double)")
+      .mkString(", ")
+    val melted = wide.select(
+      (indexCols.map(col) :+
+        expr(s"stack(${valueCols.size}, $stackArgs) as ($COL, $VALUE)")): _*)
+    SparseRel(
+      melted.filter(col(VALUE).isNotNull && col(VALUE) =!= 0.0),
+      indexCols, ColUniverse.Explicit(valueCols))
+  }
 
   /** One-hot encode a categorical column of a dense relation against an
     * explicit category list (reference `sparse_one_hot`,
@@ -343,7 +503,8 @@ object SparseRel {
     *    `categories` is a hard error, like the reference's
     *    `ValueError` (sparse_frame.py:591-594) — validated with one
     *    cheap aggregate over the distinct values, not a row scan
-    *    collect.
+    *    collect. NULL category values are invalid too (`isin` alone
+    *    would let them slip through three-valued logic).
     *  - Categories absent from the data still live in the returned
     *    universe (all-zero columns survive, test_sparse_frame.py:353-363).
     */
@@ -351,7 +512,7 @@ object SparseRel {
       indexCols: Seq[String], validate: Boolean = true): SparseRel = {
     if (validate) {
       val unseen = dense.select(col(column)).distinct()
-        .filter(!col(column).isin(categories: _*))
+        .filter(col(column).isNull || !col(column).isin(categories: _*))
         .limit(1).collect()
       if (unseen.nonEmpty)
         throw new IllegalArgumentException(
@@ -361,24 +522,48 @@ object SparseRel {
       dense.select((indexCols.map(col) :+
         col(column).cast("string").as(COL) :+
         lit(1.0).as(VALUE)): _*),
-      indexCols, categories)
+      indexCols, ColUniverse.Explicit(categories))
   }
 
   /** Event-log scan → one-hot COO frame, the Spark-native equivalent of
     * the reference's TrailDB C scan (`read_traildb`,
     * sparsity/io.py:10-24 + src/traildb_coo.c:12-115): one matrix row
     * per event, columns = lexicon of the chosen field, value 1.0, index
-    * = (uuid, timestamp) ↦ here (user_id, ts). The C hashtable
+    * = (uuid, timestamp) ↦ here e.g. (user_id, ts). The C hashtable
     * dict-encode (traildb_coo.c:59-76) is unnecessary: the string field
     * value itself is the COO column key and parquet dictionary-encodes
     * it at rest. Lexicon order is lexicographic, not first-seen
-    * (documented deviation, SURVEY §3.3). */
+    * (documented deviation, SURVEY §3.3).
+    *
+    * Scale: when `categories` is None the lexicon is kept as a
+    * *deferred* dims relation — nothing is collected to the driver (a
+    * 100 TB log with a high-cardinality field stays distributed); pass
+    * an explicit list to also validate like `one_hot`. NULL field
+    * values are dropped (TrailDB fields are non-null by construction;
+    * documented deviation). */
   def scanEvents(spark: SparkSession, eventsPath: String, field: String,
-      indexCols: Seq[String]): SparseRel = {
-    val ev = spark.read.parquet(eventsPath)
-    val lexicon = ev.select(col(field).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    oneHot(ev, field, lexicon, indexCols, validate = false)
+      indexCols: Seq[String],
+      categories: Option[Seq[String]] = None): SparseRel =
+    scanEvents(spark.read.parquet(eventsPath), field, indexCols, categories)
+
+  /** DataFrame-input variant of [[scanEvents]] — callers that need
+    * source-specific handling (e.g. nanosecond-timestamp normalization)
+    * pre-read the log themselves. */
+  def scanEvents(eventLog: DataFrame, field: String,
+      indexCols: Seq[String],
+      categories: Option[Seq[String]]): SparseRel = {
+    val ev = eventLog.filter(col(field).isNotNull)
+    categories match {
+      case Some(cats) => oneHot(ev, field, cats, indexCols)
+      case None =>
+        SparseRel(
+          ev.select((indexCols.map(col) :+
+            col(field).cast("string").as(COL) :+
+            lit(1.0).as(VALUE)): _*),
+          indexCols,
+          new ColUniverse.Deferred(
+            ev.select(col(field).cast("string").as(COL)).distinct()))
+    }
   }
 
   /** Fold of joinAxis1/vstack over a collection (reference `concat`,

@@ -13,7 +13,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** The events log is written by pandas with nanosecond timestamps,
+    * which Spark's parquet reader rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Read `ts` as raw nanos via the legacy
+    * conf, then floor-divide to microseconds — exactly what DuckDB's
+    * reader does, so oracle comparisons agree to the microsecond. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

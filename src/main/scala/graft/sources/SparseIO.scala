@@ -1,12 +1,15 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.core.SparseRel
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import graft.core.{ColUniverse, SparseRel}
 
 /** Persistence for [[SparseRel]] — the Spark-native replacement for the
   * reference's npz round-trip (`to_npz`/`read_npz`,
@@ -20,6 +23,11 @@ import graft.core.SparseRel
   * cannot: the ordered column universe (including all-zero columns,
   * test_sparse_frame.py:353-363) and the index column names.
   *
+  * The sidecar goes through Hadoop's `FileSystem` API, so the layout
+  * works wherever the parquet does (s3a://, hdfs://, file://) — not
+  * just the local disk. JSON is Jackson (ships with Spark), not
+  * hand-rolled: labels containing commas/brackets/quotes round-trip.
+  *
   * Writes are range-partitioned and sorted by the index so that a
   * subsequent `locRange` prunes row groups via parquet min/max — the
   * same benefit the dask layer gets from sorted divisions
@@ -29,6 +37,15 @@ object SparseIO {
 
   private val META = "_sparse_meta.json"
 
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def write(rel: SparseRel, path: String, rangePartitions: Int = 0): Unit = {
     val out =
       if (rangePartitions > 0)
@@ -36,48 +53,29 @@ object SparseIO {
           .sortWithinPartitions(rel.indexCols.map(col): _*)
       else rel.df
     out.write.mode("overwrite").parquet(s"$path/data")
-    val meta = metaJson(rel)
-    Files.write(Paths.get(path, META), meta.getBytes(StandardCharsets.UTF_8))
+    val meta = mapper.writeValueAsString(Map(
+      "indexCols" -> rel.indexCols,
+      "columnUniverse" -> rel.columnUniverse))
+    val stream = fs(rel.df.sparkSession, path)
+      .create(new Path(path, META), true)
+    try stream.write(meta.getBytes(StandardCharsets.UTF_8))
+    finally stream.close()
   }
 
   def read(spark: SparkSession, path: String): SparseRel = {
-    val meta = new String(
-      Files.readAllBytes(Paths.get(path, META)), StandardCharsets.UTF_8)
-    val (indexCols, universe) = parseMeta(meta)
-    SparseRel(spark.read.parquet(s"$path/data"), indexCols, universe)
-  }
-
-  // Minimal hand-rolled JSON — the only values are arrays of strings and
-  // every name is builder-controlled; escaping covers quotes/backslash.
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+    val in = fs(spark, path).open(new Path(path, META))
+    val meta =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val node = mapper.readTree(meta)
+    def strings(field: String): Seq[String] = {
+      val arr = node.get(field)
+      require(arr != null && arr.isArray, s"missing $field in sparse meta")
+      (0 until arr.size()).map(arr.get(_).asText())
     }
-
-  private def arr(xs: Seq[String]): String =
-    xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-
-  private def metaJson(rel: SparseRel): String =
-    s"""{"indexCols":${arr(rel.indexCols)},"columnUniverse":${arr(rel.columnUniverse)}}"""
-
-  private def parseMeta(json: String): (Seq[String], Seq[String]) = {
-    def field(name: String): Seq[String] = {
-      val m = java.util.regex.Pattern
-        .compile("\"" + name + "\"\\s*:\\s*\\[(.*?)\\]", java.util.regex.Pattern.DOTALL)
-        .matcher(json)
-      require(m.find(), s"missing $name in sparse meta")
-      val body = m.group(1).trim
-      if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.map { tok =>
-        val t = tok.trim
-        require(t.startsWith("\"") && t.endsWith("\""), s"bad meta token: $t")
-        t.substring(1, t.length - 1)
-          .replace("\\\"", "\"").replace("\\\\", "\\")
-      }
-    }
-    (field("indexCols"), field("columnUniverse"))
+    SparseRel(
+      spark.read.parquet(s"$path/data"),
+      strings("indexCols"),
+      ColUniverse.Explicit(strings("columnUniverse")))
   }
 }
