@@ -1,24 +1,75 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries against
+  * `SPARK_GRAFT_SF_DIR` and prints exactly one JSON line on stdout —
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Failures are NOT folded into timings (the round-1 bug): a failed
+  * query is reported under `"errors"` with its message, is excluded
+  * from the total, and flips the exit code — a regression can never
+  * masquerade as a fast run.
+  */
 object Bench {
+
+  /** Headline queries: the flagship flow plus one representative per
+    * operator family (aggregation, alignment, relational join, dedup,
+    * similarity, text, windows, io). */
+  val Headline: Seq[String] = Seq(
+    "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
+    "take_rows", "todense_pivot", "io_roundtrip",
+    "q1_agg", "q3_join",
+    "dedup_exact", "dedup_minhash_lsh", "text_stats", "token_count",
+    "embed_cosine_topk", "window_tumbling", "distinct_users_approx")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries
+    val names = Headline.filter(queries.contains)
+
+    // JVM/codegen warmup on the smallest table set; not timed.
+    try queries("groupby_sum")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    names.foreach { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        queries(name)(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+        s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

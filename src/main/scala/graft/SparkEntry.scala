@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SparseRel
-import graft.queries.{CoreQueries, QueryDef, Tables}
+import graft.queries.{CoreQueries, PipelineQueries, QueryDef, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
         "event_type", Seq("user_id"), Some(Tables.EventTypes))
       .groupbySum().df
 
-  private def defs: Seq[QueryDef] = CoreQueries.all
+  private def defs: Seq[QueryDef] = CoreQueries.all ++ PipelineQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline layer (builder brief; beyond the reference
+  * surface, which has only index-label dedup, sparse_frame.py:454-458).
+  *
+  * Shuffle-light by construction:
+  *  - exact dedup = one hash aggregate on a 256-bit digest;
+  *  - MinHash-LSH = banded signature join (candidates meet only inside
+  *    a (band, band_hash) bucket — never all-pairs);
+  *  - SimHash = 64-bit signature, near-dup candidates via chunk equality.
+  *
+  * Execution shape: shingling and per-shingle hashing are Catalyst
+  * expressions evaluated once per row (staged projections — Spark's
+  * higher-order functions run interpreted, so nothing expensive may be
+  * referenced twice in one plan). The k-way signature math is a single
+  * tight-loop UDF over the staged hash array: k×|shingles| long
+  * multiplies per document, ~100× cheaper than k interpreted
+  * array-walks with boxed string hashing. Every constant is
+  * deterministic, so re-runs and oracle comparisons agree.
+  */
+object Dedup {
+
+  /** Tokens of a single-space-separated text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a text column (strings joined by
+    * U+0001, which cannot occur in tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws("\u0001", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Distinct 64-bit shingle hashes: the working representation for
+    * signatures and Jaccard (collision probability ~|sh|²/2⁶⁵ — nil). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Deterministic splitmix64 stream — salts for the k hash functions. */
+  private def splitmix(seed: Long): Iterator[Long] = new Iterator[Long] {
+    private var state = seed
+    def hasNext = true
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Per-document LSH band keys from the shingle-hash array, one JVM
+    * loop: k multiply-xor-shift hash functions, min over shingles,
+    * then each band of k/bands minima mixed to one 64-bit key with the
+    * band index folded in (so different bands never collide). */
+  def bandKeysUdf(k: Int, bands: Int) = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val mults = splitmix(0x51D015EA5EEDL).map(_ | 1L).take(k).toArray
+    val adds = splitmix(0xCAFEF00DL).take(k).toArray
+    udf { hashes: Seq[Long] =>
+      val hs = hashes.toArray
+      val mins = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        val a = mults(i); val b = adds(i)
+        var m = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          var h = hs(j) * a + b
+          h = (h ^ (h >>> 29)) * 0xBF58476D1CE4E5B9L
+          h = h ^ (h >>> 32)
+          if (h < m) m = h
+          j += 1
+        }
+        mins(i) = m
+        i += 1
+      }
+      val keys = new Array[Long](bands)
+      var bnd = 0
+      while (bnd < bands) {
+        var acc = 0xCBF29CE484222325L ^ bnd.toLong
+        var r = 0
+        while (r < rows) {
+          acc = (acc ^ mins(bnd * rows + r)) * 0x100000001B3L
+          r += 1
+        }
+        keys(bnd) = acc
+        bnd += 1
+      }
+      keys
+    }
+  }
+
+  /** 64-bit SimHash from the shingle-hash array, one JVM loop:
+    * bit b is 1 iff the +1/−1 tally of bit b over all shingle hashes
+    * is positive. */
+  val simhashUdf = udf { hashes: Seq[Long] =>
+    val tallies = new Array[Int](64)
+    hashes.foreach { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tallies(b) += 1 else tallies(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tallies(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Exact duplicate groups: one row per distinct text, keyed by a
+    * 256-bit digest (collision-free in practice), keeping the smallest
+    * id as the representative. One hash-aggregate shuffle on the
+    * digest — the text column itself never shuffles. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("cnt"))
+
+  /** Candidate near-duplicate pairs via banded MinHash-LSH.
+    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val withH = docs
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
+    val banded = withH
+      .select(col("doc"), explode(bandKeysUdf(k, bands)(col("__h"))).as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bh") === col("y.bh") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs: joins the
+    * shingle-hash sets back and computes |∩|/|∪| with array
+    * expressions — touches only candidates. */
+  def jaccardFor(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      shingleHashes(col(textCol), shingleN).as("__sh"))
+    candidates
+      .join(sh.withColumnRenamed("__id", "doc_a")
+        .withColumnRenamed("__sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("__id", "doc_b")
+        .withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+          6).as("jaccard"))
+  }
+
+  /** Near-duplicate pairs: banded MinHash-LSH candidates, then exact
+    * shingle-Jaccard verification at `threshold`. The scale path: LSH
+    * prunes the pair space to same-bucket collisions; verification
+    * touches only candidates. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands)
+    jaccardFor(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold via an inverted-index
+    * join on shared shingle hashes (no signatures; exact). Quadratic
+    * only within posting lists — the textbook exact-similarity-join
+    * shape; prefer [[nearDuplicates]] beyond moderate corpus sizes. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val withH = docs.select(col(idCol).as("doc"),
+      shingleHashes(col(textCol), shingleN).as("__h"))
+    val sh = withH.select(col("doc"), explode(col("__h")).as("s"))
+    val counts = withH.select(col("doc"), size(col("__h")).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate candidates: documents agreeing on at least
+    * one of `chunks` equal slices of their simhash — the pigeonhole
+    * bound catches Hamming distance ≤ chunks-1 with certainty. Short
+    * documents have volatile tallies (few shingles), so the default is
+    * 8 chunks of 8 bits (Hamming ≤ 7 guaranteed); at web scale prefer
+    * fewer/wider chunks (4×16) to keep buckets small. Returns verified
+    * pairs with exact shingle-Jaccard attached. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      chunks: Int = 8): DataFrame = {
+    val withH = docs.filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
+    val withSim = withH.select(col("doc"), simhashUdf(col("__h")).as("sim"))
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val chunked = withSim.select(col("doc"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sim"), c * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("chunk", "cv")))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    jaccardFor(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+}

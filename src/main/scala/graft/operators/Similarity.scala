@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column —
+  * training-data-pipeline layer (builder brief). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k of every query against the
+  *    full corpus. The corpus side streams (one pass, codegen'd dot
+  *    products); the query side is broadcast. Correct baseline, O(Q·N).
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are
+  *    bucketed by sign-pattern, candidates meet only inside a bucket
+  *    (with optional multi-probe on 1-bit flips). At 100 TB this is the
+  *    shape that scales: the bucket id is a shuffle key, no all-pairs.
+  *
+  * All vector math is `zip_with`/`aggregate` expressions over doubles —
+  * whole-stage codegen, no UDFs.
+  */
+object Similarity {
+
+  /** Cast an array<float> to array<double> for stable math. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbours for each query vector.
+    * `queries` must be a small relation (qid, qv) — it is broadcast;
+    * the corpus is scanned once. Ranking is by rounded cosine with id
+    * tie-break for determinism. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val scored = c.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim` values
+    * in [-1, 1) from a splitmix64-style generator with a fixed seed
+    * (public algorithm; no RNG API, so re-runs and resumes agree). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // top 53 bits → [0,1) → [-1,1)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(planes, dim)(next())
+  }
+
+  /** Sign-pattern LSH bucket id of a double-array column under the
+    * given hyperplanes: bit p = 1 iff dot(v, plane_p) > 0. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(v, planeArr) > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k via multi-table hyperplane LSH (the standard
+    * OR-amplification): `tables` independent sign-pattern hashes of
+    * `planes` planes each; a corpus vector is a candidate iff it
+    * shares a (table, bucket) key with the query in ANY table.
+    * Candidates meet only inside a bucket — a key-equi join, never
+    * all-pairs; recall/cost is tuned by (tables, planes): more planes
+    * → smaller buckets (cheaper, lower recall), more tables → higher
+    * recall (linearly more probe keys). Defaults target mid-recall on
+    * weakly-clustered data; clustered real-world embeddings do far
+    * better. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, planes: Int = 4,
+      tables: Int = 8): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(planes, dim = 64, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+    def keysOf(v: Column): Column =
+      array(allPlanes.zipWithIndex.map { case (hp, t) =>
+        lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
+      }: _*)
+    // stage the bucket-key array (interpreted HOFs: compute once per row)
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__keys", keysOf(col("v")))
+      .select(col("vec_id"), col("v"), explode(col("__keys")).as("bucket"))
+    val probes = queries.withColumn("__keys", keysOf(col("qv")))
+      .select(col("qid"), col("qv"), explode(col("__keys")).as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** IVF-style coarse quantization: assign every corpus vector to its
+    * nearest of `nlist` deterministic centroid directions (the first
+    * `nlist` hyperplanes, normalized), then search only the `nprobe`
+    * closest cells per query. Returns the same (qid, vec_id, cos, rn)
+    * shape as the other paths. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = hyperplanes(nlist, dim = 64)
+    def cellOf(v: Column): Column = {
+      // argmax over centroids of dot(v, c): fold keeping (best, bestIdx)
+      val scores = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(v, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+      }: _*)
+      element_at(array_sort(scores,
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1)
+        .getField("i")
+    }
+    def cellsOf(v: Column, n: Int): Column = {
+      val scores = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(dot(v, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+      }: _*)
+      transform(
+        slice(array_sort(scores,
+          (a, b) => when(a.getField("s") > b.getField("s"), -1)
+            .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, n),
+        s => s.getField("i"))
+    }
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+    val probes = queries.select(col("qid"), col("qv"),
+      explode(cellsOf(col("qv"), nprobe)).as("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+}

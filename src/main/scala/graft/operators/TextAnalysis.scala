@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * per-document statistics, quality scoring, token counting, n-gram
+  * language scoring, and rolling-hash fingerprinting. All pure
+  * Catalyst expressions — one narrow map stage over the corpus, no
+  * shuffle at all until a caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language for the n-gram/marker language-ID
+    * heuristic. Public stopword lists, truncated to a handful each —
+    * the op structure (score per language, argmax) is what matters. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Per-document statistics: char count, token count, distinct-token
+    * count, mean token length, stopword ratio. */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val stops = Seq("a", "the", "and", "of", "to")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_calc"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      round((length(col(textCol)) - (size(t) - lit(1))).cast("double") / nTok, 6)
+        .as("mean_tok_len"),
+      round(size(filter(t, x => x.isin(stops: _*))).cast("double") / nTok, 6)
+        .as("stop_ratio"))
+  }
+
+  /** Quality score in [0,1]: lexical diversity damped by stopword
+    * density — the shape of the usual heuristic document-quality
+    * filters (length/punct/stopword ratios), kept to components the
+    * synthetic corpus actually exercises. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val stops = Seq("a", "the", "and", "of", "to")
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = size(filter(t, x => x.isin(stops: _*))).cast("double") / nTok
+    docs.select(col(idCol),
+      round(diversity * (lit(1.0) - stopRatio), 6).as("quality"))
+  }
+
+  /** BPE-ish token counting: words, numbers, and punctuation runs
+    * counted by one regex pass (the usual cheap proxy for tokenizer
+    * cost before the real tokenizer runs). */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long").as("bpe_tokens"))
+
+  /** Marker-based language scores: for every language, the count of
+    * marker-stopword hits; prediction = argmax (ties broken by
+    * language order, 'und' when nothing matches). The distributed
+    * shape of n-gram language-ID: per-row expression only. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val scored = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, x => x.isin(markers: _*)))
+    }
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+          .otherwise(acc)
+    }
+    docs.select(
+      (col(idCol) +:
+        scored.map { case (lang, sc) => sc.cast("long").as(s"score_$lang") } :+
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+          .as("lang_pred")): _*)
+  }
+
+  /** Rolling-hash document fingerprint: minimum xxhash64 over all
+    * `w`-char windows (winnowing-style min-sampling, one expression
+    * pass; deterministic). Documents shorter than `w` hash whole. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 16): DataFrame =
+    docs.select(col(idCol),
+      when(length(col(textCol)) < w, xxhash64(col(textCol)))
+        .otherwise(array_min(transform(
+          sequence(lit(1), length(col(textCol)) - lit(w - 1)),
+          i => xxhash64(col(textCol).substr(i, lit(w))))))
+        .as("fp"))
+}

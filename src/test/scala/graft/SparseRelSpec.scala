@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{AlignHow, ColUniverse, SparseRel}
+
+/** Dense-oracle tests for the core algebra, ported from the
+  * reference's pytest suite (sparsity/test/test_sparse_frame.py):
+  * every sparse result is densified and compared against a plain
+  * Scala-collections computation of the same thing. */
+class SparseRelSpec extends SparkSpecBase {
+
+  import SparseRel.{COL, VALUE}
+
+  /** Build a SparseRel from (key, col, value) triples. */
+  private def rel(cells: Seq[(Int, String, Double)], universe: Seq[String]): SparseRel = {
+    import spark.implicits._
+    SparseRel(cells.toDF("k", COL, VALUE), Seq("k"), ColUniverse.Explicit(universe))
+  }
+
+  /** Densify to Map(key -> Map(col -> value)) with explicit zeros. */
+  private def dense(r: SparseRel): Map[Int, Map[String, Double]] =
+    r.toDense.collect().map { row =>
+      row.getInt(0) -> r.columnUniverse.map(c =>
+        c -> row.getDouble(row.fieldIndex(c))).toMap
+    }.toMap
+
+  private def identity5(offset: Int = 0, prefix: String = "c"): Seq[(Int, String, Double)] =
+    (0 until 5).map(i => (i + offset, s"$prefix$i", 1.0))
+
+  // --- groupby_sum (test_sparse_frame.py:50-66) ---
+
+  test("groupbySum sums cells per (key, col) and is permutation invariant") {
+    val cells = Seq((0, "a", 1.0), (1, "a", 2.0), (0, "a", 3.0), (0, "b", 1.0))
+    val out = rel(cells, Seq("a", "b")).groupbySum()
+    val shuffled = rel(scala.util.Random.shuffle(cells), Seq("a", "b")).groupbySum()
+    val expect = Map(0 -> Map("a" -> 4.0, "b" -> 1.0), 1 -> Map("a" -> 2.0, "b" -> 0.0))
+    assert(dense(out) === expect)
+    assert(dense(shuffled) === expect)
+  }
+
+  test("groupbySumBy groups through an external key expression") {
+    val r = rel((0 until 6).map(i => (i, "x", 1.0)), Seq("x"))
+      .groupbySumBy(pmod(col("k"), lit(2)), "k")
+    assert(dense(r) === Map(0 -> Map("x" -> 3.0), 1 -> Map("x" -> 3.0)))
+  }
+
+  // --- add alignment (test_sparse_frame.py:293-342) ---
+
+  test("add outer: total, partial, and no index overlap all zero-fill") {
+    val a = rel(identity5(), Seq("c0", "c1", "c2", "c3", "c4"))
+    // partial overlap: keys 2..5, value 10 in c0
+    val b = rel((2 to 5).map(i => (i, "c0", 10.0)), Seq("c0", "c1", "c2", "c3", "c4"))
+    val out = dense(a.add(b, AlignHow.Outer))
+    assert(out(0)("c0") === 1.0)        // only in a
+    assert(out(2)("c0") === 10.0)       // both rows, different cols for a
+    assert(out(2)("c2") === 1.0)
+    assert(out(5)("c0") === 10.0)       // only in b
+    assert(out.size === 6)
+    // no overlap
+    val c = rel(Seq((100, "c0", 7.0)), Seq("c0", "c1", "c2", "c3", "c4"))
+    val out2 = dense(a.add(c, AlignHow.Outer))
+    assert(out2.size === 6 && out2(100)("c0") === 7.0)
+    // total overlap = cellwise sum
+    val out3 = dense(a.add(a, AlignHow.Outer))
+    assert(out3(3)("c3") === 2.0)
+  }
+
+  test("add inner/left/right restrict the key set") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    val b = rel((2 to 6).map(i => (i, "c1", 10.0)), (0 until 5).map("c" + _))
+    assert(dense(a.add(b, AlignHow.Inner)).keySet === Set(2, 3, 4))
+    assert(dense(a.add(b, AlignHow.Left)).keySet === Set(0, 1, 2, 3, 4))
+    assert(dense(a.add(b, AlignHow.Right)).keySet === Set(2, 3, 4, 5, 6))
+  }
+
+  // --- join axis=1 (test_sparse_frame.py:81-100: pandas .join().fillna(0)) ---
+
+  test("joinAxis1 aligns rows and zero-fills the missing side") {
+    val a = rel(identity5(0, "a"), (0 until 5).map("a" + _))
+    val b = rel(identity5(3, "b"), (0 until 5).map("b" + _))
+    val outer = dense(a.joinAxis1(b, AlignHow.Outer))
+    assert(outer.keySet === (0 to 7).toSet)
+    assert(outer(0)("a0") === 1.0 && outer(0)("b0") === 0.0)
+    assert(outer(7)("b4") === 1.0 && outer(7)("a0") === 0.0)
+    assert(outer(3)("a3") === 1.0 && outer(3)("b0") === 1.0)
+    val inner = dense(a.joinAxis1(b, AlignHow.Inner))
+    assert(inner.keySet === Set(3, 4))
+    assert(dense(a.joinAxis1(b, AlignHow.Left)).keySet === (0 to 4).toSet)
+    assert(dense(a.joinAxis1(b, AlignHow.Right)).keySet === (3 to 7).toSet)
+  }
+
+  test("joinAxis1 refuses overlapping column universes") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    intercept[IllegalArgumentException](a.joinAxis1(a, AlignHow.Outer))
+  }
+
+  // --- vstack (test_sparse_frame.py:405-435) ---
+
+  test("vstack concatenates rows, allows duplicate labels, checks universe") {
+    val a = rel(Seq((0, "c0", 1.0)), Seq("c0"))
+    val b = rel(Seq((0, "c0", 2.0)), Seq("c0"))
+    // duplicate key 0 survives as two COO cells
+    assert(a.vstack(b).df.count() === 2)
+    val c = rel(Seq((0, "zz", 1.0)), Seq("zz"))
+    intercept[IllegalArgumentException](a.vstack(c))
+  }
+
+  // --- one_hot (test_sparse_frame.py:345-370) ---
+
+  test("oneHot: unseen category is an error; declared-unseen survives as zero column") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y")).toDF("k", "cat")
+    intercept[IllegalArgumentException](
+      SparseRel.oneHot(df, "cat", Seq("x"), Seq("k")))
+    val ok = SparseRel.oneHot(df, "cat", Seq("x", "y", "zz"), Seq("k"))
+    assert(ok.columnUniverse === Seq("x", "y", "zz"))
+    val out = dense(ok)
+    assert(out(1)("x") === 1.0 && out(1)("zz") === 0.0)
+  }
+
+  test("oneHot: NULL category is rejected (three-valued-logic hole)") {
+    import spark.implicits._
+    val df = Seq((1, Some("x")), (2, None)).toDF("k", "cat")
+    intercept[IllegalArgumentException](
+      SparseRel.oneHot(df, "cat", Seq("x"), Seq("k")))
+  }
+
+  // --- projections / maintenance ---
+
+  test("projectCols keeps requested columns in order, errors on unknown") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    val p = a.projectCols(Seq("c3", "c1"))
+    assert(p.columnUniverse === Seq("c3", "c1"))
+    assert(p.df.select(COL).distinct().collect().map(_.getString(0)).toSet === Set("c1", "c3"))
+    intercept[IllegalArgumentException](a.projectCols(Seq("nope")))
+  }
+
+  test("renameCols maps stored labels and universe through a broadcast join") {
+    val a = rel(identity5(), (0 until 5).map("c" + _)).renameCols("x_" + _)
+    assert(a.columnUniverse === (0 until 5).map("x_c" + _))
+    assert(a.df.filter(col(COL).startsWith("x_")).count() === 5)
+  }
+
+  test("assignScalar broadcasts one value per distinct key; refuses existing column") {
+    val a = rel(Seq((0, "c0", 1.0), (0, "c1", 2.0), (1, "c0", 3.0)), Seq("c0", "c1"))
+    val out = dense(a.assignScalar("bias", 9.0))
+    assert(out(0)("bias") === 9.0 && out(1)("bias") === 9.0)
+    intercept[IllegalArgumentException](a.assignScalar("c0", 1.0))
+  }
+
+  test("takeRows takes the first n keys of the sorted index") {
+    val a = rel(Seq(7, 3, 9, 1, 5).map(i => (i, "c0", i.toDouble)), Seq("c0"))
+    assert(dense(a.takeRows(2)).keySet === Set(1, 3))
+  }
+
+  test("dropDupIdx keeps the first row per dedup key by the order columns") {
+    import spark.implicits._
+    val cells = Seq((0, 10, "c0", 1.0), (0, 11, "c0", 2.0), (1, 12, "c0", 3.0))
+    val r = SparseRel(cells.toDF("k", "ord", COL, VALUE), Seq("k", "ord"),
+      ColUniverse.Explicit(Seq("c0")))
+    val kept = r.dropDupIdx(Seq("k"), Seq("ord")).df
+      .select("k", "ord").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(kept === Set((0, 10), (1, 12)))
+  }
+
+  test("dropnaIndex removes NULL index labels") {
+    import spark.implicits._
+    val df = Seq((Some(1), "c0", 1.0), (None, "c0", 2.0))
+      .toDF("k", COL, VALUE)
+    val r = SparseRel(df, Seq("k"), ColUniverse.Explicit(Seq("c0")))
+    assert(r.dropnaIndex().df.count() === 1)
+  }
+
+  // --- stats (reference sparse_frame.py:143-156, logical-zero semantics) ---
+
+  test("statsAxis0 computes mean/std over logical rows including zeros") {
+    // 3 logical rows; col "a" has cells (1, 2) on two rows, zero on the third
+    val r = rel(Seq((0, "a", 1.0), (1, "a", 2.0), (2, "b", 5.0)), Seq("a", "b"))
+    val s = r.statsAxis0.collect().map(x => x.getString(0) -> x).toMap
+    val a = s("a")
+    assert(a.getDouble(1) === 3.0)                    // sum
+    assert(a.getDouble(2) === 1.0)                    // mean over 3 rows
+    val expectStd = math.sqrt((1.0 + 4.0) / 3.0 - 1.0)
+    assert(math.abs(a.getDouble(3) - expectStd) < 1e-12)
+    assert(a.getDouble(4) === 2.0)                    // max
+    assert(a.getDouble(5) === 0.0)                    // min includes implicit zero
+    val b = s("b")
+    assert(b.getDouble(5) === 0.0 && b.getDouble(4) === 5.0)
+  }
+
+  test("meanAxis0 divides by logical rows, not nnz") {
+    val r = rel(Seq((0, "a", 3.0), (1, "b", 1.0)), Seq("a", "b"))
+    val m = r.meanAxis0.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(m("a") === 1.5)
+  }
+
+  // --- empty frames (sparse_frame.py:57,93-97) ---
+
+  test("empty frames survive add/join/vstack with schema intact") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    val empty = a.filterRows(lit(false))
+    assert(dense(a.add(empty, AlignHow.Outer)) === dense(a))
+    assert(a.vstack(empty).df.count() === 5)
+    assert(empty.df.columns.toSeq === Seq("k", COL, VALUE))
+    assert(a.add(empty, AlignHow.Inner).df.count() === 0)
+  }
+
+  // --- fromDense melt ---
+
+  test("fromDense melts wide numeric columns and drops exact zeros") {
+    import spark.implicits._
+    val wide = Seq((1, 2.0, 0.0), (2, 0.0, 3.0)).toDF("k", "x", "y")
+    val r = SparseRel.fromDense(wide, Seq("k"), Seq("x", "y"))
+    val cells = r.df.collect().map(x => (x.getInt(0), x.getString(1), x.getDouble(2))).toSet
+    assert(cells === Set((1, "x", 2.0), (2, "y", 3.0)))
+    assert(dense(r)(1)("y") === 0.0)
+  }
+
+  // --- universe plumbing for deferred lexicons ---
+
+  test("scanEvents with no category list keeps a deferred universe (no collect)") {
+    val r = SparseRel.scanEvents(
+      graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
+    // query path works without materializing the lexicon
+    assert(r.groupbySum().df.count() > 0)
+    // forcing the universe materializes sorted distinct labels
+    assert(r.columnUniverse === Seq("click", "error", "purchase", "signup", "view"))
+  }
+}
