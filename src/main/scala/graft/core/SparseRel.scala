@@ -136,6 +136,56 @@ final case class SparseRel(
   def locKey(level: String, k: Column): SparseRel =
     copy(df = df.filter(col(level) === k))
 
+  /** Datetime-string label slice on a timestamp level with pandas
+    * partial-string semantics (reference test_sparse_frame.py:159-171):
+    * each bound expands to the widest period it denotes ("2024" = the
+    * whole year, "2024-01" = the month, "2024-01-05" = the day), both
+    * ends inclusive of their full period. Compiles to a plain range
+    * predicate, so parquet row-group min/max pruning applies. */
+  def locDateRange(level: String, lo: String, hi: String): SparseRel = {
+    def bounds(s: String): (String, String) = {
+      import java.time._
+      val t = s.trim
+      t.length match {
+        case 4 =>
+          val y = Year.parse(t)
+          (s"$t-01-01 00:00:00", y.plusYears(1).atDay(1).toString + " 00:00:00")
+        case 7 =>
+          val ym = YearMonth.parse(t)
+          (ym.atDay(1).toString + " 00:00:00",
+            ym.plusMonths(1).atDay(1).toString + " 00:00:00")
+        case 10 =>
+          val d = LocalDate.parse(t)
+          (d.toString + " 00:00:00", d.plusDays(1).toString + " 00:00:00")
+        case _ => (t, t) // full timestamp: point bound, inclusive
+      }
+    }
+    val (loStart, _) = bounds(lo)
+    val (hiStart, hiEnd) = bounds(hi)
+    val upper =
+      if (hiStart == hiEnd) col(level) <= to_timestamp(lit(hiEnd))
+      else col(level) < to_timestamp(lit(hiEnd))
+    copy(df = df.filter(col(level) >= to_timestamp(lit(loStart)) && upper))
+  }
+
+  /** MultiIndex lexicographic label slice — `.loc[(a1,b1):(a2,b2)]` on
+    * a sorted multi-level index, both endpoints inclusive (supported
+    * here even though the reference refuses MultiIndex slices beyond
+    * one level; SURVEY §7.0 documented improvement). `lo`/`hi` give
+    * bounds for a *prefix* of the index levels. */
+  def locRangeMulti(lo: Seq[Column], hi: Seq[Column]): SparseRel = {
+    require(lo.nonEmpty && lo.size == hi.size && lo.size <= indexCols.size,
+      "bounds must cover a non-empty prefix of the index levels")
+    val levels = indexCols.take(lo.size).map(col)
+    // foldRight builds the strict-or-equal chain; the `true` terminal
+    // makes the last comparison >=/<=, i.e. inclusive endpoints.
+    def lex(bounds: Seq[Column], greater: Boolean): Column =
+      levels.zip(bounds).foldRight(lit(true)) { case ((c, b), rest) =>
+        (if (greater) c > b else c < b) || (c === b && rest)
+      }
+    copy(df = df.filter(lex(lo, greater = true) && lex(hi, greater = false)))
+  }
+
   /** Boolean-mask row selection (`.loc[mask]`,
     * test_sparse_frame.py:438-443): any Column predicate over index cols. */
   def filterRows(pred: Column): SparseRel = copy(df = df.filter(pred))

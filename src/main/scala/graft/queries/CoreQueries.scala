@@ -169,6 +169,26 @@ object CoreQueries {
              |FROM events WHERE user_id BETWEEN 10 AND 60
              |GROUP BY user_id, event_type""".stripMargin)),
 
+    QueryDef("loc_datetime_slice",
+      (s, dir) => SparseRel.scanEvents(events(s, dir),
+          "event_type", Seq("user_id", "ts"), Some(Tables.EventTypes))
+        .locDateRange("ts", "2024-01-05", "2024-01-10").df,
+      Some("""SELECT user_id, ts, event_type AS col, CAST(1.0 AS DOUBLE) AS value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
+
+    QueryDef("loc_multi_slice",
+      (s, dir) => SparseRel.scanEvents(events(s, dir),
+          "event_type", Seq("user_id", "ts"), Some(Tables.EventTypes))
+        .locRangeMulti(
+          Seq(lit(5), to_timestamp(lit("2024-01-10 00:00:00"))),
+          Seq(lit(10), to_timestamp(lit("2024-01-20 00:00:00")))).df,
+      Some("""SELECT user_id, ts, event_type AS col, CAST(1.0 AS DOUBLE) AS value
+             |FROM events
+             |WHERE (user_id > 5 OR (user_id = 5 AND ts >= TIMESTAMP '2024-01-10 00:00:00'))
+             |  AND (user_id < 10 OR (user_id = 10 AND ts <= TIMESTAMP '2024-01-20 00:00:00'))""".stripMargin)),
+
     QueryDef("take_rows",
       (s, dir) => grouped(s, dir).takeRows(50).df,
       Some("""SELECT e.user_id, e.event_type AS col,

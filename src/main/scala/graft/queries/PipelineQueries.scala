@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, Windows}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -170,6 +170,20 @@ object PipelineQueries {
       Some("""SELECT event_type,
              |SUM(CAST(props ->> 'k' AS BIGINT)) AS k_sum, COUNT(*) AS cnt
              |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---------------- multimodal ----------------
+
+    QueryDef("media_features",
+      (s, dir) => Multimodal.extractFeatures(s,
+          Multimodal.syntheticMedia(Tables.documents(s, dir)), partitions = 8)
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes")),
+      // the feature vector + byte stats are codec-stub outputs,
+      // ScalaTest-verified; the oracle pins the schema/partition plumbing
+      Some("""SELECT doc_id AS media_id,
+             |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin)),
 
     // ---------------- windows & sketches ----------------
 

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the event log — the streaming face of the
+  * same operators the batch layer runs (the reference itself is
+  * batch-only, SURVEY §2.10; this is the pipeline-layer extension).
+  * The aggregation expressions are IDENTICAL to graft.operators.Windows
+  * — one definition, two execution modes — which is the point of
+  * building on Spark: the 100 TB batch plan and the live stream share
+  * code.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(count: Long, valueSum: Double, lastTs: Long)
+
+  final case class UserSession(user_id: Long, events: Long,
+      value_sum: Double, closed: Boolean)
+
+  /** File-source stream over a directory of event parquet (schema must
+    * be supplied — streaming sources cannot infer). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Tumbling window counts with a watermark: late events beyond
+    * `lateness` are dropped and state for closed windows is evicted —
+    * the unbounded-state guard a real pipeline needs. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("val_sum"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("cnt"), col("val_sum"))
+
+  /** Custom per-user session state via mapGroupsWithState: counts and
+    * sums events per user — the arbitrary-stateful-operator escape
+    * hatch for logic windows can't express. Pass `timeoutMs > 0` to arm
+    * a processing-time timeout that closes idle sessions (note the
+    * engine then triggers empty maintenance batches on a timer; leave
+    * it off for deterministic drain-and-stop runs like tests). */
+  def userSessions(spark: SparkSession, events: DataFrame,
+      timeoutMs: Long = 0L): Dataset[UserSession] = {
+    import spark.implicits._
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSession(userId, s.count, s.valueSum, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var count = prev.count
+            var sum = prev.valueSum
+            var last = prev.lastTs
+            batch.foreach { e =>
+              count += 1
+              sum += e.value
+              last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(count, sum, last))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            UserSession(userId, count, sum, closed = false)
+          }
+      }
+  }
+
+  /** Wire a streaming frame to an in-memory sink (testing/debugging). */
+  def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+      .start()
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{ColUniverse, SparseRel}
+import graft.queries.Tables
+
+/** Plan-shape assertions — the 100 TB design contract, pinned so a
+  * refactor can't silently reintroduce a scale-killer:
+  * filters reach the parquet scan, top-n never globally sorts in one
+  * partition, small-side joins broadcast, aggregation is one shuffle. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("locRange predicate pushes down to the parquet scan") {
+    val rel = SparseRel.scanEvents(Tables.events(spark, sf),
+      "event_type", Seq("user_id"), Some(Tables.EventTypes))
+    val p = plan(rel.locRange("user_id", lit(3), lit(9)).df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(user_id,3)"),
+      s"expected user_id range in PushedFilters:\n$p")
+  }
+
+  test("takeRows plans a parallel partial top-n, not a global window sort") {
+    val rel = SparseRel.scanEvents(Tables.events(spark, sf),
+      "event_type", Seq("user_id"), Some(Tables.EventTypes)).groupbySum()
+    val p = plan(rel.takeRows(10).df)
+    assert(p.contains("TakeOrderedAndProject"), s"no partial top-n:\n$p")
+    assert(!p.contains("Window"), s"global window crept back in:\n$p")
+  }
+
+  test("renameCols joins the mapping broadcast, never sort-merge") {
+    val rel = SparseRel.scanEvents(Tables.events(spark, sf),
+      "event_type", Seq("user_id"), Some(Tables.EventTypes)).groupbySum()
+    val p = plan(rel.renameCols("evt_" + _).df)
+    assert(p.contains("BroadcastHashJoin"), s"mapping join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"mapping join shuffled:\n$p")
+  }
+
+  test("groupbySum is a single-shuffle hash aggregate with partial combine") {
+    val rel = SparseRel.scanEvents(Tables.events(spark, sf),
+      "event_type", Seq("user_id"), Some(Tables.EventTypes))
+    val p = plan(rel.groupbySum().df)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("outer alignment (add) is union + one aggregate shuffle, no join") {
+    import graft.core.AlignHow
+    val a = SparseRel.scanEvents(Tables.events(spark, sf),
+      "event_type", Seq("user_id"), Some(Tables.EventTypes)).groupbySum()
+    val p = plan(a.add(a, AlignHow.Outer).df)
+    assert(p.contains("Union"), s"outer add should union:\n$p")
+    assert(!p.contains("Join"), s"outer add must not join:\n$p")
+  }
+
+  test("column projection prunes the parquet read schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection:\n$p")
+  }
+}

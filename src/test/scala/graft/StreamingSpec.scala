@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming behavior: the windowed aggregation must match
+  * its batch twin, and the custom session state must accumulate. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(50), 2, "view", 3.0),
+      Event(4, ts(59), 2, "click", 4.0))
+    val q = EventStream.toMemorySink(
+      EventStream.tumblingCounts(input.toDF(), "1 hour", "2 hours"),
+      "stream_tumbling")
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_tumbling")
+        .select("event_type", "cnt", "val_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = events.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("val_sum"))
+        .select("event_type", "cnt", "val_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === batch)
+      assert(got === Set(("click", 3L, 7.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState session accumulates per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.userSessions(spark, input.toDF())
+    val q = sessions.writeStream.format("memory")
+      .queryName("stream_sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 7, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 7, "click", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("stream_sessions")
+        .filter(col("user_id") === 7)
+        .orderBy(col("events").desc).limit(1).collect().head
+      assert(last.getAs[Long]("events") === 3L)
+      assert(last.getAs[Double]("value_sum") === 7.0)
+    } finally q.stop()
+  }
+}
