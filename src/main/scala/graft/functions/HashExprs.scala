@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the dedup signature math — the
+  * step past a Scala UDF (builder guide preference order): inputs stay
+  * `ArrayData` (no Seq boxing / Catalyst converters), evaluation is a
+  * primitive-long loop, and `doGenCode` keeps the projection inside
+  * the surrounding whole-stage-codegen span instead of breaking it the
+  * way `ScalaUDF` does.
+  *
+  * All salts derive from a fixed splitmix64 stream, so results are
+  * deterministic across runs, partitions, and resumes.
+  */
+object HashExprs {
+
+  private[functions] def splitmix(seed: Long): Iterator[Long] = new Iterator[Long] {
+    private var state = seed
+    def hasNext = true
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Column API: k-min-hash band keys of an array<long> of shingle
+    * hashes; returns array<long> of `bands` bucket keys. */
+  def minhashBandKeys(hashes: Column, k: Int, bands: Int): Column =
+    ColumnBridge.column(MinHashBandKeys(ColumnBridge.expression(hashes), k, bands))
+
+  /** Column API: sorted distinct word-n-gram shingle hashes of a
+    * single-space-tokenized text column, as array<long>. */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Column API: 64-bit SimHash of an array<long> of shingle hashes. */
+  def simhash(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}
+
+/** `shingle_hashes(text, n)`: tokenize on single spaces (empty tokens
+  * kept, matching `split(text, ' ')` semantics), hash every token
+  * (FNV-1a 64 over UTF-8 bytes), combine each run of n token hashes
+  * position-sensitively, and return the sorted distinct n-gram hashes.
+  * One primitive loop over the raw UTF-8 bytes — replaces an
+  * interpreted split → transform(slice/concat_ws) → array_distinct
+  * chain that dominated dedup runtime. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = input.getBytes
+    // 1. token hashes: FNV-1a 64 per token, split on 0x20
+    var tokenCount = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') tokenCount += 1; i += 1 }
+    val tok = new Array[Long](tokenCount)
+    var t = 0
+    var h = 0xCBF29CE484222325L
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' ') { tok(t) = h; t += 1; h = 0xCBF29CE484222325L }
+      else h = (h ^ (b & 0xFF)) * 0x100000001B3L
+      i += 1
+    }
+    tok(t) = h
+    // 2. n-gram hashes: position-sensitive fold of n token hashes
+    val m = tokenCount - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var acc = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) {
+        acc = (acc ^ tok(g + j)) * 0xFF51AFD7ED558CCDL
+        acc ^= (acc >>> 33)
+        j += 1
+      }
+      grams(g) = acc
+      g += 1
+    }
+    // 3. sort + dedupe
+    java.util.Arrays.sort(grams)
+    var uniq = 1
+    g = 1
+    while (g < m) { if (grams(g) != grams(g - 1)) uniq += 1; g += 1 }
+    if (uniq == m) new GenericArrayData(grams)
+    else {
+      val out = new Array[Long](uniq)
+      out(0) = grams(0)
+      var o = 1
+      g = 1
+      while (g < m) {
+        if (grams(g) != grams(g - 1)) { out(o) = grams(g); o += 1 }
+        g += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** `minhash_band_keys(hashes, k, bands)`: k multiply-mix hash
+  * functions, min over the input hashes, each band of k/bands minima
+  * FNV-folded to one key with the band index baked in. */
+case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k > 0 && bands > 0 && k % bands == 0, "k must be divisible by bands")
+
+  private val rows = k / bands
+  private val mults: Array[Long] =
+    HashExprs.splitmix(0x51D015EA5EEDL).map(_ | 1L).take(k).toArray
+  private val adds: Array[Long] =
+    HashExprs.splitmix(0xCAFEF00DL).take(k).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Primitive-loop kernel shared by interpreted eval and codegen. */
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = input.getLong(j)
+      var i = 0
+      while (i < k) {
+        var h = base * mults(i) + adds(i)
+        h = (h ^ (h >>> 29)) * 0xBF58476D1CE4E5B9L
+        h = h ^ (h >>> 32)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0xCBF29CE484222325L ^ b.toLong
+      var r = 0
+      while (r < rows) {
+        acc = (acc ^ mins(b * rows + r)) * 0x100000001B3L
+        r += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_band_keys"
+}
+
+/** `simhash64(hashes)`: bit b of the result is 1 iff the +1/−1 tally
+  * of bit b across the input hashes is positive. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  def compute(input: ArrayData): Long = {
+    val tallies = new Array[Int](64)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      val h = input.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tallies(b) += 1 else tallies(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tallies(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExprs
+
 /** Deduplication operators for large-scale text corpora — the
   * training-data-pipeline layer (builder brief; beyond the reference
   * surface, which has only index-label dedup, sparse_frame.py:454-458).
@@ -16,10 +18,11 @@ import org.apache.spark.sql.functions._
   * Execution shape: shingling and per-shingle hashing are Catalyst
   * expressions evaluated once per row (staged projections — Spark's
   * higher-order functions run interpreted, so nothing expensive may be
-  * referenced twice in one plan). The k-way signature math is a single
-  * tight-loop UDF over the staged hash array: k×|shingles| long
-  * multiplies per document, ~100× cheaper than k interpreted
-  * array-walks with boxed string hashing. Every constant is
+  * referenced twice in one plan). The k-way signature math is a native
+  * Catalyst expression (graft.functions.MinHashBandKeys): one
+  * primitive-long loop per document over the staged hash array,
+  * codegen-compatible, ~100× cheaper than k interpreted array-walks
+  * with boxed string hashing. Every constant is
   * deterministic, so re-runs and oracle comparisons agree.
   */
 object Dedup {
@@ -37,87 +40,12 @@ object Dedup {
         i => concat_ws("\u0001", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** Distinct 64-bit shingle hashes: the working representation for
-    * signatures and Jaccard (collision probability ~|sh|²/2⁶⁵ — nil). */
+  /** Sorted distinct 64-bit shingle hashes: the working representation
+    * for signatures and Jaccard (collision probability ~|sh|²/2⁶⁵ —
+    * nil). One native-expression pass over the raw bytes
+    * (graft.functions.ShingleHashes). */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
-
-  /** Deterministic splitmix64 stream — salts for the k hash functions. */
-  private def splitmix(seed: Long): Iterator[Long] = new Iterator[Long] {
-    private var state = seed
-    def hasNext = true
-    def next(): Long = {
-      state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-  }
-
-  /** Per-document LSH band keys from the shingle-hash array, one JVM
-    * loop: k multiply-xor-shift hash functions, min over shingles,
-    * then each band of k/bands minima mixed to one 64-bit key with the
-    * band index folded in (so different bands never collide). */
-  def bandKeysUdf(k: Int, bands: Int) = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val rows = k / bands
-    val mults = splitmix(0x51D015EA5EEDL).map(_ | 1L).take(k).toArray
-    val adds = splitmix(0xCAFEF00DL).take(k).toArray
-    udf { hashes: Seq[Long] =>
-      val hs = hashes.toArray
-      val mins = new Array[Long](k)
-      var i = 0
-      while (i < k) {
-        val a = mults(i); val b = adds(i)
-        var m = Long.MaxValue
-        var j = 0
-        while (j < hs.length) {
-          var h = hs(j) * a + b
-          h = (h ^ (h >>> 29)) * 0xBF58476D1CE4E5B9L
-          h = h ^ (h >>> 32)
-          if (h < m) m = h
-          j += 1
-        }
-        mins(i) = m
-        i += 1
-      }
-      val keys = new Array[Long](bands)
-      var bnd = 0
-      while (bnd < bands) {
-        var acc = 0xCBF29CE484222325L ^ bnd.toLong
-        var r = 0
-        while (r < rows) {
-          acc = (acc ^ mins(bnd * rows + r)) * 0x100000001B3L
-          r += 1
-        }
-        keys(bnd) = acc
-        bnd += 1
-      }
-      keys
-    }
-  }
-
-  /** 64-bit SimHash from the shingle-hash array, one JVM loop:
-    * bit b is 1 iff the +1/−1 tally of bit b over all shingle hashes
-    * is positive. */
-  val simhashUdf = udf { hashes: Seq[Long] =>
-    val tallies = new Array[Int](64)
-    hashes.foreach { h =>
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) tallies(b) += 1 else tallies(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (tallies(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+    HashExprs.shingleHashes(text, n)
 
   /** Exact duplicate groups: one row per distinct text, keyed by a
     * 256-bit digest (collision-free in practice), keeping the smallest
@@ -135,7 +63,7 @@ object Dedup {
       .filter(size(tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
     val banded = withH
-      .select(col("doc"), explode(bandKeysUdf(k, bands)(col("__h"))).as("bh"))
+      .select(col("doc"), explode(HashExprs.minhashBandKeys(col("__h"), k, bands)).as("bh"))
     banded.as("x").join(banded.as("y"),
         col("x.bh") === col("y.bh") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
@@ -208,7 +136,7 @@ object Dedup {
       chunks: Int = 8): DataFrame = {
     val withH = docs.filter(size(tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
-    val withSim = withH.select(col("doc"), simhashUdf(col("__h")).as("sim"))
+    val withSim = withH.select(col("doc"), HashExprs.simhash(col("__h")).as("sim"))
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val chunked = withSim.select(col("doc"),
