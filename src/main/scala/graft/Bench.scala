@@ -19,7 +19,7 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
-    "q1_agg", "q3_join",
+    "q1_agg", "q3_join", "price_quantiles", "label_centroids",
     "dedup_exact", "dedup_minhash_lsh", "text_stats", "token_count",
     "embed_cosine_topk", "window_tumbling", "distinct_users_approx")
 

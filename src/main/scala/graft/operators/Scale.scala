@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SparseRel
+
+/** Scale tooling: bucketed co-located joins and skew salting — the two
+  * shuffle-avoidance techniques the 100 TB brief calls for beyond what
+  * AQE does automatically.
+  */
+object Scale {
+
+  /** Persist a sparse frame bucketed + sorted by its index so
+    * repeated index-equi joins/aggregations between co-bucketed frames
+    * need NO shuffle at all (both sides arrive hash-partitioned on
+    * disk; the plan shows zero Exchange). This is the lakehouse answer
+    * to the reference's sorted dask divisions (dask/io.py:38-48) when
+    * the workload is join-heavy rather than range-heavy. */
+  def writeBucketed(rel: SparseRel, table: String, buckets: Int): Unit =
+    rel.df.write
+      .mode("overwrite")
+      .bucketBy(buckets, rel.indexCols.head, rel.indexCols.tail: _*)
+      .sortBy(rel.indexCols.head, rel.indexCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Read a bucketed sparse-frame table back (bucket metadata rides in
+    * the catalog, so joins on the bucket keys skip the shuffle). */
+  def readBucketed(spark: SparkSession, table: String,
+      indexCols: Seq[String], universe: Seq[String]): SparseRel =
+    SparseRel(spark.table(table), indexCols, universe)
+
+  /** Salted equi-join for a skewed build side: the hot keys of `left`
+    * are spread over `factor` salt values (deterministic hash of the
+    * tuple — no RNG, so re-runs agree), and `right` is replicated
+    * `factor`× with every salt, restoring join correctness. Use when
+    * one key dominates and AQE's skew splitting isn't available (e.g.
+    * the join feeds an aggregation in the same stage).
+    *
+    * `leftDistinct` columns must make left rows unique enough to
+    * spread (any high-cardinality column set — an id, an event id). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftDistinct: Seq[String], factor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(factor > 1, "salt factor must exceed 1")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(leftDistinct.map(col): _*), lit(factor.toLong)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-stage ("partial-final") aggregation with an explicit salt for
+    * extremely skewed group keys: first aggregate on (key, salt) —
+    * spreading one hot key over `factor` reducers — then combine the
+    * partials. Spark's hash aggregate already does map-side partial
+    * combine; this helps when a single reducer key still overflows a
+    * task (billions of identical keys). */
+  def groupbySumSalted(rel: SparseRel, factor: Int): SparseRel = {
+    import SparseRel.{COL, VALUE}
+    val keyCols = rel.indexCols.map(col) :+ col(COL)
+    val salted = rel.df.withColumn("__salt",
+      pmod(xxhash64(col(VALUE).cast("string")), lit(factor.toLong)))
+    val partial = salted
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(sum(VALUE).as(VALUE))
+    rel.copy(df = partial.groupBy(keyCols: _*).agg(sum(VALUE).as(VALUE)))
+  }
+}

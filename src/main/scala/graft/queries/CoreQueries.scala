@@ -337,6 +337,21 @@ object CoreQueries {
              |COUNT(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
+    QueryDef("price_quantiles",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag,
+             |ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             |ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |COUNT(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     QueryDef("q3_join",
       (s, dir) => Tables.orders(s, dir)
         .join(broadcast(Tables.customer(s, dir)

@@ -92,6 +92,25 @@ object PipelineQueries {
       },
       None), // bucket membership depends on hash planes — recall ScalaTest
 
+    QueryDef("label_centroids",
+      (s, dir) => {
+        val summed = Tables.embeddings(s, dir)
+          .groupBy(col("label"))
+          .agg(graft.functions.VectorAgg.vector_sum(
+            Similarity.asDouble(col("embedding"))).as("vs"),
+            count(lit(1)).as("n"))
+        summed.select(col("label"),
+            posexplode(col("vs")).as(Seq("pos0", "v")), col("n"))
+          .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+            round(col("v") / col("n"), 6).as("mean_val"))
+      },
+      Some("""SELECT label, pos, ROUND(SUM(v) / COUNT(*), 6) AS mean_val
+             |FROM (SELECT label,
+             |        unnest(CAST(embedding AS DOUBLE[])) AS v,
+             |        generate_subscripts(embedding, 1) AS pos
+             |      FROM embeddings)
+             |GROUP BY label, pos""".stripMargin)),
+
     QueryDef("embed_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

@@ -73,6 +73,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("vector_sum Aggregator equals the posexplode+groupBy path") {
+    import graft.functions.VectorAgg
+    import graft.operators.Similarity
+    val viaAgg = emb.groupBy(col("label"))
+      .agg(VectorAgg.vector_sum(Similarity.asDouble(col("embedding"))).as("vs"))
+      .select(col("label"), posexplode(col("vs")).as(Seq("pos", "v")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaExplode = emb
+      .select(col("label"), posexplode(Similarity.asDouble(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (k, v) =>
+      assert(math.abs(v - viaExplode(k)) < 1e-9, s"$k: $v vs ${viaExplode(k)}")
+    }
+  }
+
   test("approx distinct users within HLL error bound of exact") {
     val exact = Windows.distinctUsersExact(Tables.events(spark, sf))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
