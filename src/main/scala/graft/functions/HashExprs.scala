@@ -46,6 +46,49 @@ object HashExprs {
   /** Column API: 64-bit SimHash of an array<long> of shingle hashes. */
   def simhash(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  /** Column API: dot product of two array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `dot_product(a, b)`: Σ aᵢ·bᵢ over two array<double> columns in one
+  * primitive loop — the vector-math hot path for cosine similarity
+  * search, replacing an interpreted zip_with + aggregate chain. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<double>, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotExpr", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
 }
 
 /** `shingle_hashes(text, n)`: tokenize on single spaces (empty tokens

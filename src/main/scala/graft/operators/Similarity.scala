@@ -24,10 +24,9 @@ object Similarity {
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.HashExprs.dotProduct(a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
