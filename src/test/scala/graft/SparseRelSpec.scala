@@ -220,6 +220,53 @@ class SparseRelSpec extends SparkSpecBase {
 
   // --- universe plumbing for deferred lexicons ---
 
+  test("locKey selects one label; filterRows applies arbitrary predicates") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    assert(a.locKey("k", lit(3)).df.count() === 1)
+    assert(a.filterRows(col("k") % 2 === 0).df.count() === 3)
+  }
+
+  test("assignFrom appends a column from a relation") {
+    import spark.implicits._
+    val a = rel(Seq((0, "c0", 1.0), (1, "c0", 2.0)), Seq("c0"))
+    val vals = Seq((0, 10.0), (1, 20.0)).toDF("k", VALUE)
+    val out = dense(a.assignFrom("extra", vals))
+    assert(out(0)("extra") === 10.0 && out(1)("extra") === 20.0)
+    assert(a.assignFrom("extra", vals).columnUniverse === Seq("c0", "extra"))
+  }
+
+  test("concat folds joinAxis1 on axis 1 and vstack on axis 0") {
+    val a = rel(identity5(0, "a"), (0 until 5).map("a" + _))
+    val b = rel(identity5(0, "b"), (0 until 5).map("b" + _))
+    val c = rel(identity5(0, "c"), (0 until 5).map("c" + _))
+    val wide = SparseRel.concat(Seq(a, b, c), axis = 1)
+    assert(wide.columnUniverse.size === 15)
+    val aa = rel(identity5(), (0 until 5).map("c" + _))
+    val tall = SparseRel.concat(Seq(aa, aa), axis = 0)
+    assert(tall.df.count() === 10)
+  }
+
+  test("renameColsExpr renames distributed (deferred universe stays deferred)") {
+    val r = SparseRel.scanEvents(
+        graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
+      .renameColsExpr(c => concat(lit("x_"), c))
+    assert(r.universe.isInstanceOf[graft.core.ColUniverse.Deferred])
+    assert(r.df.filter(!col(COL).startsWith("x_")).count() === 0)
+    assert(r.columnUniverse ===
+      Seq("x_click", "x_error", "x_purchase", "x_signup", "x_view"))
+  }
+
+  test("joinAxis1 with deferred universes combines dims distributed") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val a = SparseRel.scanEvents(ev, "event_type", Seq("user_id"), None)
+      .renameColsExpr(c => concat(lit("a_"), c))
+    val b = SparseRel.scanEvents(ev, "event_type", Seq("user_id"), None)
+      .renameColsExpr(c => concat(lit("b_"), c))
+    val j = a.joinAxis1(b, AlignHow.Outer)
+    assert(j.columnUniverse.size === 10)
+    assert(j.df.count() === a.df.count() + b.df.count())
+  }
+
   test("scanEvents with no category list keeps a deferred universe (no collect)") {
     val r = SparseRel.scanEvents(
       graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
