@@ -227,6 +227,60 @@ object PipelineQueries {
              |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    QueryDef("user_sessions_batch",
+      (s, dir) => {
+        // gap-based sessionization: a >30 min silence starts a session
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, dir)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              col("ts").cast("long") - col("prev").cast("long") > 1800, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("events"))
+      },
+      Some("""WITH x AS (SELECT user_id,
+             |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      > INTERVAL 30 MINUTE
+             |  THEN 1 ELSE 0 END AS new_s
+             |  FROM events)
+             |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS sessions,
+             |COUNT(*) AS events
+             |FROM x GROUP BY user_id""".stripMargin)),
+
+    QueryDef("pipeline_end2end",
+      (s, dir) => {
+        // compose: exact dedup -> quality scoring -> per-language rollup
+        val docs = Tables.documents(s, dir)
+        val kept = Dedup.exactDuplicates(docs, "doc_id", "text")
+          .select(col("doc_id"))
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        docs.join(kept, Seq("doc_id"), "left_semi")
+          .join(quality, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            round(avg(col("quality")), 6).as("avg_quality"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+             |q AS (SELECT doc_id,
+             |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' '))
+             |  * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+             |    / len(string_split(text, ' '))), 6) AS quality
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS docs,
+             |ROUND(AVG(q.quality), 6) AS avg_quality,
+             |SUM(n_chars) AS total_chars
+             |FROM documents d
+             |JOIN kept USING (doc_id)
+             |JOIN q ON q.doc_id = d.doc_id
+             |GROUP BY lang""".stripMargin)),
+
     QueryDef("distinct_users_exact",
       (s, dir) => Windows.distinctUsersExact(Tables.events(s, dir)),
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users
