@@ -377,23 +377,35 @@ final case class SparseRel(
   // Alignment algebra (SURVEY §2.3 / §2.6)
   // ------------------------------------------------------------------
 
-  /** Restrict this frame's rows to the index set dictated by `how`.
-    * Inner/left/right use distinct-key semi-joins; Spark broadcasts the
-    * key set automatically when small (AQE), so the common small-dim
-    * case costs no extra shuffle. Outer is a pure union — no shuffle. */
-  private def restrictKeys(a: DataFrame, b: DataFrame, how: AlignHow): DataFrame = {
-    def keysOf(d: DataFrame) = d.select(indexCols.map(col): _*).distinct()
+  /** Restrict the combined cell set to the index set dictated by `how`.
+    * Outer is a pure union — no shuffle at all. Inner/left/right tag
+    * each side, union ONCE, and decide membership from per-key min/max
+    * side markers in one hash-partitioned window — each input is
+    * scanned exactly once and there is exactly one extra shuffle (the
+    * window), versus the distinct-keys + semi-join formulation that
+    * recomputes both inputs and shuffles 4-5× (measured 10 exchanges
+    * on the inner-join benchmark plan). Key skew here behaves like any
+    * grouped aggregation — AQE splits oversized partitions. */
+  private def restrictKeys(a: DataFrame, b: DataFrame, how: AlignHow): DataFrame =
     how match {
       case AlignHow.Outer => a.unionByName(b)
-      case AlignHow.Inner =>
-        val shared = keysOf(a).join(keysOf(b), indexCols, "left_semi")
-        a.unionByName(b).join(shared, indexCols, "left_semi")
-      case AlignHow.Left =>
-        a.unionByName(b.join(keysOf(a), indexCols, "left_semi"))
-      case AlignHow.Right =>
-        a.join(keysOf(b), indexCols, "left_semi").unionByName(b)
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(indexCols.map(col): _*)
+        val tagged = a.withColumn("__side", lit(0))
+          .unionByName(b.withColumn("__side", lit(1)))
+        val marked = tagged
+          .withColumn("__minS", min(col("__side")).over(w))
+          .withColumn("__maxS", max(col("__side")).over(w))
+        val kept = how match {
+          case AlignHow.Inner =>
+            marked.filter(col("__minS") === 0 && col("__maxS") === 1)
+          case AlignHow.Left  => marked.filter(col("__minS") === 0)
+          case AlignHow.Right => marked.filter(col("__maxS") === 1)
+          case AlignHow.Outer => marked // unreachable
+        }
+        kept.drop("__side", "__minS", "__maxS")
     }
-  }
 
   /** True when both universes are explicit and satisfy `p`; deferred
     * universes skip driver-side checks by design (documented: validation
