@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{AlignHow, ColUniverse, SparseRel}
+
+/** ScalaCheck property tests for the algebra laws the reference
+  * encodes as randomized pytest cases (SURVEY §5): permutation
+  * invariance, add commutativity, join fast-path equivalence, one-hot
+  * row sums. Small generator sizes — every case runs Spark jobs. */
+class AlgebraPropertiesSpec extends AnyFunSuite {
+
+  /** Deterministic forAll: draws `n` samples from the generator with
+    * fixed seeds (scalatestplus isn't resolvable offline; raw
+    * ScalaCheck generators drive the cases). */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private lazy val spark = SparkSpecBase.session
+
+  private val cols = Seq("a", "b", "c")
+  private val genCell: Gen[(Int, String, Double)] = for {
+    k <- Gen.choose(0, 5)
+    c <- Gen.oneOf(cols)
+    v <- Gen.choose(-5, 5).map(_.toDouble)
+  } yield (k, c, v)
+  private val genCells = Gen.listOfN(8, genCell)
+
+  private def rel(cells: Seq[(Int, String, Double)]): SparseRel = {
+    import spark.implicits._
+    SparseRel(cells.toDF("k", SparseRel.COL, SparseRel.VALUE),
+      Seq("k"), ColUniverse.Explicit(cols))
+  }
+
+  private def densify(r: SparseRel): Map[(Int, String), Double] =
+    r.df.groupBy("k", SparseRel.COL).agg(sum(SparseRel.VALUE).as("v"))
+      .collect().map(x => (x.getInt(0), x.getString(1)) -> x.getDouble(2))
+      .toMap.withDefaultValue(0.0)
+
+  test("property: groupbySum is invariant under cell permutation") {
+    forAllSeeded(genCells) { cells =>
+      val base = densify(rel(cells).groupbySum())
+      val perm = densify(rel(scala.util.Random.shuffle(cells)).groupbySum())
+      assert(base === perm)
+    }
+  }
+
+  test("property: add(outer) is commutative") {
+    forAllSeeded(Gen.zip(genCells, genCells)) { case (ca, cb) =>
+      val ab = densify(rel(ca).add(rel(cb), AlignHow.Outer))
+      val ba = densify(rel(cb).add(rel(ca), AlignHow.Outer))
+      assert(ab === ba)
+    }
+  }
+
+  test("property: add(outer) equals cellwise sum of grouped frames") {
+    forAllSeeded(Gen.zip(genCells, genCells)) { case (ca, cb) =>
+      val got = densify(rel(ca).add(rel(cb), AlignHow.Outer))
+      val a = densify(rel(ca).groupbySum())
+      val b = densify(rel(cb).groupbySum())
+      (a.keySet ++ b.keySet).foreach { k =>
+        assert(got(k) === a(k) + b(k), s"at $k")
+      }
+    }
+  }
+
+  test("property: inner alignment on identical key sets equals outer") {
+    forAllSeeded(genCells) { cells =>
+      if (cells.nonEmpty) {
+        val a = rel(cells)
+        val b = rel(cells.map { case (k, c, v) => (k, c, v * 2) })
+        val inner = densify(a.add(b, AlignHow.Inner))
+        val outer = densify(a.add(b, AlignHow.Outer))
+        assert(inner === outer)
+      }
+    }
+  }
+
+  test("property: one-hot rows each sum to exactly 1") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 100L), Gen.oneOf(cols)))) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((u, c), i) => (i.toLong, u, c) }
+          .toDF("rid", "u", "cat")
+        val oh = SparseRel.oneHot(df, "cat", cols, Seq("rid"))
+        val sums = oh.sumAxis1.collect().map(_.getDouble(1))
+        assert(sums.length === rows.length && sums.forall(_ === 1.0))
+      }
+    }
+  }
+}
