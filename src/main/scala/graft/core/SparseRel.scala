@@ -545,6 +545,15 @@ object SparseRel {
   def fromDense(wide: DataFrame, indexCols: Seq[String],
       valueCols: Seq[String]): SparseRel = {
     require(valueCols.nonEmpty, "fromDense needs at least one value column")
+    // Non-numeric value columns are an error, matching the reference's
+    // TypeError on string-valued input (sparse_frame.py:73-78; test
+    // test_sparse_frame.py:544-546) — a silent cast would drop the
+    // column as nulls instead.
+    val bad = valueCols.filterNot { c =>
+      wide.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    require(bad.isEmpty,
+      s"fromDense requires numeric value columns; non-numeric: ${bad.mkString(",")}")
     val stackArgs = valueCols
       .map(c => s"'${c.replace("'", "\\'")}', cast(`$c` as double)")
       .mkString(", ")

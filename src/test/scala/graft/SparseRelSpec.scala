@@ -218,6 +218,20 @@ class SparseRelSpec extends SparkSpecBase {
     assert(dense(r)(1)("y") === 0.0)
   }
 
+  test("fromDense rejects non-numeric value columns like the reference") {
+    import spark.implicits._
+    val wide = Seq((1, "oops")).toDF("k", "s")
+    intercept[IllegalArgumentException](
+      SparseRel.fromDense(wide, Seq("k"), Seq("s")))
+  }
+
+  test("shape and nnz report logical dimensions") {
+    val a = rel(Seq((0, "c0", 1.0), (0, "c1", 0.0), (3, "c0", 2.0)),
+      Seq("c0", "c1", "c2"))
+    assert(a.shape === (2L, 3))
+    assert(a.nnz === 2L)
+  }
+
   // --- universe plumbing for deferred lexicons ---
 
   test("locKey selects one label; filterRows applies arbitrary predicates") {
