@@ -41,13 +41,19 @@ object Bench {
     try queries("groupby_sum")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Repetitions (best-of) damp JIT/page-cache noise; default 1 keeps
+    // the driver contract's single-pass timing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
-      val t0 = System.nanoTime()
       try {
-        queries(name)(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val best = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        timings(name) = best
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

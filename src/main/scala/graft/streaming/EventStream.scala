@@ -80,6 +80,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact deduplication: keeps the first document per
+    * 256-bit text digest, with a watermark bounding the dedup state —
+    * the streaming twin of Dedup.exactDuplicates for continuous
+    * ingestion pipelines. Input needs (doc_id, text, ts). */
+  def streamingExactDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("text_sha")
+
   /** Wire a streaming frame to an in-memory sink (testing/debugging). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

@@ -43,6 +43,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps one row per distinct text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.streamingExactDedup(docs)
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha", ts(0)), (2L, "alpha", ts(1)), (3L, "beta", ts(2)))
+      q.processAllAvailable()
+      input.addData((4L, "alpha", ts(3)), (5L, "gamma", ts(4)))
+      q.processAllAvailable()
+      val kept = spark.table("stream_dedup").select("text").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(kept === Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState session accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
