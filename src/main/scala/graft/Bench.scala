@@ -67,13 +67,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
+    // Locale.ROOT: "%.4f" under a comma-decimal default locale would
+    // print "1,2345" and break the driver's JSON parse.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -203,7 +203,9 @@ final case class SparseRel(
     val keep = df.select(indexCols.map(col): _*).distinct()
       .orderBy(indexCols.map(col): _*)
       .limit(n)
-    copy(df = df.join(broadcast(keep), indexCols, "left_semi"))
+    // no broadcast hint: AQE broadcasts small key sets itself, and a
+    // forced broadcast would OOM the driver for huge n
+    copy(df = df.join(keep, indexCols, "left_semi"))
   }
 
   /** Drop rows whose index label is NULL/NaN
@@ -351,12 +353,24 @@ final case class SparseRel(
     * logical rows. Output: (col, sum_val, mean_val, std_val, max_val,
     * min_val). */
   def statsAxis0: DataFrame = {
-    val agged = df.groupBy(col(COL)).agg(
+    val stored = df.groupBy(col(COL)).agg(
       sum(VALUE).as("__s"),
       sum(col(VALUE) * col(VALUE)).as("__ss"),
       max(VALUE).as("__mx"),
       min(VALUE).as("__mn"),
       count(lit(1)).cast("double").as("__c"))
+    // Declared-but-unseen universe columns must appear with all-zero
+    // stats (the reference runs over the full dimension; same
+    // invariant toDense preserves) — right-join the dims relation and
+    // zero-fill.
+    val agged = universe.dims(df.sparkSession)
+      .join(stored, Seq(COL), "left")
+      .select(col(COL),
+        coalesce(col("__s"), lit(0.0)).as("__s"),
+        coalesce(col("__ss"), lit(0.0)).as("__ss"),
+        coalesce(col("__mx"), lit(0.0)).as("__mx"),
+        coalesce(col("__mn"), lit(0.0)).as("__mn"),
+        coalesce(col("__c"), lit(0.0)).as("__c"))
     agged.crossJoin(broadcast(nRowsRel)).select(
       col(COL),
       col("__s").as("sum_val"),
@@ -612,17 +626,9 @@ object SparseRel {
     * an explicit list to also validate like `one_hot`. NULL field
     * values are dropped (TrailDB fields are non-null by construction;
     * documented deviation). */
-  def scanEvents(spark: SparkSession, eventsPath: String, field: String,
-      indexCols: Seq[String],
-      categories: Option[Seq[String]] = None): SparseRel =
-    scanEvents(spark.read.parquet(eventsPath), field, indexCols, categories)
-
-  /** DataFrame-input variant of [[scanEvents]] — callers that need
-    * source-specific handling (e.g. nanosecond-timestamp normalization)
-    * pre-read the log themselves. */
   def scanEvents(eventLog: DataFrame, field: String,
       indexCols: Seq[String],
-      categories: Option[Seq[String]]): SparseRel = {
+      categories: Option[Seq[String]] = None): SparseRel = {
     val ev = eventLog.filter(col(field).isNotNull)
     categories match {
       case Some(cats) => oneHot(ev, field, cats, indexCols)

@@ -34,10 +34,13 @@ object Dedup {
     * U+0001, which cannot occur in tokens). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws("\u0001", slice(toks, i + lit(1), lit(n)))))
+    // guard: sequence(0, negative) would count DOWN and emit junk for
+    // texts shorter than n tokens - short texts get zero shingles
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws("\u0001", slice(toks, i + lit(1), lit(n))))))
   }
 
   /** Sorted distinct 64-bit shingle hashes: the working representation

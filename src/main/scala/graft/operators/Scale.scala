@@ -43,6 +43,13 @@ object Scale {
       leftDistinct: Seq[String], factor: Int,
       joinType: String = "inner"): DataFrame = {
     require(factor > 1, "salt factor must exceed 1")
+    // Replicating the right side is only correct when unmatched RIGHT
+    // rows are never emitted — a right/full outer join would emit each
+    // unmatched right row once per salt replica.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(
+        joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(leftDistinct.map(col): _*), lit(factor.toLong)))
     val replicated = right.withColumn("__salt",
@@ -59,8 +66,10 @@ object Scale {
   def groupbySumSalted(rel: SparseRel, factor: Int): SparseRel = {
     import SparseRel.{COL, VALUE}
     val keyCols = rel.indexCols.map(col) :+ col(COL)
+    // Salt must be per-row-unique-ish: hashing the VALUE would give
+    // every 1.0-valued one-hot cell the SAME salt and spread nothing.
     val salted = rel.df.withColumn("__salt",
-      pmod(xxhash64(col(VALUE).cast("string")), lit(factor.toLong)))
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
     val partial = salted
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(VALUE).as(VALUE))

@@ -236,7 +236,7 @@ object PipelineQueries {
           .withColumn("prev", lag(col("ts"), 1).over(w))
           .withColumn("new_s",
             when(col("prev").isNull ||
-              col("ts").cast("long") - col("prev").cast("long") > 1800, 1L)
+              unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
               .otherwise(0L))
           .groupBy(col("user_id"))
           .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("events"))

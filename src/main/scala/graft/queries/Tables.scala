@@ -17,7 +17,13 @@ object Tables {
     * which Spark's parquet reader rejects outright
     * (PARQUET_TYPE_ILLEGAL). Read `ts` as raw nanos via the legacy
     * conf, then floor-divide to microseconds — exactly what DuckDB's
-    * reader does, so oracle comparisons agree to the microsecond. */
+    * reader does, so oracle comparisons agree to the microsecond.
+    *
+    * Deliberate side effect: `nanosAsLong` stays set for the session
+    * (it cannot be restored after this call — executors consult it
+    * again at scan time), so later reads of OTHER nano-timestamp
+    * parquet in the same session yield LongType nanos instead of an
+    * error. Every nano source must convert the way this reader does. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")

@@ -24,12 +24,19 @@ object EventStream {
   final case class UserSession(user_id: Long, events: Long,
       value_sum: Double, closed: Boolean)
 
-  /** File-source stream over a directory of event parquet (schema must
-    * be supplied — streaming sources cannot infer). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  /** File-source stream over event parquet written with nanosecond
+    * timestamps (the fixture layout — pandas default): streaming
+    * sources cannot infer schemas and Spark rejects TIMESTAMP(NANOS)
+    * outright, so `ts` is declared LONG via the nanosAsLong legacy
+    * conf and floored to microseconds, exactly like the batch reader
+    * (graft.queries.Tables.events). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
-      .parquet(dir)
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling window counts with a watermark: late events beyond
     * `lateness` are dropped and state for closed windows is evicted —
@@ -81,14 +88,17 @@ object EventStream {
   }
 
   /** Streaming exact deduplication: keeps the first document per
-    * 256-bit text digest, with a watermark bounding the dedup state —
-    * the streaming twin of Dedup.exactDuplicates for continuous
-    * ingestion pipelines. Input needs (doc_id, text, ts). */
+    * 256-bit text digest — the streaming twin of
+    * Dedup.exactDuplicates for continuous ingestion pipelines. Uses
+    * dropDuplicatesWithinWatermark so the state store actually evicts
+    * entries past the watermark (plain dropDuplicates on a non-event-
+    * time key keeps state forever despite the watermark). Input needs
+    * (doc_id, text, ts). */
   def streamingExactDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
     docs
       .withColumn("text_sha", sha2(col("text"), 256))
       .withWatermark("ts", lateness)
-      .dropDuplicates("text_sha")
+      .dropDuplicatesWithinWatermark("text_sha")
 
   /** Wire a streaming frame to an in-memory sink (testing/debugging). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =

@@ -38,6 +38,13 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(planted.subsetOf(sim.map(_._1).toSet))
   }
 
+  test("shingle expressions yield empty sets for texts shorter than n") {
+    import spark.implicits._
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(short.select(Dedup.shingles(col("text"), 3)).head.getSeq[String](0).isEmpty)
+    assert(short.select(Dedup.shingleHashes(col("text"), 3)).head.getSeq[Long](0).isEmpty)
+  }
+
   test("exact dedup groups duplicate texts under one representative") {
     val n = docs.count()
     val d = Dedup.exactDuplicates(docs, "doc_id", "text")

@@ -49,6 +49,15 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched right rows") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id")
+    val dim = ev.select("user_id").distinct()
+    intercept[IllegalArgumentException](
+      Scale.saltedJoin(ev, dim, Seq("user_id"), Seq("event_id"), 4, "right"))
+    intercept[IllegalArgumentException](
+      Scale.saltedJoin(ev, dim, Seq("user_id"), Seq("event_id"), 4, "full_outer"))
+  }
+
   test("groupbySumSalted equals plain groupbySum") {
     val coo = SparseRel.scanEvents(Tables.events(spark, sf),
       "event_type", Seq("user_id"), Some(Tables.EventTypes))

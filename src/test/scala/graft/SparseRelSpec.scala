@@ -190,6 +190,14 @@ class SparseRelSpec extends SparkSpecBase {
     assert(b.getDouble(5) === 0.0 && b.getDouble(4) === 5.0)
   }
 
+  test("statsAxis0 reports declared-but-unseen columns as all-zero") {
+    val r = rel(Seq((0, "a", 1.0)), Seq("a", "zz"))
+    val s = r.statsAxis0.collect().map(x => x.getString(0) -> x).toMap
+    assert(s.keySet === Set("a", "zz"))
+    val zz = s("zz")
+    (1 to 5).foreach(i => assert(zz.getDouble(i) === 0.0, s"stat $i"))
+  }
+
   test("meanAxis0 divides by logical rows, not nnz") {
     val r = rel(Seq((0, "a", 3.0), (1, "b", 1.0)), Seq("a", "b"))
     val m = r.meanAxis0.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap

@@ -43,6 +43,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source stream over the real nano-timestamp fixture matches batch") {
+    // file streams need a directory; stage the fixture into one
+    val dir = java.nio.file.Paths.get("target/stream_events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.toMemorySink(
+      EventStream.tumblingCounts(stream, "1 hour", "2 hours"), "stream_file")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_file")
+        .agg(sum("cnt")).head.getLong(0)
+      val batch = graft.queries.Tables.events(spark, sf).count()
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per distinct text") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
