@@ -85,6 +85,58 @@ object TextAnalysis {
           .as("lang_pred")): _*)
   }
 
+  /** Split documents into overlapping token-window chunks — the
+    * context-window preprocessing step of a training pipeline. Emits
+    * (id, chunk_id, chunk_text, chunk_tokens); chunks start every
+    * `chunkSize - overlap` tokens, the last chunk may be short, and
+    * chunks that would start past the end are not emitted. Pure
+    * expressions: one generator per document, no shuffle. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    val t = toks(col(textCol))
+    docs
+      .select(col(idCol), t.as("__t"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)), lit(step)),
+          start => slice(col("__t"), start + 1, lit(chunkSize))))
+          .as(Seq("chunk_id", "__chunk")))
+      .filter(size(col("__chunk")) > 0)
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).cast("long").as("chunk_tokens"))
+  }
+
+  /** Repetition score: frequency of the most common word n-gram over
+    * the total n-gram count (1.0 = the document is one repeated
+    * phrase) — a standard low-quality/generated-text signal. */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val t = toks(col(textCol))
+    val grams = docs
+      .filter(size(t) >= n)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), size(t) - lit(n)),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("repetition"))
+  }
+
+  /** PII redaction: masks email addresses and long digit runs — the
+    * regex-scrub pass pipelines run before training. Patterns are
+    * plain enough to behave identically across regex engines. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+        lit("[0-9]{6,}"), lit("<NUM>")).as("redacted"))
+
   /** Rolling-hash document fingerprint: minimum xxhash64 over all
     * `w`-char windows (winnowing-style min-sampling, one expression
     * pass; deterministic). Documents shorter than `w` hash whole. */

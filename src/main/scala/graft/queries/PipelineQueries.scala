@@ -175,6 +175,42 @@ object PipelineQueries {
           |FROM documents""".stripMargin
       }),
 
+    QueryDef("chunk_documents",
+      (s, dir) => TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+        "doc_id", "text", chunkSize = 32, overlap = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |starts AS (SELECT doc_id, l, unnest(range(0, GREATEST(len(l) - 1, 0) + 1, 24)) AS st
+             |  FROM t),
+             |numbered AS (SELECT doc_id, l, st,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS chunk_id
+             |  FROM starts)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |array_to_string(l[st + 1 : st + 32], ' ') AS chunk_text,
+             |CAST(LEAST(32, len(l) - st) AS BIGINT) AS chunk_tokens
+             |FROM numbered WHERE len(l) - st > 0""".stripMargin)),
+
+    QueryDef("repetition_score",
+      (s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir),
+        "doc_id", "text", n = 3),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id,
+             |  l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3] AS g
+             |  FROM t, unnest(range(0, len(l) - 2)) AS u(i)),
+             |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+             |SELECT doc_id,
+             |ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
+    QueryDef("redact_pii",
+      (s, dir) => TextAnalysis.redactPii(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |regexp_replace(
+             |  regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]{6,}', '<NUM>', 'g') AS redacted
+             |FROM documents""".stripMargin)),
+
     QueryDef("fingerprint_rolling",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
       None), // xxhash64-based — ScalaTest-verified

@@ -38,6 +38,39 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(planted.subsetOf(sim.map(_._1).toSet))
   }
 
+  test("chunkDocuments covers every token with the configured overlap") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(doc, "doc_id", "text", 32, 8)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 5)              // starts 0,24,48,72,96
+    assert(chunks.head.getAs[Long]("chunk_tokens") === 32L)
+    assert(chunks.last.getAs[Long]("chunk_tokens") === 4L)
+    assert(chunks.head.getAs[String]("chunk_text").startsWith("w1 w2 "))
+    assert(chunks(1).getAs[String]("chunk_text").startsWith("w25 "))
+  }
+
+  test("redactPii masks emails and long digit runs") {
+    import spark.implicits._
+    val doc = Seq((1L, "contact me at someone@example.com or 1234567 thanks"))
+      .toDF("doc_id", "text")
+    val red = TextAnalysis.redactPii(doc, "doc_id", "text")
+      .head.getAs[String]("redacted")
+    assert(red === "contact me at <EMAIL> or <NUM> thanks")
+  }
+
+  test("repetitionScore flags a fully repeated document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam ham jam").mkString(" ")),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > 0.3, s"repeated doc scored ${r(1L)}")
+    assert(r(2L) < 0.05, s"unique doc scored ${r(2L)}")
+  }
+
   test("shingle expressions yield empty sets for texts shorter than n") {
     import spark.implicits._
     val short = Seq((1L, "one two")).toDF("doc_id", "text")
