@@ -92,6 +92,28 @@ object PipelineQueries {
       },
       None), // bucket membership depends on hash planes — recall ScalaTest
 
+    QueryDef("embed_nearest_dup",
+      (s, dir) => {
+        // embedding-cosine near-dup: every vector's single nearest
+        // neighbour + similarity; downstream thresholds decide dup-ness.
+        // Exact here (oracle-matched); Similarity.lshTopK is the
+        // bucketed scale path for the same shape.
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.select(col("vec_id").as("qid"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 1)
+          .select(col("qid"), col("vec_id").as("nn"), col("cos"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings),
+             |p AS (SELECT qid, vec_id,
+             |    ROUND(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM p)
+             |SELECT qid, vec_id AS nn, cos FROM r WHERE rn = 1""".stripMargin)),
+
     QueryDef("label_centroids",
       (s, dir) => {
         val summed = Tables.embeddings(s, dir)
