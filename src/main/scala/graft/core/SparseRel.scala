@@ -362,7 +362,10 @@ final case class SparseRel(
     // Declared-but-unseen universe columns must appear with all-zero
     // stats (the reference runs over the full dimension; same
     // invariant toDense preserves) — right-join the dims relation and
-    // zero-fill.
+    // zero-fill. Construction contract (as in the reference, where
+    // `_columns` is authoritative): stored col labels ⊆ universe;
+    // out-of-universe cells are a caller bug and are not reported here
+    // (sumAxis0 on the raw cells would still surface them).
     val agged = universe.dims(df.sparkSession)
       .join(stored, Seq(COL), "left")
       .select(col(COL),

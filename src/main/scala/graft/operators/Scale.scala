@@ -47,9 +47,9 @@ object Scale {
     // rows are never emitted — a right/full outer join would emit each
     // unmatched right row once per salt replica.
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(
+      "leftsemi", "semi", "left_anti", "leftanti", "anti").contains(
         joinType.toLowerCase.replace(" ", "_")),
-      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
+      s"saltedJoin supports inner/left/semi/anti, not $joinType")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(leftDistinct.map(col): _*), lit(factor.toLong)))
     val replicated = right.withColumn("__salt",
@@ -66,10 +66,15 @@ object Scale {
   def groupbySumSalted(rel: SparseRel, factor: Int): SparseRel = {
     import SparseRel.{COL, VALUE}
     val keyCols = rel.indexCols.map(col) :+ col(COL)
-    // Salt must be per-row-unique-ish: hashing the VALUE would give
-    // every 1.0-valued one-hot cell the SAME salt and spread nothing.
+    // The salt must be DETERMINISTIC per row content: a nondeterministic
+    // source (rand / monotonically_increasing_id) re-salts rows when a
+    // stage retries, double-counting or losing partials under shuffle
+    // recomputation (the SPARK-23207 failure class). Hashing every
+    // column is retry-stable; the one shape it cannot spread is a hot
+    // key made of byte-identical duplicate cells — carry a distinct id
+    // column in the frame if that is the skew source.
     val salted = rel.df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+      pmod(xxhash64(rel.df.columns.map(col): _*), lit(factor.toLong)))
     val partial = salted
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(VALUE).as(VALUE))

@@ -31,15 +31,20 @@ object Similarity {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k cosine neighbours for each query vector.
-    * `queries` must be a small relation (qid, qv) — it is broadcast;
-    * the corpus is scanned once. Ranking is by rounded cosine with id
-    * tie-break for determinism. */
+  /** Exact top-k cosine neighbours for each query vector. With
+    * `broadcastQueries` (the default) the query relation must be small
+    * — it is broadcast and the corpus streams once. Pass false for
+    * all-vs-all shapes (every vector as a query): Spark then plans a
+    * partitioned cartesian join instead of materializing the whole
+    * query side on every executor. Ranking is by rounded cosine with
+    * id tie-break for determinism. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"))
-    val scored = c.crossJoin(broadcast(queries))
+    val q = if (broadcastQueries) broadcast(queries) else queries
+    val scored = c.crossJoin(q)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cos"))

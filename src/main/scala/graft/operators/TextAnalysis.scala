@@ -114,13 +114,15 @@ object TextAnalysis {
     * phrase) — a standard low-quality/generated-text signal. */
   def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val t = toks(col(textCol))
+    // stage the token array: HOF lambdas evaluate interpreted and would
+    // re-split the text once per n-gram otherwise
     val grams = docs
-      .filter(size(t) >= n)
+      .filter(size(toks(col(textCol))) >= n)
+      .select(col(idCol), toks(col(textCol)).as("__t"))
       .select(col(idCol),
         explode(transform(
-          sequence(lit(0), size(t) - lit(n)),
-          i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("g"))
+          sequence(lit(0), size(col("__t")) - lit(n)),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("g"))
     grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)

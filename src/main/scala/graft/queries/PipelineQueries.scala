@@ -101,7 +101,8 @@ object PipelineQueries {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.select(col("vec_id").as("qid"),
           Similarity.asDouble(col("embedding")).as("qv"))
-        Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 1)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 1,
+            broadcastQueries = false)
           .select(col("qid"), col("vec_id").as("nn"), col("cos"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -87,13 +87,16 @@ object EventStream {
       }
   }
 
-  /** Streaming exact deduplication: keeps the first document per
-    * 256-bit text digest — the streaming twin of
-    * Dedup.exactDuplicates for continuous ingestion pipelines. Uses
-    * dropDuplicatesWithinWatermark so the state store actually evicts
-    * entries past the watermark (plain dropDuplicates on a non-event-
-    * time key keeps state forever despite the watermark). Input needs
-    * (doc_id, text, ts). */
+  /** Streaming deduplication WITHIN the watermark horizon: keeps the
+    * first document per 256-bit text digest among documents whose
+    * event times fall inside the same `lateness` window. Uses
+    * dropDuplicatesWithinWatermark so the state store evicts entries
+    * past the watermark (plain dropDuplicates on a non-event-time key
+    * keeps state forever despite the watermark) — the fundamental
+    * streaming tradeoff: bounded state means a text recurring AFTER
+    * the horizon is emitted again. For global exactness run the batch
+    * Dedup.exactDuplicates over the accumulated output periodically.
+    * Input needs (doc_id, text, ts). */
   def streamingExactDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
     docs
       .withColumn("text_sha", sha2(col("text"), 256))
