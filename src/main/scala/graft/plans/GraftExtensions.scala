@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, MinHashBandKeys, ShingleHashes, SimHash64}
+
+/** SQL-surface registration for the engine's native expressions — the
+  * `SparkSessionExtensions` integration point (builder guide §custom
+  * operator): after registration the dedup/similarity kernels are
+  * callable from plain SQL, e.g.
+  *
+  * {{{
+  *   spark.sql("SELECT simhash64(shingle_hashes(text, 3)) FROM docs")
+  * }}}
+  *
+  * Use `withExtensions(new GraftExtensions)` at session build time, or
+  * [[GraftExtensions.registerAll]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples for every injectable function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hashes(text, n)")
+        ShingleHashes(args.head, intArg(args(1), "n"))
+      }),
+    ("minhash_band_keys",
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "minhash_band_keys(hashes, k, bands)")
+        MinHashBandKeys(args.head, intArg(args(1), "k"), intArg(args(2), "bands"))
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "simhash64(hashes)")
+        SimHash64(args.head)
+      }),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dot_product(a, b)")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Register every function on an already-built session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

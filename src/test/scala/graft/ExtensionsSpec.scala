@@ -1,0 +1,35 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** The native expressions must be reachable from plain SQL once
+  * registered — and agree with the Column-API path. */
+class ExtensionsSpec extends SparkSpecBase {
+
+  test("registered SQL functions match the Column API") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y z")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(shingle_hashes(text, 2)) AS sim,
+        |size(minhash_band_keys(shingle_hashes(text, 2), 16, 4)) AS nb
+        |FROM ext_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    val viaApi = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.HashExprs.simhash(
+          graft.functions.HashExprs.shingleHashes(
+            org.apache.spark.sql.functions.col("text"), 2)).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(viaSql.view.mapValues(_._1).toMap === viaApi)
+    assert(viaSql.values.forall(_._2 === 4))
+
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))").head.getDouble(0)
+    assert(dot === 11.0)
+  }
+}
