@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -285,6 +285,25 @@ object PipelineQueries {
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
              |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("asof_join",
+      (s, dir) => {
+        // point-in-time: every event annotated with the user's latest
+        // purchase value at-or-before the event's timestamp
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pval"))
+        AsOf.asofJoin(ev.select("event_id", "user_id", "ts"), purchases,
+            keys = Seq("user_id"), tsCol = "ts",
+            valueCol = "pval", outCol = "last_purchase")
+          .select(col("event_id"), col("user_id"), col("last_purchase"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(value) AS pval FROM events
+             |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             |SELECT e.event_id, e.user_id, p.pval AS last_purchase
+             |FROM events e ASOF LEFT JOIN p
+             |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
 
     QueryDef("user_sessions_batch",
       (s, dir) => {

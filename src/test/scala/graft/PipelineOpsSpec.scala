@@ -38,6 +38,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(planted.subsetOf(sim.map(_._1).toSet))
   }
 
+  test("asofJoin attaches the latest right value at-or-before each left ts") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 7L, t(0)), (2L, 7L, t(10)), (3L, 7L, t(20)), (4L, 8L, t(5)))
+      .toDF("id", "k", "ts")
+    val right = Seq((7L, t(5), 100.0), (7L, t(10), 200.0), (9L, t(0), 9.0))
+      .toDF("k", "ts", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "v", "last_v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) === None)               // no right row yet
+    assert(out(2L) === Some(200.0))        // equal-ts right row visible
+    assert(out(3L) === Some(200.0))        // carried forward
+    assert(out(4L) === None)               // other key
+  }
+
   test("chunkDocuments covers every token with the configured overlap") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
