@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: match left rows whose timestamp falls inside
+  * right-side [start, end) intervals — the second operator family
+  * Spark lacks a dedicated physical plan for (builder guide list).
+  *
+  * Naive theta joins (`ts >= start AND ts < end` with no equi key)
+  * plan as a broadcast nested loop / cartesian — quadratic. The scale
+  * shape here is interval bucketing (the 1-D analogue of the LSH band
+  * join): both sides map to coarse time buckets — intervals explode
+  * into every bucket they overlap, points into exactly one — the join
+  * becomes a bucket-equi hash join, and the residual range predicate
+  * filters within buckets. Cost is |intervals|·(span/bucket) extra
+  * rows, so pick `bucketMs` near the typical interval length.
+  */
+object RangeJoin {
+
+  /** Left rows (with `tsCol`) joined to every right interval
+    * ([startCol, endCol), half-open) that contains them; inner join
+    * semantics — unmatched left rows drop. Right columns are carried
+    * alongside left ones. */
+  def bucketed(left: DataFrame, right: DataFrame,
+      tsCol: String, startCol: String, endCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucket width must be positive")
+    val b = lit(bucketMs * 1000L) // micros
+    val pts = left.withColumn("__bucket",
+      (unix_micros(col(tsCol)) / b).cast("long"))
+    val ivs = right.withColumn("__bucket",
+      explode(sequence(
+        (unix_micros(col(startCol)) / b).cast("long"),
+        // end is exclusive: a zero-length or bucket-aligned end does
+        // not claim the next bucket
+        ((unix_micros(col(endCol)) - 1) / b).cast("long"))))
+    pts.join(ivs, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

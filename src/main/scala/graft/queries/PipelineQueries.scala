@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -304,6 +304,30 @@ object PipelineQueries {
              |SELECT e.event_id, e.user_id, p.pval AS last_purchase
              |FROM events e ASOF LEFT JOIN p
              |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
+
+    QueryDef("range_join",
+      (s, dir) => {
+        // intervals: each calendar week's first 2 days, derived from
+        // the event log itself (deterministic, no extra fixture);
+        // count events landing inside each window
+        val ev = Tables.events(s, dir)
+        val windows = ev
+          .select(date_trunc("week", col("ts")).as("w_start"))
+          .distinct()
+          .select(col("w_start"),
+            (col("w_start") + expr("INTERVAL 2 DAYS")).as("w_end"))
+        RangeJoin.bucketed(ev.select(col("ts"), col("event_type")), windows,
+            "ts", "w_start", "w_end", bucketMs = 24L * 3600 * 1000)
+          .groupBy(col("w_start"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH w AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w_start,
+             |  CAST(date_trunc('week', ts) AS TIMESTAMP) + INTERVAL 2 DAY AS w_end
+             |  FROM events)
+             |SELECT w.w_start, e.event_type, COUNT(*) AS cnt
+             |FROM events e JOIN w
+             |ON e.ts >= w.w_start AND e.ts < w.w_end
+             |GROUP BY w.w_start, e.event_type""".stripMargin)),
 
     QueryDef("user_sessions_batch",
       (s, dir) => {

@@ -38,6 +38,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(planted.subsetOf(sim.map(_._1).toSet))
   }
 
+  test("bucketed range join equals the theta join") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val ev = Tables.events(spark, sf).select(c("event_id"), c("ts"))
+    val iv = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.date_trunc("day", c("ts")).as("s"))
+      .distinct()
+      .select(c("s"), (c("s") + expr("INTERVAL 6 HOURS")).as("e"))
+    val bucketed = RangeJoin.bucketed(ev, iv, "ts", "s", "e", 3600L * 1000)
+      .select("event_id", "s").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val theta = ev.join(iv, c("ts") >= c("s") && c("ts") < c("e"))
+      .select("event_id", "s").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(bucketed === theta)
+    assert(bucketed.nonEmpty)
+  }
+
   test("asofJoin attaches the latest right value at-or-before each left ts") {
     import graft.operators.AsOf
     import spark.implicits._
