@@ -127,6 +127,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Persist the corpus's near-dup signature index: band keys (for
+    * candidate lookup) and shingle-hash arrays (for verification).
+    * Indexing is one pass over the corpus; incremental ingestion then
+    * never recomputes existing documents' signatures — the shape that
+    * matters when the corpus is 100 TB and the daily delta is not. At
+    * warehouse scale, bucket the band table by `bh` so the incremental
+    * join is co-located. */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
+    val withH = docs
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
+    withH.select(col("doc"),
+        explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    withH.write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  /** Near-duplicates of NEW documents against a persisted index: the
+    * new docs' band keys probe the stored band table (bucket-equi
+    * join), and only the candidate pairs' stored hash arrays are read
+    * back for exact Jaccard verification. Returns
+    * (doc_new, doc_indexed, jaccard) ≥ threshold. */
+  def incrementalNearDuplicates(newDocs: DataFrame, idCol: String,
+      textCol: String, indexPath: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newH = newDocs
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc_new"),
+        shingleHashes(col(textCol), shingleN).as("sh_new"))
+    val newBands = newH.select(col("doc_new"),
+      explode(HashExprs.minhashBandKeys(col("sh_new"), k, bands)).as("bh"))
+    val cands = newBands
+      .join(spark.read.parquet(s"$indexPath/bands"), Seq("bh"))
+      .filter(col("doc_new") =!= col("doc"))
+      .select(col("doc_new"), col("doc").as("doc_indexed"))
+      .distinct()
+    cands
+      .join(newH, Seq("doc_new"))
+      .join(spark.read.parquet(s"$indexPath/hashes")
+        .withColumnRenamed("doc", "doc_indexed")
+        .withColumnRenamed("sh", "sh_idx"), Seq("doc_indexed"))
+      .select(col("doc_new"), col("doc_indexed"),
+        round(
+          size(array_intersect(col("sh_new"), col("sh_idx"))).cast("double") /
+            size(array_union(col("sh_new"), col("sh_idx"))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-duplicate candidates: documents agreeing on at least
     * one of `chunks` equal slices of their simhash — the pigeonhole
     * bound catches Hamming distance ≤ chunks-1 with certainty. Short

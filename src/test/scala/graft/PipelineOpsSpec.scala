@@ -38,6 +38,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(planted.subsetOf(sim.map(_._1).toSet))
   }
 
+  test("incremental near-dup against a persisted index finds the batch pairs") {
+    val idx = "target/test_dedup_index"
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", idx)
+    // every doc probed incrementally must recover exactly the pairs the
+    // one-shot batch path finds (as (new, indexed) in both directions)
+    val inc = Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.nearDuplicates(docs, "doc_id", "text")
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(inc === batch)
+    assert(inc.nonEmpty)
+  }
+
   test("bucketed range join equals the theta join") {
     import graft.operators.RangeJoin
     import org.apache.spark.sql.functions.{col => c, expr}
