@@ -73,6 +73,11 @@ object Dedup {
       .distinct()
   }
 
+  /** |∩|/|∪| of two hash-set array columns, rounded to 6. */
+  private def jaccardExpr(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double"), 6)
+
   /** Exact n-gram Jaccard for given candidate pairs: joins the
     * shingle-hash sets back and computes |∩|/|∪| with array
     * expressions — touches only candidates. */
@@ -86,10 +91,7 @@ object Dedup {
       .join(sh.withColumnRenamed("__id", "doc_b")
         .withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
-          6).as("jaccard"))
+        jaccardExpr(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** Near-duplicate pairs: banded MinHash-LSH candidates, then exact
@@ -136,13 +138,39 @@ object Dedup {
     * join is co-located. */
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, shingleN: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
-    val withH = docs
+    val spark = docs.sparkSession
+    // hashes first, bands derived from the written hashes: the corpus
+    // is tokenized and shingle-hashed exactly once
+    docs
       .filter(size(tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
-    withH.select(col("doc"),
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    spark.read.parquet(s"$path/hashes")
+      .select(col("doc"),
         explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
       .write.mode("overwrite").parquet(s"$path/bands")
-    withH.write.mode("overwrite").parquet(s"$path/hashes")
+    // parameters ride with the index: a probe MUST use the same
+    // (shingleN, k, bands) or its band keys never match
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_params.json"), true)
+    try out.write(
+      s"""{"shingleN":$shingleN,"k":$k,"bands":$bands}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back the (shingleN, k, bands) an index was written with. */
+  def readIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "_params.json"))
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    (node.get("shingleN").asInt(), node.get("k").asInt(), node.get("bands").asInt())
   }
 
   /** Near-duplicates of NEW documents against a persisted index: the
@@ -152,9 +180,11 @@ object Dedup {
     * (doc_new, doc_indexed, jaccard) ≥ threshold. */
   def incrementalNearDuplicates(newDocs: DataFrame, idCol: String,
       textCol: String, indexPath: String,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
+    // signature parameters come from the index itself — passing them
+    // again would let a mismatch silently return zero candidates
+    val (shingleN, k, bands) = readIndexParams(spark, indexPath)
     val newH = newDocs
       .filter(size(tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc_new"),
@@ -172,10 +202,7 @@ object Dedup {
         .withColumnRenamed("doc", "doc_indexed")
         .withColumnRenamed("sh", "sh_idx"), Seq("doc_indexed"))
       .select(col("doc_new"), col("doc_indexed"),
-        round(
-          size(array_intersect(col("sh_new"), col("sh_idx"))).cast("double") /
-            size(array_union(col("sh_new"), col("sh_idx"))).cast("double"),
-          6).as("jaccard"))
+        jaccardExpr(col("sh_new"), col("sh_idx")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

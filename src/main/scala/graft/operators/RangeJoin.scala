@@ -26,15 +26,25 @@ object RangeJoin {
       tsCol: String, startCol: String, endCol: String,
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, "bucket width must be positive")
+    // duplicate names would make the post-join range filter ambiguous
+    // (and the output unusable by name) — callers rename first
+    val shared = left.columns.intersect(right.columns)
+    require(shared.isEmpty,
+      s"left/right column names must be disjoint; shared: ${shared.mkString(",")}")
     val b = lit(bucketMs * 1000L) // micros
     val pts = left.withColumn("__bucket",
       (unix_micros(col(tsCol)) / b).cast("long"))
-    val ivs = right.withColumn("__bucket",
-      explode(sequence(
-        (unix_micros(col(startCol)) / b).cast("long"),
-        // end is exclusive: a zero-length or bucket-aligned end does
-        // not claim the next bucket
-        ((unix_micros(col(endCol)) - 1) / b).cast("long"))))
+    val ivs = right
+      // empty/inverted intervals match nothing — and would otherwise
+      // make sequence() count DOWN, exploding one dirty row into a
+      // huge descending bucket array
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          (unix_micros(col(startCol)) / b).cast("long"),
+          // end is exclusive: a bucket-aligned end does not claim the
+          // next bucket
+          ((unix_micros(col(endCol)) - 1) / b).cast("long"))))
     pts.join(ivs, Seq("__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

@@ -27,11 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
+  private def intArg(e: Expression, what: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3089",
+        messageParameters = Map("msg" ->
+          s"$what must be an integral constant, got $other"))
+    } else throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3089",
+      messageParameters = Map("msg" -> s"$what must be a constant expression"))
 
   /** (name, info, builder) triples for every injectable function. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -52,6 +52,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(inc.nonEmpty)
   }
 
+  test("asofJoin: a NULL right value is still the visible latest row") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 7L, t(20))).toDF("id", "k", "ts")
+    val right = Seq((7L, t(5), Some(100.0)), (7L, t(10), None))
+      .toDF("k", "ts", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "v", "last_v").head
+    assert(out.isNullAt(3), "latest right row has NULL value; must not fall back to the older 100.0")
+  }
+
+  test("range join rejects overlapping column names; drops inverted intervals") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val pts = Seq((1L, t(5))).toDF("id", "ts")
+    val badIv = Seq((t(0), t(10))).toDF("ts", "e") // shares "ts"
+    intercept[IllegalArgumentException](
+      RangeJoin.bucketed(pts, badIv, "ts", "ts", "e", 60000))
+    val inverted = Seq((t(10), t(0)), (t(0), t(10))).toDF("s", "e")
+    val out = RangeJoin.bucketed(pts, inverted, "ts", "s", "e", 60000)
+    assert(out.count() === 1) // only the valid interval matches
+  }
+
   test("bucketed range join equals the theta join") {
     import graft.operators.RangeJoin
     import org.apache.spark.sql.functions.{col => c, expr}
