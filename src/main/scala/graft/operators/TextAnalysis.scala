@@ -139,6 +139,50 @@ object TextAnalysis {
           lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
         lit("[0-9]{6,}"), lit("<NUM>")).as("redacted"))
 
+  /** Corpus vocabulary: the `topK` most frequent tokens with counts
+    * and document frequency — the vocab-building pass before
+    * tokenizer training. One explode + two hash aggregates. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
+
+  /** Per-token inverse document frequency over the corpus:
+    * idf = ln(N / df). Smooth variants are a caller-side tweak; this
+    * pins the distributed shape (distinct doc-term pairs → one
+    * aggregate vs the corpus size). */
+  def idf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    docs
+      .select(col(idCol), explode(array_distinct(toks(col(textCol)))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"), col("__df").cast("long").as("doc_freq"),
+        round(log(col("__n") / col("__df")), 6).as("idf"))
+  }
+
+  /** Benchmark-contamination check: which documents contain any of the
+    * probe strings (exact substring match)? The probe set is tiny and
+    * rides as literals — one codegen'd scan, no join. The standard
+    * eval-decontamination pass before training. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe string")
+    val hits = probes.zipWithIndex.map { case (p, i) =>
+      when(col(textCol).contains(p), lit(i))
+    }
+    docs
+      .select(col(idCol),
+        explode(array_compact(array(hits: _*))).as("probe_id"))
+  }
+
   /** Rolling-hash document fingerprint: minimum xxhash64 over all
     * `w`-char windows (winnowing-style min-sampling, one expression
     * pass; deterministic). Documents shorter than `w` hash whole. */

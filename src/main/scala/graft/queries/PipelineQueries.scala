@@ -234,6 +234,33 @@ object PipelineQueries {
              |  '[0-9]{6,}', '<NUM>', 'g') AS redacted
              |FROM documents""".stripMargin)),
 
+    QueryDef("vocabulary",
+      (s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir),
+        "doc_id", "text", topK = 20),
+      Some("""SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |      FROM documents)
+             |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
+
+    QueryDef("idf",
+      (s, dir) => TextAnalysis.idf(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+             |dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |       FROM documents)
+             |SELECT tok, COUNT(*) AS doc_freq,
+             |ROUND(LN(MAX(n.n) / COUNT(*)), 6) AS idf
+             |FROM dt CROSS JOIN n GROUP BY tok""".stripMargin)),
+
+    QueryDef("contamination_check",
+      (s, dir) => TextAnalysis.contamination(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark group fast", "hash join", "window merge")),
+      Some("""SELECT doc_id, 0 AS probe_id FROM documents
+             |WHERE contains(text, 'spark group fast')
+             |UNION ALL
+             |SELECT doc_id, 1 FROM documents WHERE contains(text, 'hash join')
+             |UNION ALL
+             |SELECT doc_id, 2 FROM documents WHERE contains(text, 'window merge')""".stripMargin)),
+
     QueryDef("fingerprint_rolling",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
       None), // xxhash64-based — ScalaTest-verified
