@@ -206,6 +206,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Group near-duplicate PAIRS into clusters: connected components by
+    * iterative min-label propagation — each doc's cluster id converges
+    * to the smallest doc id reachable through the pair graph. Near-dup
+    * graphs are shallow (clusters are small cliques-ish), so a handful
+    * of iterations suffices; each iteration is two hash joins + an
+    * aggregate, all key-partitioned — no driver-side graph. Returns
+    * (doc, cluster) for every doc appearing in a pair. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+    var i = 0
+    while (i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "dst")
+          .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("ncluster")).as("nmin"))
+      labels = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+      i += 1
+    }
+    labels
+  }
+
+  /** The documents to KEEP after near-dup clustering: every doc not in
+    * any pair, plus the smallest-id representative of each cluster —
+    * the final "drop the duplicates" step of the pipeline. */
+  def dedupSurvivors(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val clusters = duplicateClusters(pairs, maxIter)
+    val losers = clusters.filter(col("doc") =!= col("cluster"))
+      .select(col("doc").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate candidates: documents agreeing on at least
     * one of `chunks` equal slices of their simhash — the pigeonhole
     * bound catches Hamming distance ≤ chunks-1 with certainty. Short

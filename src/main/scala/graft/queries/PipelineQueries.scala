@@ -57,6 +57,28 @@ object PipelineQueries {
         shingleN = 2, threshold = 0.5),
       Some(jaccardOracle(2, "0.5"))),
 
+    QueryDef("dedup_survivors",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+        Dedup.dedupSurvivors(docs, "doc_id", pairs).select(col("doc_id"))
+      },
+      Some(s"""WITH pairs AS (${jaccardOracle(3, "0.8")}),
+              |p2 AS (SELECT doc_a, doc_b FROM pairs),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p2
+              |  UNION SELECT doc_b, doc_a FROM p2),
+              |reach AS (
+              |  WITH RECURSIVE r(doc, x) AS (
+              |    SELECT src, src FROM edges
+              |    UNION
+              |    SELECT e.src, r.x FROM edges e JOIN r ON e.dst = r.doc)
+              |  SELECT doc, MIN(x) AS cluster FROM r GROUP BY doc)
+              |SELECT d.doc_id FROM documents d
+              |LEFT JOIN (SELECT doc FROM reach WHERE doc <> cluster) l
+              |ON l.doc = d.doc_id
+              |WHERE l.doc IS NULL""".stripMargin)),
+
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhashNearDuplicates(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, threshold = 0.5),

@@ -38,6 +38,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(planted.subsetOf(sim.map(_._1).toSet))
   }
 
+  test("duplicateClusters resolves chains and stars to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupSurvivors keeps singletons plus one representative per cluster") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text")
+    val survivors = Dedup.dedupSurvivors(docs, "doc_id", pairs)
+    val nPairsDocs = pairs.select("doc_a").union(pairs.select("doc_b"))
+      .distinct().count()
+    val nClusters = Dedup.duplicateClusters(pairs)
+      .select("cluster").distinct().count()
+    assert(survivors.count() === docs.count() - nPairsDocs + nClusters)
+    // every dropped doc has a surviving near-duplicate representative
+    assert(survivors.count() < docs.count())
+  }
+
   test("incremental near-dup against a persisted index finds the batch pairs") {
     val idx = "target/test_dedup_index"
     Dedup.writeNearDupIndex(docs, "doc_id", "text", idx)
