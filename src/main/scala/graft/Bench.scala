@@ -37,9 +37,15 @@ object Bench {
     val queries = SparkEntry.queries
     val names = Headline.filter(queries.contains)
 
-    // JVM/codegen warmup on the smallest table set; not timed.
-    try queries("groupby_sum")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup: run every headline query once against the
+    // smallest scale factor (different data, not timed) so measured
+    // numbers reflect steady-state execution rather than first-call
+    // JIT/codegen compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { name =>
+      try queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
 
     // Repetitions (best-of) damp JIT/page-cache noise; default 1 keeps
     // the driver contract's single-pass timing.
