@@ -49,6 +49,12 @@ class PipelineOpsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedupSurvivors with no pairs keeps every document") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupSurvivors(docs, "doc_id", empty).count() === docs.count())
+  }
+
   test("dedupSurvivors keeps singletons plus one representative per cluster") {
     val pairs = Dedup.nearDuplicates(docs, "doc_id", "text")
     val survivors = Dedup.dedupSurvivors(docs, "doc_id", pairs)
