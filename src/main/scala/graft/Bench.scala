@@ -38,13 +38,24 @@ object Bench {
     val names = Headline.filter(queries.contains)
 
     // JVM/codegen warmup: run every headline query once against the
-    // smallest scale factor (different data, not timed) so measured
-    // numbers reflect steady-state execution rather than first-call
-    // JIT/codegen compilation.
-    val warmDir = "/root/testdata/sf0.001"
+    // sibling smallest scale factor (different data, not timed) so the
+    // measured pass reflects steady-state execution rather than
+    // first-call JIT/codegen compilation. Falls back to sfDir itself
+    // when no sibling exists (then the warmup shares data — noted so
+    // nobody mistakes that for a cold single-pass number).
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir)
+      Option(p.getParent).map(_.resolve("sf0.001"))
+        .filter(s => java.nio.file.Files.isDirectory(s) &&
+          s.toString != p.toString)
+        .map(_.toString)
+        .getOrElse(sfDir)
+    }
     names.foreach { name =>
       try queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
 
     // Repetitions (best-of) damp JIT/page-cache noise; default 1 keeps

@@ -213,24 +213,40 @@ object Dedup {
     * of iterations suffices; each iteration is two hash joins + an
     * aggregate, all key-partitioned — no driver-side graph. Returns
     * (doc, cluster) for every doc appearing in a pair. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .localCheckpoint()
+    // localCheckpoint per round: truncates the iterative lineage (an
+    // uncached loop would double the plan per iteration) and lets the
+    // convergence probe reuse the materialized labels.
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
+      .localCheckpoint()
+    var converged = false
     var i = 0
-    while (i < maxIter) {
+    while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc", "dst")
           .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("ncluster")).as("nmin"))
-      labels = labels.join(neighborMin, Seq("doc"), "left")
+      val updated = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+        .localCheckpoint()
+      // labels move one hop per round, so iterate to an actual
+      // fixpoint — a fixed iteration count silently splits components
+      // whose diameter exceeds it (long near-dup chains: successive
+      // revisions each similar to the next)
+      converged = updated
+        .join(labels.withColumnRenamed("cluster", "__old"), Seq("doc"))
+        .filter(col("cluster") =!= col("__old"))
+        .limit(1).count() == 0
+      labels = updated
       i += 1
     }
     labels

@@ -49,6 +49,17 @@ class PipelineOpsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters converges on a long chain with a far local minimum") {
+    import spark.implicits._
+    // doc 2 sits 7 hops from the global minimum 1 — a fixed small
+    // iteration count would leave the component split
+    val chain = Seq((1L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (7L, 6L), (6L, 5L), (5L, 2L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(1L), s"component split: $cc")
+  }
+
   test("dedupSurvivors with no pairs keeps every document") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
