@@ -46,16 +46,29 @@ object SparseIO {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def write(rel: SparseRel, path: String, rangePartitions: Int = 0): Unit = {
+  /** Supported data formats. Parquet is the default (columnar,
+    * min/max stats, splittable); ORC matches it feature-for-feature;
+    * JSON/CSV are interchange formats — no row-group pruning, CSV
+    * additionally needs the schema re-applied on read (done below). */
+  private val Formats = Set("parquet", "orc", "json", "csv")
+
+  def write(rel: SparseRel, path: String, rangePartitions: Int = 0,
+      format: String = "parquet"): Unit = {
+    require(Formats.contains(format), s"unsupported format: $format")
     val out =
       if (rangePartitions > 0)
         rel.df.repartitionByRange(rangePartitions, rel.indexCols.map(col): _*)
           .sortWithinPartitions(rel.indexCols.map(col): _*)
       else rel.df
-    out.write.mode("overwrite").parquet(s"$path/data")
+    out.write.mode("overwrite")
+      .format(format)
+      .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
+      .save(s"$path/data")
     val meta = mapper.writeValueAsString(Map(
       "indexCols" -> rel.indexCols,
-      "columnUniverse" -> rel.columnUniverse))
+      "columnUniverse" -> rel.columnUniverse,
+      "format" -> format,
+      "schema" -> rel.df.schema.json))
     val stream = fs(rel.df.sparkSession, path)
       .create(new Path(path, META), true)
     try stream.write(meta.getBytes(StandardCharsets.UTF_8))
@@ -73,8 +86,21 @@ object SparseIO {
       require(arr != null && arr.isArray, s"missing $field in sparse meta")
       (0 until arr.size()).map(arr.get(_).asText())
     }
+    // format/schema fields are optional for metadata written by older
+    // versions (parquet-only layout)
+    val format = Option(node.get("format")).map(_.asText()).getOrElse("parquet")
+    val reader = spark.read.format(format)
+    val withSchema = Option(node.get("schema")).map(_.asText()) match {
+      case Some(json) if format == "csv" || format == "json" =>
+        reader.schema(
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => reader
+    }
     SparseRel(
-      spark.read.parquet(s"$path/data"),
+      withSchema
+        .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
+        .load(s"$path/data"),
       strings("indexCols"),
       ColUniverse.Explicit(strings("columnUniverse")))
   }

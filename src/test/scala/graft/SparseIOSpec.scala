@@ -32,6 +32,22 @@ class SparseIOSpec extends SparkSpecBase {
     assert(roundtrip(hostile).columnUniverse === hostile)
   }
 
+  test("round-trip holds across parquet/orc/json/csv formats") {
+    import spark.implicits._
+    val df = Seq((1, "a", 1.5), (2, "b", -2.0), (3, "a", 0.25))
+      .toDF("k", SparseRel.COL, SparseRel.VALUE)
+    val rel = SparseRel(df, Seq("k"), ColUniverse.Explicit(Seq("a", "b")))
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
+      val path = s"target/test_io/fmt_$fmt"
+      SparseIO.write(rel, path, format = fmt)
+      val back = SparseIO.read(spark, path)
+      assert(back.columnUniverse === Seq("a", "b"), fmt)
+      val cells = back.df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+      assert(cells === Set((1, "a", 1.5), (2, "b", -2.0), (3, "a", 0.25)), fmt)
+    }
+  }
+
   test("range-partitioned write prunes on locRange read") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i, "c", i.toDouble))
