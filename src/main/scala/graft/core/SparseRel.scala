@@ -304,6 +304,21 @@ final case class SparseRel(
       indexCols = levels)
   }
 
+  /** Apply an arbitrary DataFrame transform to the cell relation,
+    * keeping index/universe metadata — the engine's counterpart of the
+    * dask layer's `map_partitions` extension hook (dask/core.py:68-69,
+    * 113-123): where dask hands the user a per-partition SparseFrame,
+    * Spark's lazy DataFrame makes the whole-relation function the
+    * natural (and automatically distributed) extension point. The
+    * transform must preserve the COO schema. */
+  def transformCells(f: DataFrame => DataFrame): SparseRel = {
+    val out = f(df)
+    val expected = indexCols :+ COL :+ VALUE
+    require(expected.forall(out.columns.contains),
+      s"transform must preserve the COO schema ${expected.mkString(",")}")
+    copy(df = out)
+  }
+
   /** Sort rows by index label (reference: sparse_frame.py:306-317).
     * In Spark ordering is a property of the output, not the frame;
     * exposed for parity and for deterministic materialization. */

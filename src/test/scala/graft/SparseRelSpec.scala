@@ -242,6 +242,14 @@ class SparseRelSpec extends SparkSpecBase {
 
   // --- universe plumbing for deferred lexicons ---
 
+  test("transformCells applies user transforms, guards the COO schema") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    val doubled = a.transformCells(_.withColumn(VALUE, col(VALUE) * 2))
+    assert(dense(doubled)(3)("c3") === 2.0)
+    intercept[IllegalArgumentException](
+      a.transformCells(_.drop(VALUE)))
+  }
+
   test("locKey selects one label; filterRows applies arbitrary predicates") {
     val a = rel(identity5(), (0 until 5).map("c" + _))
     assert(a.locKey("k", lit(3)).df.count() === 1)
