@@ -183,7 +183,12 @@ final case class SparseRel(
       levels.zip(bounds).foldRight(lit(true)) { case ((c, b), rest) =>
         (if (greater) c > b else c < b) || (c === b && rest)
       }
-    copy(df = df.filter(lex(lo, greater = true) && lex(hi, greater = false)))
+    // The OR-shaped lexicographic predicate cannot reach the parquet
+    // scan, but the range it implies on the LEADING level can — the
+    // redundant conjunct below is what actually prunes row groups.
+    val leadingRange = levels.head >= lo.head && levels.head <= hi.head
+    copy(df = df.filter(
+      leadingRange && lex(lo, greater = true) && lex(hi, greater = false)))
   }
 
   /** Boolean-mask row selection (`.loc[mask]`,

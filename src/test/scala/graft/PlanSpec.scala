@@ -23,6 +23,19 @@ class PlanSpec extends SparkSpecBase {
       s"expected user_id range in PushedFilters:\n$p")
   }
 
+  test("locRangeMulti pushes its implied leading-level range to the scan") {
+    val rel = SparseRel.scanEvents(Tables.events(spark, sf),
+      "event_type", Seq("user_id", "ts"), Some(Tables.EventTypes))
+    val p = plan(rel.locRangeMulti(
+      Seq(lit(3), to_timestamp(lit("2024-01-05 00:00:00"))),
+      Seq(lit(9), to_timestamp(lit("2024-01-20 00:00:00")))).df)
+    // the plan string truncates long PushedFilters lists, so assert on
+    // the lower bound (complete) and the upper bound's prefix
+    assert(p.contains("GreaterThanOrEqual(user_id,3)") &&
+      p.contains("LessThanOrEqual(user_i"),
+      s"leading-level range not pushed:\n$p")
+  }
+
   test("takeRows plans a parallel partial top-n, not a global window sort") {
     val rel = SparseRel.scanEvents(Tables.events(spark, sf),
       "event_type", Seq("user_id"), Some(Tables.EventTypes)).groupbySum()
