@@ -69,7 +69,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product length mismatch: $n vs ${b.numElements()} — " +
+          "a silent min-length truncation would quietly degrade similarity scores")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

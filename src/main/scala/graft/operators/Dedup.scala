@@ -106,26 +106,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** All-pairs n-gram Jaccard above a threshold via an inverted-index
-    * join on shared shingle hashes (no signatures; exact). Quadratic
-    * only within posting lists — the textbook exact-similarity-join
-    * shape; prefer [[nearDuplicates]] beyond moderate corpus sizes. */
+  /** All-pairs n-gram Jaccard above a threshold — EXACT, via prefix
+    * filtering (the All-Pairs/PPJoin bound): under any global total
+    * order on shingles, two sets with Jaccard ≥ t must share an
+    * element within each one's first |x| − ⌈t·|x|⌉ + 1 shingles, so
+    * only those prefixes are indexed for candidate generation, and
+    * candidates are then verified with the full shingle sets. The
+    * global order is document-frequency-ascending (rare shingles
+    * first), which keeps frequent shingles out of nearly every prefix:
+    * one common 2-gram can no longer create a corpus-length posting
+    * list, so the join is plan-safe at scale while returning exactly
+    * the naive inverted-index result. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val withH = docs.select(col(idCol).as("doc"),
       shingleHashes(col(textCol), shingleN).as("__h"))
-    val sh = withH.select(col("doc"), explode(col("__h")).as("s"))
-    val counts = withH.select(col("doc"), size(col("__h")).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val sh = withH.select(col("doc"), size(col("__h")).as("n"),
+      explode(col("__h")).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
+    val prefix = sh.join(df, Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc"), col("s"))
+    val cands = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6)
-          .as("jaccard"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    jaccardFor(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -256,7 +265,7 @@ object Dedup {
     * any pair, plus the smallest-id representative of each cluster —
     * the final "drop the duplicates" step of the pipeline. */
   def dedupSurvivors(docs: DataFrame, idCol: String,
-      pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val clusters = duplicateClusters(pairs, maxIter)
     val losers = clusters.filter(col("doc") =!= col("cluster"))
       .select(col("doc").as(idCol))
@@ -265,14 +274,16 @@ object Dedup {
 
   /** SimHash near-duplicate candidates: documents agreeing on at least
     * one of `chunks` equal slices of their simhash — the pigeonhole
-    * bound catches Hamming distance ≤ chunks-1 with certainty. Short
-    * documents have volatile tallies (few shingles), so the default is
-    * 8 chunks of 8 bits (Hamming ≤ 7 guaranteed); at web scale prefer
-    * fewer/wider chunks (4×16) to keep buckets small. Returns verified
-    * pairs with exact shingle-Jaccard attached. */
+    * bound catches Hamming distance ≤ chunks-1 with certainty. The
+    * default is the scale-safe 4 chunks of 16 bits: 2^16 bucket values
+    * per chunk keeps self-join buckets ~N/65536, vs 8×8-bit whose 256
+    * buckets grow quadratically on large corpora. Pass chunks=8 only
+    * for small/volatile corpora that need the looser Hamming ≤ 7
+    * guarantee. Returns verified pairs with exact shingle-Jaccard
+    * attached. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      chunks: Int = 8): DataFrame = {
+      chunks: Int = 4): DataFrame = {
     val withH = docs.filter(size(tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
     val withSim = withH.select(col("doc"), HashExprs.simhash(col("__h")).as("sim"))

