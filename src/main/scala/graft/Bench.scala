@@ -20,8 +20,11 @@ object Bench {
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
     "q1_agg", "q3_join", "price_quantiles", "label_centroids",
-    "dedup_exact", "dedup_minhash_lsh", "text_stats", "token_count",
-    "embed_cosine_topk", "window_tumbling", "distinct_users_approx")
+    "dedup_exact", "dedup_minhash_lsh", "dedup_survivors",
+    "text_stats", "token_count", "chunk_documents",
+    "embed_cosine_topk", "embed_nearest_dup_lsh",
+    "window_tumbling", "distinct_users_approx",
+    "asof_join", "range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,8 +62,13 @@ object Bench {
     }
 
     // Repetitions (best-of) damp JIT/page-cache noise; default 1 keeps
-    // the driver contract's single-pass timing.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // the driver contract's single-pass timing. A malformed env value
+    // must not turn the bench into an exit-1 with no JSON line.
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt).getOrElse {
+      System.err.println("[bench] malformed SPARK_GRAFT_BENCH_REPS, using 1")
+      1
+    }.max(1)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
@@ -93,9 +101,18 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
+    val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+        s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // sbt decorates stdout with "[info] ", which defeats the driver's
+    // line parse — also drop the bare line where it can be read back
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

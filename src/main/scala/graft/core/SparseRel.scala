@@ -213,6 +213,47 @@ final case class SparseRel(
     copy(df = df.join(keep, indexCols, "left_semi"))
   }
 
+  /** Arbitrary positional row selection — the distributed reading of
+    * the reference's `iloc[list]` (reference: sparsity/indexing.py:13-21,
+    * sparse_frame.py:165-174): positions are offsets into the SORTED
+    * distinct index (Spark rows carry no intrinsic order — same
+    * documented deviation as [[takeRows]], SURVEY §7.0).
+    *
+    * Scale note: enumeration uses RDD `zipWithIndex` over the
+    * range-partitioned sort — a per-partition count job plus offset
+    * arithmetic, all distributed — NOT a `row_number` window, which
+    * would funnel every key through ONE partition. `positions` is a
+    * caller-supplied list (driver-side by definition), applied as an
+    * `isin` filter on the enumerated keys before the semi-join back. */
+  def takeRowsAt(positions: Seq[Long]): SparseRel = {
+    require(positions.nonEmpty, "takeRowsAt needs at least one position")
+    require(positions.forall(_ >= 0), "positions must be non-negative")
+    keepByPosition(_.isin(positions: _*))
+  }
+
+  /** Positional half-open slice `iloc[start:end]` (reference
+    * sparse_frame.py:165-174) — same enumeration as [[takeRowsAt]] but
+    * with a range predicate, so huge slices never build an `isin`
+    * list. */
+  def takeRowsSlice(start: Long, endExclusive: Long): SparseRel = {
+    require(start >= 0 && endExclusive >= start, "invalid slice bounds")
+    keepByPosition(p => p >= start && p < endExclusive)
+  }
+
+  /** Enumerate the sorted distinct index distributedly and semi-join
+    * back the rows whose position passes `pred`. */
+  private def keepByPosition(pred: Column => Column): SparseRel = {
+    val keys = df.select(indexCols.map(col): _*).distinct()
+      .orderBy(indexCols.map(col): _*)
+    val schema = keys.schema.add("__pos", org.apache.spark.sql.types.LongType)
+    val enumerated = df.sparkSession.createDataFrame(
+      keys.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val keep = enumerated.filter(pred(col("__pos"))).drop("__pos")
+    copy(df = df.join(keep, indexCols, "left_semi"))
+  }
+
   /** Drop rows whose index label is NULL/NaN
     * (reference: sparse_frame.py:469-474 — values carry no NULLs by
     * construction, only labels can be missing). */
@@ -275,15 +316,22 @@ final case class SparseRel(
 
   /** Rename columns through a Column *expression* — the fully
     * distributed path for deferred universes: no driver materialization
-    * of the lexicon at all. */
+    * of the lexicon at all. An Explicit universe stays Explicit (its
+    * labels are already driver-side, so the expression is evaluated
+    * over them in one tiny local job) — a Deferred result would
+    * re-sort the lexicon lexicographically and silently reorder
+    * toDense output, unlike the reference's order-preserving rename. */
   def renameColsExpr(f: Column => Column): SparseRel =
     copy(
       df = df.withColumn(COL, f(col(COL)).cast("string")),
       universe = universe match {
-        case ColUniverse.Explicit(_) =>
-          new ColUniverse.Deferred(
-            universe.dims(df.sparkSession)
-              .select(f(col(COL)).cast("string").as(COL)).distinct())
+        case ColUniverse.Explicit(labels) =>
+          val spark = df.sparkSession
+          import spark.implicits._
+          val renamed = labels.zipWithIndex.toDF(COL, "__i")
+            .select(col("__i"), f(col(COL)).cast("string").as(COL))
+            .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+          ColUniverse.Explicit(renamed)
         case d: ColUniverse.Deferred =>
           new ColUniverse.Deferred(
             d.dimsDf.select(f(col(COL)).cast("string").as(COL)).distinct())
@@ -409,6 +457,43 @@ final case class SparseRel(
   /** Per-row sums, axis=1. */
   def sumAxis1: DataFrame =
     df.groupBy(indexCols.map(col): _*).agg(sum(VALUE).as(VALUE))
+
+  /** Per-row sum/mean/std/max/min — the axis=1 counterpart of
+    * [[statsAxis0]] (reference sparse_frame.py:143-156 takes `axis`
+    * for every stat), with the same logical-zero semantics: mean and
+    * (population) std divide by the universe's column count — zeros
+    * included — and max/min consider an implicit 0.0 whenever a row
+    * stores fewer cells than the universe has columns. The column
+    * count rides along as a broadcast 1-row aggregate of the dims
+    * relation (Deferred universes stay distributed; nothing collects).
+    * One hash-aggregate shuffle on the index, exactly like sumAxis1.
+    * Output: (<indexCols...>, sum_val, mean_val, std_val, max_val,
+    * min_val) over the stored row labels. */
+  def statsAxis1: DataFrame = {
+    val nColsRel = universe.dims(df.sparkSession)
+      .agg(count(lit(1)).cast("double").as("__nc"))
+    val stored = df.groupBy(indexCols.map(col): _*).agg(
+      sum(VALUE).as("__s"),
+      sum(col(VALUE) * col(VALUE)).as("__ss"),
+      max(VALUE).as("__mx"),
+      min(VALUE).as("__mn"),
+      count(lit(1)).cast("double").as("__c"))
+    stored.crossJoin(broadcast(nColsRel)).select(
+      indexCols.map(col) ++ Seq(
+        col("__s").as("sum_val"),
+        (col("__s") / col("__nc")).as("mean_val"),
+        sqrt(col("__ss") / col("__nc") - pow(col("__s") / col("__nc"), 2.0))
+          .as("std_val"),
+        when(col("__c") < col("__nc"), greatest(col("__mx"), lit(0.0)))
+          .otherwise(col("__mx")).as("max_val"),
+        when(col("__c") < col("__nc"), least(col("__mn"), lit(0.0)))
+          .otherwise(col("__mn")).as("min_val")): _*)
+  }
+
+  /** Per-row mean over the logical column count (axis=1 of
+    * [[meanAxis0]]). */
+  def meanAxis1: DataFrame =
+    statsAxis1.select(indexCols.map(col) :+ col("mean_val").as(VALUE): _*)
 
   // ------------------------------------------------------------------
   // Alignment algebra (SURVEY §2.3 / §2.6)

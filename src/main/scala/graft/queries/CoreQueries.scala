@@ -148,6 +148,31 @@ object CoreQueries {
              |    THEN LEAST(MIN(value), 0) ELSE MIN(value) END, 6) AS min_val
              |FROM coo CROSS JOIN n GROUP BY col""".stripMargin)),
 
+    QueryDef("stats_sum_axis1",
+      (s, dir) => grouped(s, dir).statsAxis1.select(
+        col("user_id"),
+        round(col("sum_val"), 6).as("sum_val"),
+        round(col("mean_val"), 6).as("mean_val"),
+        round(col("std_val"), 6).as("std_val"),
+        round(col("max_val"), 6).as("max_val"),
+        round(col("min_val"), 6).as("min_val")),
+      // the universe (Tables.EventTypes) and the observed event_type
+      // set coincide on the fixture, so COUNT(DISTINCT event_type) IS
+      // the logical column count
+      Some("""WITH coo AS (SELECT user_id, event_type AS col,
+             |  CAST(SUM(1.0) AS DOUBLE) AS value FROM events GROUP BY 1, 2),
+             |n AS (SELECT CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS nc FROM events)
+             |SELECT user_id,
+             |  ROUND(SUM(value), 6) AS sum_val,
+             |  ROUND(SUM(value) / MAX(n.nc), 6) AS mean_val,
+             |  ROUND(SQRT(SUM(value * value) / MAX(n.nc)
+             |    - POW(SUM(value) / MAX(n.nc), 2)), 6) AS std_val,
+             |  ROUND(CASE WHEN COUNT(*) < MAX(n.nc)
+             |    THEN GREATEST(MAX(value), 0) ELSE MAX(value) END, 6) AS max_val,
+             |  ROUND(CASE WHEN COUNT(*) < MAX(n.nc)
+             |    THEN LEAST(MIN(value), 0) ELSE MIN(value) END, 6) AS min_val
+             |FROM coo CROSS JOIN n GROUP BY user_id""".stripMargin)),
+
     QueryDef("nnz_count",
       (s, dir) => grouped(s, dir).df
         .filter(col(VALUE) =!= 0.0).agg(count(lit(1)).as("nnz")),
@@ -196,6 +221,19 @@ object CoreQueries {
              |FROM events e
              |JOIN (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 50) k
              |USING (user_id)
+             |GROUP BY e.user_id, e.event_type""".stripMargin)),
+
+    QueryDef("take_rows_at",
+      (s, dir) => grouped(s, dir)
+        .takeRowsAt(Seq(0L, 3L, 7L, 25L, 49L, 80L)).df,
+      Some("""WITH k AS (SELECT user_id,
+             |  ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS pos
+             |  FROM (SELECT DISTINCT user_id FROM events))
+             |SELECT e.user_id, e.event_type AS col,
+             |CAST(SUM(1.0) AS DOUBLE) AS value
+             |FROM events e
+             |JOIN k USING (user_id)
+             |WHERE k.pos IN (0, 3, 7, 25, 49, 80)
              |GROUP BY e.user_id, e.event_type""".stripMargin)),
 
     QueryDef("dropna_index",

@@ -204,6 +204,37 @@ class SparseRelSpec extends SparkSpecBase {
     assert(m("a") === 1.5)
   }
 
+  test("statsAxis1 computes per-row stats over the universe width including zeros") {
+    // universe has 3 columns; row 0 stores two cells, row 1 stores one
+    val r = rel(Seq((0, "a", 1.0), (0, "b", 2.0), (1, "a", -3.0)), Seq("a", "b", "c"))
+    val s = r.statsAxis1.collect().map(x => x.getInt(0) -> x).toMap
+    val r0 = s(0)
+    assert(r0.getDouble(1) === 3.0)                   // sum
+    assert(r0.getDouble(2) === 1.0)                   // mean over 3 cols
+    val expectStd = math.sqrt((1.0 + 4.0) / 3.0 - 1.0)
+    assert(math.abs(r0.getDouble(3) - expectStd) < 1e-12)
+    assert(r0.getDouble(4) === 2.0)                   // max
+    assert(r0.getDouble(5) === 0.0)                   // min includes implicit zero
+    val r1 = s(1)
+    assert(r1.getDouble(4) === 0.0)                   // max includes implicit zero
+    assert(r1.getDouble(5) === -3.0)
+  }
+
+  test("meanAxis1 divides by universe width, not nnz") {
+    val r = rel(Seq((0, "a", 3.0)), Seq("a", "b"))
+    val m = r.meanAxis1.collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(m(0) === 1.5)
+  }
+
+  test("takeRowsAt selects arbitrary positions of the sorted index; slice is half-open") {
+    val a = rel(Seq(7, 3, 9, 1, 5).map(i => (i, "c0", i.toDouble)), Seq("c0"))
+    // sorted index: 1,3,5,7,9 — positions 0,2,4 → keys 1,5,9
+    assert(dense(a.takeRowsAt(Seq(0L, 2L, 4L))).keySet === Set(1, 5, 9))
+    // out-of-range positions select nothing (like iloc beyond length)
+    assert(dense(a.takeRowsAt(Seq(99L))).keySet === Set.empty[Int])
+    assert(dense(a.takeRowsSlice(1L, 4L)).keySet === Set(3, 5, 7))
+  }
+
   // --- empty frames (sparse_frame.py:57,93-97) ---
 
   test("empty frames survive add/join/vstack with schema intact") {
@@ -274,6 +305,15 @@ class SparseRelSpec extends SparkSpecBase {
     val aa = rel(identity5(), (0 until 5).map("c" + _))
     val tall = SparseRel.concat(Seq(aa, aa), axis = 0)
     assert(tall.df.count() === 10)
+  }
+
+  test("renameColsExpr preserves Explicit universe order (no lexicographic resort)") {
+    // pre-rename order (b, a) must survive: a Deferred conversion would
+    // materialize sorted and flip toDense column order
+    val r = rel(Seq((0, "b", 1.0), (0, "a", 2.0)), Seq("b", "a"))
+    val renamed = r.renameColsExpr(c => concat(lit("x_"), c))
+    assert(renamed.universe.isInstanceOf[ColUniverse.Explicit])
+    assert(renamed.columnUniverse === Seq("x_b", "x_a"))
   }
 
   test("renameColsExpr renames distributed (deferred universe stays deferred)") {
