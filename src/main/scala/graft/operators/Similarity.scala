@@ -137,28 +137,50 @@ object Similarity {
     * projections). Recall vs the exact 1-NN is floor-tested in
     * ScalaTest and surfaced by the `embed_ann_recall` query. */
   def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 4, tables: Int = 8, dim: Int = -1): DataFrame = {
+      planes: Int = -1, tables: Int = 8, dim: Int = -1): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
+    val p = if (planes > 0) planes else {
+      // bucket count tracks corpus size (~64 vectors per bucket), so
+      // within-bucket pair counts stay bounded as N grows — a FIXED
+      // plane count degenerates toward all-pairs once N ≫ 2^planes.
+      // The count() is a parquet metadata read, not a data scan.
+      val buckets = math.max(16L, corpus.count() / 64)
+      math.min(20, math.max(4,
+        64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    }
     val allPlanes = (0 until tables).map(t =>
-      hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+      hyperplanes(p, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
     def keysOf(v: Column): Column =
       array(allPlanes.zipWithIndex.map { case (hp, t) =>
         lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
       }: _*)
-    // stage the bucket-key array (interpreted HOFs: compute once per row)
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("__keys", keysOf(col("v")))
-      .select(col("vec_id"), col("v"), explode(col("__keys")).as("bucket"))
-    val scored = c.as("a").join(c.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    // The heavy self-join shuffles ONLY (vec_id, bucket) longs — the
+    // wide embedding arrays never ride through the explode. Candidate
+    // pairs are deduped across tables and undirected BEFORE the
+    // vectors are fetched back by key, so each pair's cosine is
+    // computed exactly once.
+    val keyed = c0.withColumn("__keys", keysOf(col("v")))
+      .select(col("vec_id"), explode(col("__keys")).as("bucket"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
       .distinct()
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id").as("nn"), col("cos"))
+    val scored = pairs
+      .join(c0.select(col("vec_id").as("ia"), col("v").as("va")), Seq("ia"))
+      .join(c0.select(col("vec_id").as("ib"), col("v").as("vb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+    val directed = scored
+      .select(col("ia").as("qid"), col("ib").as("vec_id"), col("cos"))
+      .unionByName(scored
+        .select(col("ib").as("qid"), col("ia").as("vec_id"), col("cos")))
+    // top-1 via hash aggregate (max of a lexicographic struct; negated
+    // id = min-id tie-break), not a window: no per-partition sort, and
+    // map-side partial aggregation shrinks the shuffle
+    directed.groupBy(col("qid"))
+      .agg(max(struct(col("cos"), (-col("vec_id")).as("negid"))).as("best"))
+      .select(col("qid"), (-col("best.negid")).as("nn"), col("best.cos").as("cos"))
   }
 
   /** IVF-style coarse quantization: assign every corpus vector to its
