@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting — the training-data-
+  * pipeline layer (builder brief; the reference has no sampling
+  * surface). Every operator here is REPRODUCIBLE: membership is a pure
+  * function of a key column, so re-runs, retried tasks, and different
+  * cluster layouts all select the same rows — `df.sample()`'s
+  * per-partition RNG guarantees none of that once partitioning shifts.
+  *
+  * Mechanism: a row's "uniform draw" is the first 8 hex chars of
+  * `md5(key)` compared lexicographically against a driver-computed
+  * threshold string. Lowercase-hex string order equals numeric order,
+  * the hash is engine-portable (DuckDB's md5 produces the identical
+  * hex), and the whole thing is one narrow map stage — no shuffle, no
+  * RNG state, trivially codegen'd.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(key) — a uniform draw over 16^8 values,
+    * deterministic in the key alone. */
+  def hashDraw(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** The threshold hex string t such that P[draw < t] = fraction. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    f"${math.round(fraction * 4294967296.0).min(4294967295L)}%08x"
+  }
+
+  /** Keep a deterministic `fraction` of rows, keyed by `keyCol`:
+    * membership survives re-runs and repartitioning, and the same key
+    * always lands on the same side (so a doc and its derived chunks
+    * sample consistently when keyed alike). */
+  def sampleFraction(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashDraw(col(keyCol)) < lit(hexThreshold(fraction)))
+
+  /** Assign every row to a named split with the given weights
+    * (train/val/test and friends): one `split` column appended,
+    * assignment a pure function of the key. Weights must sum to 1. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val draw = hashDraw(col(keyCol))
+    // last split is the otherwise-branch: no boundary epsilon issues
+    val labeled = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), c), elseCol) =>
+      when(draw < lit(hexThreshold(c)), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Stratified sampling: a different keep-fraction per stratum value
+    * (e.g. downsample dominant languages, keep all of rare ones).
+    * Unknown strata are dropped — pass a default entry explicitly if
+    * passthrough is wanted. Pure map stage, like the rest. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    val draw = hashDraw(col(keyCol))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      // a full-keep stratum must not filter at all: the 'ffffffff' draw
+      // is below no 8-hex-char threshold, yet belongs in a 100% sample
+      val cond = if (f >= 1.0) col(stratumCol) === lit(stratum)
+        else col(stratumCol) === lit(stratum) && draw < lit(hexThreshold(f))
+      acc || cond
+    }
+    df.filter(keep)
+  }
+
+  /** Exactly-k uniform sample: the k smallest hash draws. Plans as
+    * TakeOrderedAndProject — parallel per-partition partial top-k and
+    * an O(k) merge, never a global sort (same shape as
+    * `SparseRel.takeRows`). Deterministic for distinct keys. */
+  def sampleExactK(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("__draw", hashDraw(col(keyCol)))
+      .orderBy(col("__draw"), col(keyCol))
+      .limit(k)
+      .drop("__draw")
+
+  /** Deterministic weighted mixture of sources: rows tagged by
+    * `sourceCol` are down-sampled so the EXPECTED output composition
+    * matches `targetWeights` while keeping as much data as possible —
+    * the standard recipe for rebalancing a training mix. Given per-
+    * source row counts n_s and targets w_s, the binding source is the
+    * one with the largest w_s-normalized deficit; every source keeps
+    * rate r_s = (w_s / n_s) · min_s(n_s / w_s), i.e. the binding source
+    * keeps everything. Counts are ONE aggregate over the tag column;
+    * everything after is a map stage. */
+  def rebalanceMix(df: DataFrame, keyCol: String, sourceCol: String,
+      targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target weight")
+    val wsum = targetWeights.values.sum
+    val w = targetWeights.map { case (k2, v) => k2 -> v / wsum }
+    val counts = df.filter(col(sourceCol).isin(w.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // collect() here is metadata (one row per source name) — the number
+    // of SOURCES is small by definition, never the number of rows
+    val scale = w.collect {
+      case (s, ws) if counts.getOrElse(s, 0L) > 0L => counts(s) / ws
+    }.minOption.getOrElse(0.0)
+    val rates = w.map { case (s, ws) =>
+      s -> math.min(1.0, if (counts.getOrElse(s, 0L) == 0L) 0.0
+        else ws * scale / counts(s))
+    }
+    stratifiedSample(df, keyCol, sourceCol, rates)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -488,6 +488,66 @@ object PipelineQueries {
              |JOIN kept USING (doc_id)
              |JOIN q ON q.doc_id = d.doc_id
              |GROUP BY lang""".stripMargin)),
+
+    // ---------------- deterministic sampling / splitting ----------------
+    // membership is a pure function of md5(key) hex prefixes, which
+    // Spark and DuckDB render identically — so even "random" sampling
+    // is oracle-checkable, and re-runs/repartitions can't change splits
+
+    QueryDef("sample_split",
+      (s, dir) => Sampling.assignSplits(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")),
+      Some(s"""SELECT doc_id,
+              |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |       < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+              |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |       < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+              |     ELSE 'test' END AS split
+              |FROM documents""".stripMargin)),
+
+    QueryDef("sample_stratified",
+      (s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "zh" -> 1.0))
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |        < '${Sampling.hexThreshold(0.5)}')
+              |   OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |        < '${Sampling.hexThreshold(0.25)}')
+              |   OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |        < '${Sampling.hexThreshold(0.1)}')
+              |   OR lang = 'zh'""".stripMargin)),
+
+    QueryDef("sample_exact_k",
+      (s, dir) => Sampling.sampleExactK(Tables.documents(s, dir), "doc_id", 50)
+        .select(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+             |ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             |LIMIT 50""".stripMargin)),
+
+    QueryDef("rebalance_mix",
+      (s, dir) => Sampling.rebalanceMix(Tables.documents(s, dir),
+          "doc_id", "source",
+          Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2))
+        .select(col("doc_id"), col("source")),
+      // the oracle re-derives the per-source keep rates from the data
+      // (scale = min over sources of n/w; binding source keeps all),
+      // then applies the same md5-prefix draw numerically
+      Some("""WITH w(source, wt) AS (VALUES
+             |  ('src0', 0.4), ('src1', 0.4), ('src2', 0.2)),
+             |n AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+             |  FROM documents GROUP BY source),
+             |sc AS (SELECT MIN(n.n / w.wt) AS scale
+             |  FROM n JOIN w USING (source)),
+             |r AS (SELECT w.source, LEAST(1.0, w.wt * sc.scale / n.n) AS rate
+             |  FROM w JOIN n USING (source) CROSS JOIN sc)
+             |SELECT d.doc_id, d.source FROM documents d
+             |JOIN r ON r.source = d.source
+             |WHERE r.rate >= 1.0
+             |   OR CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      < ROUND(r.rate * 4294967296.0)""".stripMargin)),
 
     QueryDef("distinct_users_exact",
       (s, dir) => Windows.distinctUsersExact(Tables.events(s, dir)),

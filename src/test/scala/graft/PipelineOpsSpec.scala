@@ -265,6 +265,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("assignSplits partitions every row deterministically near the weights") {
+    import graft.operators.Sampling
+    val split = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val n = docs.count().toDouble
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum === n.toLong)            // total partition
+    assert(byLabel("train") / n > 0.7 && byLabel("train") / n < 0.9)
+    // determinism: a re-run under different partitioning agrees exactly
+    val again = Sampling.assignSplits(docs.repartition(7), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === again)
+  }
+
+  test("stratifiedSample keeps per-stratum fractions; full-keep stratum intact; unknown dropped") {
+    import graft.operators.Sampling
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0))
+    val keptByLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allByLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptByLang.keySet === Set("en", "zh"))      // others dropped
+    assert(keptByLang("zh") === allByLang("zh"))       // 100% stratum intact
+    val enRate = keptByLang("en").toDouble / allByLang("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+  }
+
+  test("sampleExactK returns exactly k deterministic rows via partial top-k") {
+    import graft.operators.Sampling
+    val s = Sampling.sampleExactK(docs, "doc_id", 25)
+    assert(s.count() === 25)
+    val ids = s.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.sampleExactK(docs.repartition(5), "doc_id", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === again)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no partial top-k:\n$plan")
+  }
+
+  test("rebalanceMix hits the target composition; binding source keeps everything") {
+    import graft.operators.Sampling
+    val mixed = Sampling.rebalanceMix(docs, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+    val out = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sources are ~equal-sized in the fixture, so src0 (highest target
+    // weight relative to supply) binds and keeps everything
+    assert(out("src0") === in("src0"))
+    val total = out.values.sum.toDouble
+    assert(out("src0") / total > 0.4 && out("src0") / total < 0.6)
+    assert(out("src1") / total > 0.15 && out("src1") / total < 0.35)
+  }
+
   test("vector_sum Aggregator equals the posexplode+groupBy path") {
     import graft.functions.VectorAgg
     import graft.operators.Similarity
