@@ -216,11 +216,13 @@ object Dedup {
   }
 
   /** Group near-duplicate PAIRS into clusters: connected components by
-    * iterative min-label propagation — each doc's cluster id converges
-    * to the smallest doc id reachable through the pair graph. Near-dup
-    * graphs are shallow (clusters are small cliques-ish), so a handful
-    * of iterations suffices; each iteration is two hash joins + an
-    * aggregate, all key-partitioned — no driver-side graph. Returns
+    * min-label propagation WITH pointer jumping — each round first
+    * takes the min label over graph neighbours (one hop), then jumps
+    * through the current labels (`label(doc) := label(label(doc))`),
+    * doubling the effective reach. Convergence is O(log diameter)
+    * rounds instead of O(diameter): a million-hop revision chain
+    * settles in ~20 rounds, not a million. Every round is hash joins +
+    * an aggregate, all key-partitioned — no driver-side graph. Returns
     * (doc, cluster) for every doc appearing in a pair. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edge list, both directions
@@ -242,15 +244,20 @@ object Dedup {
           .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("ncluster")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc"), "left")
+      val hopped = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+      // pointer jumping: follow the label's own label. The parent row
+      // always exists (every doc labels itself at worst), so an inner
+      // join is safe; the parent's label is ≤ ours by construction.
+      val updated = hopped.as("x")
+        .join(hopped.select(col("doc").as("cluster"),
+          col("cluster").as("__pc")).as("y"), Seq("cluster"))
+        .select(col("doc"), least(col("cluster"), col("__pc")).as("cluster"))
         .localCheckpoint()
-      // labels move one hop per round, so iterate to an actual
-      // fixpoint — a fixed iteration count silently splits components
-      // whose diameter exceeds it (long near-dup chains: successive
-      // revisions each similar to the next)
+      // iterate to an actual fixpoint — a fixed iteration count would
+      // silently split components whose (log-)diameter exceeds it
       converged = updated
         .join(labels.withColumnRenamed("cluster", "__old"), Seq("doc"))
         .filter(col("cluster") =!= col("__old"))

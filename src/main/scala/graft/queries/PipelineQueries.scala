@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -290,6 +290,27 @@ object PipelineQueries {
              |array_to_string(l[st + 1 : st + 32], ' ') AS chunk_text,
              |CAST(LEAST(32, len(l) - st) AS BIGINT) AS chunk_tokens
              |FROM numbered WHERE len(l) - st > 0""".stripMargin)),
+
+    QueryDef("pack_sequences",
+      (s, dir) => {
+        // pack document chunks into 128-token training windows; the
+        // assignment is greedy (next-fit per hash bucket), so the
+        // driver-visible check is the validity certificate: item count
+        // (data-dependent, oracle-computed from the chunk definition)
+        // plus packing invariants as booleans
+        val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+            "doc_id", "text", chunkSize = 32, overlap = 8)
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("item_id"),
+            col("chunk_tokens"))
+        Packing.packValidity(chunks, "item_id", "chunk_tokens",
+          maxTokens = 128, buckets = 16)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |starts AS (SELECT doc_id, unnest(range(0, GREATEST(len(l) - 1, 0) + 1, 24)) AS st,
+             |  len(l) AS n FROM t)
+             |SELECT COUNT(*) AS n_items,
+             |TRUE AS all_packed_once, TRUE AS no_overflow, TRUE AS bins_bounded
+             |FROM starts WHERE n - st > 0""".stripMargin)),
 
     QueryDef("repetition_score",
       (s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir),

@@ -72,6 +72,18 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(cc.values.toSet === Set(1L), s"component split: $cc")
   }
 
+  test("duplicateClusters settles a 100-hop chain (pointer jumping: log rounds)") {
+    import spark.implicits._
+    // a 100-edge path ending at the global min — one-hop propagation
+    // would need 100 rounds and trip the 50-round cap; pointer jumping
+    // needs ~7
+    val chain = (1 to 100).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val cc = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(1L), "100-hop chain split")
+    assert(cc.size === 101)
+  }
+
   test("dedupSurvivors keeps ONE survivor on a >5-hop duplicate chain") {
     import spark.implicits._
     // same 7-hop chain as above, flowing through the registered
@@ -325,6 +337,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     val total = out.values.sum.toDouble
     assert(out("src0") / total > 0.4 && out("src0") / total < 0.6)
     assert(out("src1") / total > 0.15 && out("src1") / total < 0.35)
+  }
+
+  test("packSequences: every item once, bins respect the budget, deterministic") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val items = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("id", "tokens")
+    val packed = Packing.packSequences(items, "id", "tokens",
+      maxTokens = 64, buckets = 8)
+    assert(packed.count() === 500)
+    assert(packed.select("id").distinct().count() === 500)
+    val binSums = packed.groupBy("bin")
+      .agg(sum("tokens").as("t"), count(lit(1)).as("c"))
+    // budget holds for every multi-item bin (oversize singletons exempt)
+    assert(binSums.filter(col("t") > 64 && col("c") > 1).count() === 0)
+    // next-fit bound: < 2·optimal + one tail bin per bucket
+    val nBins = binSums.count()
+    val total = 500L * 0 + (1L to 500L).map(i => (i % 37) + 1).sum
+    assert(nBins < 2 * math.ceil(total / 64.0) + 8, s"$nBins bins for $total tokens")
+    // determinism under different input partitioning
+    val again = Packing.packSequences(items.repartition(13), "id", "tokens",
+        maxTokens = 64, buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val firstRun = packed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(firstRun === again)
+  }
+
+  test("packSequences gives an oversize item its own bin") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val items = Seq((1L, 10L), (2L, 500L), (3L, 10L)).toDF("id", "tokens")
+    val packed = Packing.packSequences(items, "id", "tokens",
+      maxTokens = 64, buckets = 1)
+    val binOf = packed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the oversize item shares with nobody
+    val mates = packed.filter(col("bin") === binOf(2L)).count()
+    assert(mates === 1, s"oversize item shares a bin ($mates rows)")
   }
 
   test("vector_sum Aggregator equals the posexplode+groupBy path") {
