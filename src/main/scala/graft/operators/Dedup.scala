@@ -251,11 +251,15 @@ object Dedup {
       // pointer jumping: follow the label's own label. The parent row
       // always exists (every doc labels itself at worst), so an inner
       // join is safe; the parent's label is ≤ ours by construction.
-      val updated = hopped.as("x")
-        .join(hopped.select(col("doc").as("cluster"),
-          col("cluster").as("__pc")).as("y"), Seq("cluster"))
-        .select(col("doc"), least(col("cluster"), col("__pc")).as("cluster"))
-        .localCheckpoint()
+      // Deferred until round 3: shallow graphs (the common near-dup
+      // case) converge in ≤3 plain rounds and shouldn't pay the extra
+      // join, while deep chains still finish in O(log diameter).
+      val updated = (if (i < 2) hopped else {
+        hopped.as("x")
+          .join(hopped.select(col("doc").as("cluster"),
+            col("cluster").as("__pc")).as("y"), Seq("cluster"))
+          .select(col("doc"), least(col("cluster"), col("__pc")).as("cluster"))
+      }).localCheckpoint()
       // iterate to an actual fixpoint — a fixed iteration count would
       // silently split components whose (log-)diameter exceeds it
       converged = updated
