@@ -24,7 +24,7 @@ object Bench {
     "text_stats", "token_count", "chunk_documents",
     "embed_cosine_topk", "embed_nearest_dup_lsh",
     "window_tumbling", "distinct_users_approx",
-    "asof_join", "range_join")
+    "asof_join", "range_join", "sample_split", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming split assignment equals batch (stateless sampling ops stream as-is)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val input = MemoryStream[Long]
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val q = EventStream.toMemorySink(
+      Sampling.assignSplits(input.toDF().withColumnRenamed("value", "doc_id"),
+        "doc_id", splits),
+      "stream_split", complete = false)
+    try {
+      input.addData(1L to 200L: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = Sampling.assignSplits((1L to 200L).toDF("doc_id"),
+          "doc_id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === batch)
+      assert(got.size === 200)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per distinct text") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
