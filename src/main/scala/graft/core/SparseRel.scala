@@ -224,7 +224,15 @@ final case class SparseRel(
     * arithmetic, all distributed — NOT a `row_number` window, which
     * would funnel every key through ONE partition. `positions` is a
     * caller-supplied list (driver-side by definition), applied as an
-    * `isin` filter on the enumerated keys before the semi-join back. */
+    * `isin` filter on the enumerated keys before the semi-join back.
+    *
+    * Two documented deviations beyond the sort-order one: positions
+    * are defined over NON-NULL index labels only (a null label can
+    * never be selected through the null-rejecting semi-join, so
+    * letting it consume a position would silently shift every later
+    * key — `dropnaIndex` first if nulls may exist), and duplicate
+    * positions collapse: the result is a sub-FRAME (each matching row
+    * once, frame order), not the reference's positional row list. */
   def takeRowsAt(positions: Seq[Long]): SparseRel = {
     require(positions.nonEmpty, "takeRowsAt needs at least one position")
     require(positions.forall(_ >= 0), "positions must be non-negative")
@@ -243,7 +251,9 @@ final case class SparseRel(
   /** Enumerate the sorted distinct index distributedly and semi-join
     * back the rows whose position passes `pred`. */
   private def keepByPosition(pred: Column => Column): SparseRel = {
-    val keys = df.select(indexCols.map(col): _*).distinct()
+    val keys = df.select(indexCols.map(col): _*)
+      .filter(indexCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct()
       .orderBy(indexCols.map(col): _*)
     val schema = keys.schema.add("__pos", org.apache.spark.sql.types.LongType)
     val enumerated = df.sparkSession.createDataFrame(
@@ -320,7 +330,10 @@ final case class SparseRel(
     * labels are already driver-side, so the expression is evaluated
     * over them in one tiny local job) — a Deferred result would
     * re-sort the lexicon lexicographically and silently reorder
-    * toDense output, unlike the reference's order-preserving rename. */
+    * toDense output, unlike the reference's order-preserving rename.
+    * Label multiplicity differs by representation, as in [[renameCols]]:
+    * an Explicit universe keeps duplicate renamed labels (pandas-like),
+    * while a Deferred dims RELATION is a set and dedups. */
   def renameColsExpr(f: Column => Column): SparseRel =
     copy(
       df = df.withColumn(COL, f(col(COL)).cast("string")),
@@ -446,8 +459,10 @@ final case class SparseRel(
       col(COL),
       col("__s").as("sum_val"),
       (col("__s") / col("__n")).as("mean_val"),
-      sqrt(col("__ss") / col("__n") - pow(col("__s") / col("__n"), 2.0))
-        .as("std_val"),
+      // clamp: E[x²]−mean² can round to a tiny negative for constant
+      // columns, and sqrt of that is NaN where the true std is 0
+      sqrt(greatest(col("__ss") / col("__n") - pow(col("__s") / col("__n"), 2.0),
+        lit(0.0))).as("std_val"),
       when(col("__c") < col("__n"), greatest(col("__mx"), lit(0.0)))
         .otherwise(col("__mx")).as("max_val"),
       when(col("__c") < col("__n"), least(col("__mn"), lit(0.0)))
@@ -482,8 +497,9 @@ final case class SparseRel(
       indexCols.map(col) ++ Seq(
         col("__s").as("sum_val"),
         (col("__s") / col("__nc")).as("mean_val"),
-        sqrt(col("__ss") / col("__nc") - pow(col("__s") / col("__nc"), 2.0))
-          .as("std_val"),
+        // clamp like statsAxis0: no NaN std for constant rows
+        sqrt(greatest(col("__ss") / col("__nc") - pow(col("__s") / col("__nc"), 2.0),
+          lit(0.0))).as("std_val"),
         when(col("__c") < col("__nc"), greatest(col("__mx"), lit(0.0)))
           .otherwise(col("__mx")).as("max_val"),
         when(col("__c") < col("__nc"), least(col("__mn"), lit(0.0)))

@@ -255,8 +255,11 @@ object Dedup {
       // case) converge in ≤3 plain rounds and shouldn't pay the extra
       // join, while deep chains still finish in O(log diameter).
       val updated = (if (i < 2) hopped else {
-        hopped.as("x")
-          .join(hopped.select(col("doc").as("cluster"),
+        // checkpoint before self-joining, or the hop's join+aggregate
+        // would execute once per side
+        val h = hopped.localCheckpoint()
+        h.as("x")
+          .join(h.select(col("doc").as("cluster"),
             col("cluster").as("__pc")).as("y"), Seq("cluster"))
           .select(col("doc"), least(col("cluster"), col("__pc")).as("cluster"))
       }).localCheckpoint()

@@ -26,11 +26,13 @@ object Packing {
 
   // not private: Catalyst's generated (de)serializer code constructs
   // these reflectively and cannot reach private members
-  case class Item(bucket: Int, draw: String, id: Long, tokens: Long)
-  case class Assigned(id: Long, bin: Long, tokens: Long)
+  case class Item(bucket: Int, draw: String, id: String, tokens: Long)
+  case class Assigned(id: String, bin: Long, tokens: Long)
 
   /** Pack `(idCol, tokenCol)` items into bins of at most `maxTokens`
-    * tokens. Returns (id, bin, tokens). */
+    * tokens. Returns (id, bin, tokens); `id` is the item key rendered
+    * as a string — lossless for every key type (a numeric cast would
+    * null out string ids and silently collide fractional ones). */
   def packSequences(items: DataFrame, idCol: String, tokenCol: String,
       maxTokens: Long, buckets: Int = 256): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
@@ -39,7 +41,7 @@ object Packing {
     import spark.implicits._
     val prepared = items.select(
         Sampling.hashDraw(col(idCol)).as("draw"),
-        col(idCol).cast("long").as("id"),
+        col(idCol).cast("string").as("id"),
         col(tokenCol).cast("long").as("tokens"))
       .withColumn("bucket",
         pmod(conv(col("draw"), 16, 10).cast("long"), lit(buckets)).cast("int"))

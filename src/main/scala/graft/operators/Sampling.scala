@@ -107,8 +107,13 @@ object Sampling {
       case (s, ws) if counts.getOrElse(s, 0L) > 0L => counts(s) / ws
     }.minOption.getOrElse(0.0)
     val rates = w.map { case (s, ws) =>
-      s -> math.min(1.0, if (counts.getOrElse(s, 0L) == 0L) 0.0
-        else ws * scale / counts(s))
+      val raw = if (counts.getOrElse(s, 0L) == 0L) 0.0
+        else ws * scale / counts(s)
+      // the binding source's rate is 1.0 up to fp round-trip error
+      // (w·(n/w)/n); snap it so "keeps everything" really means
+      // everything — a 0.999…9 rate would clamp to the 'ffffffff'
+      // threshold and drop keys whose draw is exactly that
+      s -> (if (raw >= 1.0 - 1e-12) 1.0 else math.min(1.0, raw))
     }
     stratifiedSample(df, keyCol, sourceCol, rates)
   }

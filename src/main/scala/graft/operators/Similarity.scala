@@ -72,12 +72,15 @@ object Similarity {
     Array.fill(planes, dim)(next())
   }
 
-  /** Embedding dimension taken from the first corpus row — a
-    * metadata-only driver round-trip (one row, one int), so hyperplane
+  /** Embedding dimension taken from the first non-null vector — one
+    * tiny driver round-trip (one row, one int), so hyperplane
     * generation matches the data instead of silently assuming a width
-    * (dot_product raises on any residual mismatch). */
+    * (dot_product raises on any residual mismatch). An empty or
+    * all-null corpus yields 1: the caller's joins then produce the
+    * empty result instead of a crash. */
   def deriveDim(corpus: DataFrame, vecCol: String): Int =
-    corpus.select(size(col(vecCol))).head().getInt(0)
+    corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Sign-pattern LSH bucket id of a double-array column under the
     * given hyperplanes: bit p = 1 iff dot(v, plane_p) > 0. */
@@ -139,15 +142,22 @@ object Similarity {
   def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = -1, tables: Int = 8, dim: Int = -1): DataFrame = {
     val c0 = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
-    val p = if (planes > 0) planes else {
-      // bucket count tracks corpus size (~64 vectors per bucket), so
-      // within-bucket pair counts stay bounded as N grows — a FIXED
-      // plane count degenerates toward all-pairs once N ≫ 2^planes.
-      // The count() is a parquet metadata read, not a data scan.
-      val buckets = math.max(16L, corpus.count() / 64)
-      math.min(20, math.max(4,
+    // bucket count tracks corpus size (~64 vectors per bucket), so
+    // within-bucket pair counts stay bounded as N grows — a FIXED
+    // plane count degenerates toward all-pairs once N ≫ 2^planes.
+    // Size + dimension come from ONE aggregate job; note it evaluates
+    // the corpus plan once (cheap only when the input is a plain scan
+    // or already materialized) — pass planes AND dim explicitly to
+    // skip it entirely on expensive derived inputs.
+    val (d, p) = if (planes > 0 && dim > 0) (dim, planes) else {
+      val r = corpus.select(count(lit(1)).as("n"),
+        first(size(col(vecCol)), ignoreNulls = true).as("d")).head()
+      val derivedDim = if (r.isNullAt(1)) 1 else r.getInt(1)
+      val buckets = math.max(16L, r.getLong(0) / 64)
+      val derivedPlanes = math.min(20, math.max(4,
         64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+      (if (dim > 0) dim else derivedDim,
+        if (planes > 0) planes else derivedPlanes)
     }
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(p, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))

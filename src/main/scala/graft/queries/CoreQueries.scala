@@ -140,8 +140,8 @@ object CoreQueries {
              |SELECT col,
              |  ROUND(SUM(value), 6) AS sum_val,
              |  ROUND(SUM(value) / MAX(n.n), 6) AS mean_val,
-             |  ROUND(SQRT(SUM(value * value) / MAX(n.n)
-             |    - POW(SUM(value) / MAX(n.n), 2)), 6) AS std_val,
+             |  ROUND(SQRT(GREATEST(SUM(value * value) / MAX(n.n)
+             |    - POW(SUM(value) / MAX(n.n), 2), 0)), 6) AS std_val,
              |  ROUND(CASE WHEN COUNT(*) < MAX(n.n)
              |    THEN GREATEST(MAX(value), 0) ELSE MAX(value) END, 6) AS max_val,
              |  ROUND(CASE WHEN COUNT(*) < MAX(n.n)
@@ -165,8 +165,8 @@ object CoreQueries {
              |SELECT user_id,
              |  ROUND(SUM(value), 6) AS sum_val,
              |  ROUND(SUM(value) / MAX(n.nc), 6) AS mean_val,
-             |  ROUND(SQRT(SUM(value * value) / MAX(n.nc)
-             |    - POW(SUM(value) / MAX(n.nc), 2)), 6) AS std_val,
+             |  ROUND(SQRT(GREATEST(SUM(value * value) / MAX(n.nc)
+             |    - POW(SUM(value) / MAX(n.nc), 2), 0)), 6) AS std_val,
              |  ROUND(CASE WHEN COUNT(*) < MAX(n.nc)
              |    THEN GREATEST(MAX(value), 0) ELSE MAX(value) END, 6) AS max_val,
              |  ROUND(CASE WHEN COUNT(*) < MAX(n.nc)

@@ -300,7 +300,7 @@ object PipelineQueries {
         // plus packing invariants as booleans
         val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
             "doc_id", "text", chunkSize = 32, overlap = 8)
-          .select((col("doc_id") * 1000 + col("chunk_id")).as("item_id"),
+          .select(concat_ws("-", col("doc_id"), col("chunk_id")).as("item_id"),
             col("chunk_tokens"))
         Packing.packValidity(chunks, "item_id", "chunk_tokens",
           maxTokens = 128, buckets = 16)

@@ -358,8 +358,8 @@ class PipelineOpsSpec extends SparkSpecBase {
     // determinism under different input partitioning
     val again = Packing.packSequences(items.repartition(13), "id", "tokens",
         maxTokens = 64, buckets = 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val firstRun = packed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val firstRun = packed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(firstRun === again)
   }
 
@@ -369,9 +369,9 @@ class PipelineOpsSpec extends SparkSpecBase {
     val items = Seq((1L, 10L), (2L, 500L), (3L, 10L)).toDF("id", "tokens")
     val packed = Packing.packSequences(items, "id", "tokens",
       maxTokens = 64, buckets = 1)
-    val binOf = packed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binOf = packed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the oversize item shares with nobody
-    val mates = packed.filter(col("bin") === binOf(2L)).count()
+    val mates = packed.filter(col("bin") === binOf("2")).count()
     assert(mates === 1, s"oversize item shares a bin ($mates rows)")
   }
 
