@@ -76,4 +76,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"scan reads more than the projection:\n$p")
   }
+
+  test("sampling ops are shuffle-free map stages; exact-k is partial top-k") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val split = plan(Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(!split.contains("Exchange"), s"split assignment shuffled:\n$split")
+    val strat = plan(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5)))
+    assert(!strat.contains("Exchange"), s"stratified sample shuffled:\n$strat")
+    val k = plan(Sampling.sampleExactK(docs, "doc_id", 10))
+    assert(k.contains("TakeOrderedAndProject"), s"exact-k not partial top-k:\n$k")
+  }
 }
