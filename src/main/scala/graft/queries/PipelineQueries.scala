@@ -577,6 +577,69 @@ object PipelineQueries {
 
     QueryDef("distinct_users_approx",
       (s, dir) => Windows.distinctUsersApprox(Tables.events(s, dir)),
-      None) // HLL sketch — error bound checked in ScalaTest
+      None), // HLL sketch — error bound checked in ScalaTest + cert below
+
+    // ---------------- driver-visible certificates ----------------
+    // The three hash-dependent families whose raw outputs can't have a
+    // SQL oracle get in-query certificates instead (the embed_ann_recall
+    // pattern): data-dependent columns the oracle CAN compute, plus
+    // invariant booleans whose floors sit far below observed behavior.
+
+    QueryDef("hll_error_cert",
+      (s, dir) => {
+        // per event type: |approx - exact| / exact within 3× the
+        // configured rsd (0.02) — generous, stable across fixtures
+        val exact = Windows.distinctUsersExact(Tables.events(s, dir))
+        val approx = Windows.distinctUsersApprox(Tables.events(s, dir))
+        exact.join(approx, Seq("event_type"))
+          .select(col("event_type"),
+            (abs(col("users_approx") - col("users")) <=
+              col("users") * 0.06 + lit(1.0)).as("within_bound"))
+      },
+      Some("""SELECT event_type, TRUE AS within_bound
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    QueryDef("fingerprint_cert",
+      (s, dir) => {
+        // winnowing fingerprints are a pure function of the text:
+        // equal texts MUST share a fingerprint (provable). Distinct
+        // texts may legitimately collide — near-duplicates share their
+        // minimum substring hash BY DESIGN — so discrimination is a
+        // floor (>= half), not equality
+        val fp = TextAnalysis.fingerprint(Tables.documents(s, dir),
+          "doc_id", "text")
+        val joined = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).join(fp, Seq("doc_id"))
+        joined.agg(
+          count(lit(1)).as("n_docs"),
+          (countDistinct(col("fp")) * 2 >= countDistinct(col("text")))
+            .as("fp_discriminates"),
+          (countDistinct(col("text")) ===
+            countDistinct(col("text"), col("fp"))).as("same_text_same_fp"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs, TRUE AS fp_discriminates,
+             |TRUE AS same_text_same_fp FROM documents""".stripMargin)),
+
+    QueryDef("simhash_recall_cert",
+      (s, dir) => {
+        // simhash at threshold 0.5 must recover at least half of the
+        // oracle-computable planted pairs (exact Jaccard ≥ 0.9); the
+        // pigeonhole-guaranteed subset is spec-pinned in ScalaTest
+        val docs = Tables.documents(s, dir)
+        val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.9)
+          .select(col("doc_a"), col("doc_b"))
+        val hits = planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        planted.agg(count(lit(1)).as("n_planted")).crossJoin(hits)
+          .select(col("n_planted"),
+            (col("hits") * 2 >= col("n_planted")).as("recall_ok"))
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+              |TRUE AS recall_ok
+              |FROM (${jaccardOracle(3, "0.9")})""".stripMargin))
   )
 }
