@@ -54,6 +54,28 @@ object PipelineQueries {
         shingleN = 3, k = 128, bands = 32, threshold = 0.8),
       Some(jaccardOracle(3, "0.8"))),
 
+    QueryDef("dedup_incremental",
+      (s, dir) => {
+        // end-to-end incremental path: index the corpus once, then
+        // probe every document against the PERSISTED index — the
+        // steady-state ingestion shape. Probing the corpus against its
+        // own index must recover the batch pairs in both directions,
+        // which the exact all-pairs oracle expresses directly.
+        val docs = Tables.documents(s, dir)
+        val idx = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_dedup_index_q").getAbsolutePath
+        Dedup.writeNearDupIndex(docs, "doc_id", "text",
+          idx, shingleN = 3, k = 128, bands = 32)
+        Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx,
+            threshold = 0.8)
+          .filter(col("doc_new") =!= col("doc_indexed"))
+      },
+      Some(s"""WITH p AS (${jaccardOracle(3, "0.8")})
+              |SELECT doc_a AS doc_new, doc_b AS doc_indexed, jaccard FROM p
+              |UNION ALL
+              |SELECT doc_b, doc_a, jaccard FROM p""".stripMargin)),
+
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 2, threshold = 0.5),
