@@ -390,6 +390,29 @@ object CoreQueries {
              |COUNT(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    QueryDef("price_quantiles_approx",
+      (s, dir) => {
+        // the 100 TB path: approx_percentile (GK sketch, bounded
+        // memory, one pass) instead of exact percentile's full
+        // per-group sort. The sketch output is implementation-defined,
+        // so the driver-visible check is a certificate: every
+        // approximate quantile must sit within the exact p10..p90
+        // envelope around its target (far looser than the sketch's
+        // actual rank error, so stable on any fixture)
+        val li = Tables.lineitem(s, dir)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("ap50"),
+            percentile(col("l_extendedprice"), lit(0.4)).as("lo"),
+            percentile(col("l_extendedprice"), lit(0.6)).as("hi"))
+          .select(col("l_returnflag"),
+            (col("ap50") >= col("lo") && col("ap50") <= col("hi"))
+              .as("within_bound"))
+      },
+      Some("""SELECT l_returnflag, TRUE AS within_bound
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     QueryDef("q3_join",
       (s, dir) => Tables.orders(s, dir)
         .join(broadcast(Tables.customer(s, dir)

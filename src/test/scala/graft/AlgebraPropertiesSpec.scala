@@ -81,6 +81,22 @@ class AlgebraPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: sampleFraction is monotone — a larger fraction keeps a superset") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    forAllSeeded(Gen.zip(Gen.choose(0.1, 0.5), Gen.choose(0.5, 0.9))) {
+      case (fLo, fHi) =>
+        val ids = (1L to 300L).toDF("id")
+        def kept(f: Double) = Sampling.sampleFraction(ids, "id", f)
+          .collect().map(_.getLong(0)).toSet
+        val lo = kept(fLo)
+        val hi = kept(fHi)
+        // same draw, higher threshold: membership can only grow
+        assert(lo.subsetOf(hi), s"f=$fLo kept ${lo.size}, f=$fHi kept ${hi.size}")
+        assert(hi.size >= lo.size)
+    }
+  }
+
   test("property: one-hot rows each sum to exactly 1") {
     import spark.implicits._
     forAllSeeded(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 100L), Gen.oneOf(cols)))) { rows =>
