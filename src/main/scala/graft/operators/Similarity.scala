@@ -138,9 +138,13 @@ object Similarity {
     * near-duplicate at this table/plane setting — by construction
     * nothing is cosine-close to them under any of the `tables`
     * projections). Recall vs the exact 1-NN is floor-tested in
-    * ScalaTest and surfaced by the `embed_ann_recall` query. */
+    * ScalaTest and surfaced by the `embed_ann_recall` query.
+    * `maxBucket` bounds within-bucket pair counts under skew (hot
+    * sign-pattern buckets on clustered embeddings) by deterministic
+    * sub-bucket salting. */
   def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Int = -1, tables: Int = 8, dim: Int = -1): DataFrame = {
+      planes: Int = -1, tables: Int = 8, dim: Int = -1,
+      maxBucket: Int = 4096): DataFrame = {
     val c0 = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     // bucket count tracks corpus size (~64 vectors per bucket), so
     // within-bucket pair counts stay bounded as N grows — a FIXED
@@ -149,7 +153,7 @@ object Similarity {
     // the corpus plan once (cheap only when the input is a plain scan
     // or already materialized) — pass planes AND dim explicitly to
     // skip it entirely on expensive derived inputs.
-    val (d, p) = if (planes > 0 && dim > 0) (dim, planes) else {
+    val (d, p, n) = if (planes > 0 && dim > 0) (dim, planes, -1L) else {
       val r = corpus.select(count(lit(1)).as("n"),
         first(size(col(vecCol)), ignoreNulls = true).as("d")).head()
       val derivedDim = if (r.isNullAt(1)) 1 else r.getInt(1)
@@ -157,7 +161,8 @@ object Similarity {
       val derivedPlanes = math.min(20, math.max(4,
         64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
       (if (dim > 0) dim else derivedDim,
-        if (planes > 0) planes else derivedPlanes)
+        if (planes > 0) planes else derivedPlanes,
+        r.getLong(0))
     }
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(p, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
@@ -172,8 +177,32 @@ object Similarity {
     // computed exactly once.
     val keyed = c0.withColumn("__keys", keysOf(col("v")))
       .select(col("vec_id"), explode(col("__keys")).as("bucket"))
-    val pairs = keyed.as("a").join(keyed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    // Skew guard: clustered embeddings concentrate sign patterns, and
+    // one hot bucket holding k vectors contributes k²/2 pairs no
+    // matter how many planes there are. Buckets over `maxBucket` are
+    // split into ⌈count/maxBucket⌉ deterministic sub-buckets (hashed
+    // by vec_id), and candidates must also agree on the sub-bucket —
+    // per-bucket pair cost is then bounded by maxBucket²/2 at a
+    // documented recall cost confined to the hot buckets. The bucket
+    // histogram is one aggregate over (bucket) longs.
+    // a corpus no larger than maxBucket provably has no hot bucket —
+    // skip the histogram pass entirely (the registered query's default
+    // path at test scale; the guard engages automatically beyond it)
+    val salted = if (maxBucket <= 0 || (n >= 0 && n <= maxBucket))
+      keyed.withColumn("__sub", lit(0L))
+    else {
+      val hot = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
+        .filter(col("__bc") > maxBucket)
+        .withColumn("__splits", ceil(col("__bc") / lit(maxBucket.toDouble)))
+        .select(col("bucket"), col("__splits"))
+      keyed.join(broadcast(hot), Seq("bucket"), "left")
+        .select(col("vec_id"), col("bucket"),
+          coalesce(pmod(xxhash64(col("vec_id")), col("__splits")), lit(0L))
+            .as("__sub"))
+    }
+    val pairs = salted.as("a").join(salted.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.__sub") === col("b.__sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
       .distinct()
     val scored = pairs

@@ -265,6 +265,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("nearestDupLsh skew guard: tiny maxBucket still valid, deterministic, no cartesian") {
+    val lsh = Similarity.nearestDupLsh(emb, "vec_id", "embedding", maxBucket = 8)
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    // every returned neighbour is a real distinct corpus vector
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian under salting:\n$plan")
+    val again = Similarity.nearestDupLsh(emb.repartition(7), "vec_id", "embedding",
+        maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === again)
+  }
+
   test("IVF ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
