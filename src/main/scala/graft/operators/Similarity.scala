@@ -152,7 +152,9 @@ object Similarity {
     // Size + dimension come from ONE aggregate job; note it evaluates
     // the corpus plan once (cheap only when the input is a plain scan
     // or already materialized) — pass planes AND dim explicitly to
-    // skip it entirely on expensive derived inputs.
+    // skip it on expensive derived inputs, and maxBucket <= 0 as well
+    // if the skew-guard histogram (which otherwise still runs, since
+    // the corpus size is then unknown) should also be skipped.
     val (d, p, n) = if (planes > 0 && dim > 0) (dim, planes, -1L) else {
       val r = corpus.select(count(lit(1)).as("n"),
         first(size(col(vecCol)), ignoreNulls = true).as("d")).head()
@@ -182,9 +184,10 @@ object Similarity {
     // matter how many planes there are. Buckets over `maxBucket` are
     // split into ⌈count/maxBucket⌉ deterministic sub-buckets (hashed
     // by vec_id), and candidates must also agree on the sub-bucket —
-    // per-bucket pair cost is then bounded by maxBucket²/2 at a
-    // documented recall cost confined to the hot buckets. The bucket
-    // histogram is one aggregate over (bucket) longs.
+    // expected per-sub-bucket pair cost drops to ~maxBucket²/2 (a
+    // hash-balanced expectation, not a hard cap) at a recall cost
+    // confined to the hot buckets. The bucket histogram is one
+    // aggregate over (bucket) longs.
     // a corpus no larger than maxBucket provably has no hot bucket —
     // skip the histogram pass entirely (the registered query's default
     // path at test scale; the guard engages automatically beyond it)

@@ -62,14 +62,19 @@ object PipelineQueries {
         // own index must recover the batch pairs in both directions,
         // which the exact all-pairs oracle expresses directly.
         val docs = Tables.documents(s, dir)
+        // path unique per (input dir, process): concurrent verifies of
+        // different scale factors must not clobber each other's index
         val idx = new java.io.File(
           System.getProperty("java.io.tmpdir"),
-          "graft_dedup_index_q").getAbsolutePath
+          "graft_dedup_index_q_" +
+            java.lang.Integer.toHexString(dir.hashCode) +
+            "_" + ProcessHandle.current().pid()).getAbsolutePath
         Dedup.writeNearDupIndex(docs, "doc_id", "text",
           idx, shingleN = 3, k = 128, bands = 32)
+        // self-matches are already excluded by the operator's
+        // candidate filter (doc_new =!= indexed doc)
         Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx,
-            threshold = 0.8)
-          .filter(col("doc_new") =!= col("doc_indexed"))
+          threshold = 0.8)
       },
       Some(s"""WITH p AS (${jaccardOracle(3, "0.8")})
               |SELECT doc_a AS doc_new, doc_b AS doc_indexed, jaccard FROM p
@@ -613,8 +618,11 @@ object PipelineQueries {
         // configured rsd (0.02) — generous, stable across fixtures
         val exact = Windows.distinctUsersExact(Tables.events(s, dir))
         val approx = Windows.distinctUsersApprox(Tables.events(s, dir))
-        exact.join(approx, Seq("event_type"))
-          .select(col("event_type"),
+        // null-safe key: a NULL event_type group must survive the join
+        // the way the oracle's GROUP BY keeps it
+        exact.as("e").join(approx.as("a"),
+            col("e.event_type") <=> col("a.event_type"))
+          .select(col("e.event_type"),
             (abs(col("users_approx") - col("users")) <=
               col("users") * 0.06 + lit(1.0)).as("within_bound"))
       },
