@@ -169,6 +169,29 @@ object Dedup {
     finally out.close()
   }
 
+  /** Append NEW documents' signatures to a persisted index — the
+    * second half of steady-state ingestion (probe first with
+    * [[incrementalNearDuplicates]], then admit the survivors). The
+    * signature parameters come from the index's own sidecar, so an
+    * appended batch can never be hashed inconsistently with what is
+    * already stored. Appends are plain parquet file additions: no
+    * rewrite of existing data, safe to run per micro-batch. The caller
+    * is responsible for not appending ids already present (append the
+    * dedup SURVIVORS of the probe, not the raw batch). */
+  def appendToNearDupIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (shingleN, k, bands) = readIndexParams(spark, path)
+    val newH = newDocs
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .localCheckpoint() // hash once; both writes read the materialized batch
+    newH.write.mode("append").parquet(s"$path/hashes")
+    newH.select(col("doc"),
+        explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
   /** Read back the (shingleN, k, bands) an index was written with. */
   def readIndexParams(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int) = {

@@ -129,6 +129,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(inc.nonEmpty)
   }
 
+  test("appendToNearDupIndex: probe-then-admit over batches equals one-shot indexing") {
+    val idx = "target/test_dedup_index_append"
+    // batch 1 = first half of the corpus, batch 2 = the rest
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val b1 = docs.filter(col("doc_id") < mid)
+    val b2 = docs.filter(col("doc_id") >= mid)
+    Dedup.writeNearDupIndex(b1, "doc_id", "text", idx)
+    // batch 2 probes the index built from batch 1, then is admitted
+    val cross = Dedup.incrementalNearDuplicates(b2, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.appendToNearDupIndex(b2, "doc_id", "text", idx)
+    // after admission, probing the whole corpus against the grown index
+    // must equal probing against a one-shot index of everything
+    val grown = Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShotIdx = "target/test_dedup_index_oneshot"
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", oneShotIdx)
+    val oneShot = Dedup.incrementalNearDuplicates(docs, "doc_id", "text", oneShotIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown === oneShot)
+    // the cross-batch pairs found at probe time are a subset of the total
+    assert(cross.subsetOf(grown))
+  }
+
   test("asofJoin: a NULL right value is still the visible latest row") {
     import graft.operators.AsOf
     import spark.implicits._
