@@ -256,8 +256,12 @@ object Dedup {
     // localCheckpoint per round: truncates the iterative lineage (an
     // uncached loop would double the plan per iteration) and lets the
     // convergence probe reuse the materialized labels.
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
+    // seed labels with round 1's result directly — min over direct
+    // neighbours and self — as one aggregate over the edge list,
+    // replacing a full join+aggregate+probe propagation cycle
+    var labels = edges.groupBy(col("src").as("doc"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("doc"), least(col("doc"), col("__m")).as("cluster"))
       .localCheckpoint()
     var converged = false
     var i = 0
