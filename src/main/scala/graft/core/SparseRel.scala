@@ -257,7 +257,7 @@ final case class SparseRel(
       .orderBy(indexCols.map(col): _*)
     val schema = keys.schema.add("__pos", org.apache.spark.sql.types.LongType)
     val enumerated = df.sparkSession.createDataFrame(
-      keys.rdd.zipWithIndex.map { case (r, i) =>
+      keys.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       schema)
     val keep = enumerated.filter(pred(col("__pos"))).drop("__pos")

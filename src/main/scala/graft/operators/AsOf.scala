@@ -56,7 +56,7 @@ object AsOf {
           d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
         .withColumn("__side", lit(0))
     }
-    val unioned = taggedLeft.unionByName(taggedRight.select(taggedLeft.columns.map(col): _*))
+    val unioned = taggedLeft.unionByName(taggedRight.select(taggedLeft.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -64,6 +64,6 @@ object AsOf {
       .withColumn(outCol,
         last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col(outCol)): _*)
+      .select((leftCols.toIndexedSeq.map(col) :+ col(outCol)): _*)
   }
 }

@@ -74,7 +74,7 @@ object Scale {
     // key made of byte-identical duplicate cells — carry a distinct id
     // column in the frame if that is the skew source.
     val salted = rel.df.withColumn("__salt",
-      pmod(xxhash64(rel.df.columns.map(col): _*), lit(factor.toLong)))
+      pmod(xxhash64(rel.df.columns.toIndexedSeq.map(col): _*), lit(factor.toLong)))
     val partial = salted
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(VALUE).as(VALUE))

@@ -86,7 +86,7 @@ object Similarity {
     * given hyperplanes: bit p = 1 iff dot(v, plane_p) > 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
+      val planeArr = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, planeArr) > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -236,8 +236,8 @@ object Similarity {
     val cents = hyperplanes(nlist, if (dim > 0) dim else deriveDim(corpus, vecCol))
     def cellOf(v: Column): Column = {
       // argmax over centroids of dot(v, c): fold keeping (best, bestIdx)
-      val scores = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(dot(v, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+      val scores = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(dot(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("i"))
       }: _*)
       element_at(array_sort(scores,
         (a, b) => when(a.getField("s") > b.getField("s"), -1)
@@ -245,8 +245,8 @@ object Similarity {
         .getField("i")
     }
     def cellsOf(v: Column, n: Int): Column = {
-      val scores = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(dot(v, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+      val scores = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(dot(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("i"))
       }: _*)
       transform(
         slice(array_sort(scores,

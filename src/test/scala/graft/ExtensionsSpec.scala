@@ -29,7 +29,7 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaSql.values.forall(_._2 === 4))
 
     val dot = spark.sql(
-      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))").head.getDouble(0)
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
     assert(dot === 11.0)
   }
 }

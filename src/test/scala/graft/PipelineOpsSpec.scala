@@ -161,7 +161,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     val left = Seq((1L, 7L, t(20))).toDF("id", "k", "ts")
     val right = Seq((7L, t(5), Some(100.0)), (7L, t(10), None))
       .toDF("k", "ts", "v")
-    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "v", "last_v").head
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "v", "last_v").head()
     assert(out.isNullAt(3), "latest right row has NULL value; must not fall back to the older 100.0")
   }
 
@@ -230,7 +230,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     val doc = Seq((1L, "contact me at someone@example.com or 1234567 thanks"))
       .toDF("doc_id", "text")
     val red = TextAnalysis.redactPii(doc, "doc_id", "text")
-      .head.getAs[String]("redacted")
+      .head().getAs[String]("redacted")
     assert(red === "contact me at <EMAIL> or <NUM> thanks")
   }
 
@@ -248,14 +248,14 @@ class PipelineOpsSpec extends SparkSpecBase {
   test("shingle expressions yield empty sets for texts shorter than n") {
     import spark.implicits._
     val short = Seq((1L, "one two")).toDF("doc_id", "text")
-    assert(short.select(Dedup.shingles(col("text"), 3)).head.getSeq[String](0).isEmpty)
-    assert(short.select(Dedup.shingleHashes(col("text"), 3)).head.getSeq[Long](0).isEmpty)
+    assert(short.select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0).isEmpty)
+    assert(short.select(Dedup.shingleHashes(col("text"), 3)).head().getSeq[Long](0).isEmpty)
   }
 
   test("exact dedup groups duplicate texts under one representative") {
     val n = docs.count()
     val d = Dedup.exactDuplicates(docs, "doc_id", "text")
-    assert(d.agg(sum("cnt")).head.getLong(0) === n)
+    assert(d.agg(sum("cnt")).head().getLong(0) === n)
     assert(d.filter(col("cnt") > 1).count() ===
       n - docs.select("text").distinct().count())
   }
@@ -455,9 +455,9 @@ class PipelineOpsSpec extends SparkSpecBase {
   test("tumbling windows partition the event count exactly") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
-    assert(Windows.tumbling(ev, "1 hour").agg(sum("cnt")).head.getLong(0) === total)
+    assert(Windows.tumbling(ev, "1 hour").agg(sum("cnt")).head().getLong(0) === total)
     // sliding windows with width 2x slide double-count every event
     assert(Windows.sliding(ev, "1 hour", "30 minutes")
-      .agg(sum("cnt")).head.getLong(0) === 2 * total)
+      .agg(sum("cnt")).head().getLong(0) === 2 * total)
   }
 }

@@ -57,7 +57,7 @@ class StreamingSpec extends SparkSpecBase {
     try {
       q.processAllAvailable()
       val streamed = spark.table("stream_file")
-        .agg(sum("cnt")).head.getLong(0)
+        .agg(sum("cnt")).head().getLong(0)
       val batch = graft.queries.Tables.events(spark, sf).count()
       assert(streamed === batch)
     } finally q.stop()
