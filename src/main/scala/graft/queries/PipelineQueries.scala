@@ -417,6 +417,18 @@ object PipelineQueries {
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents""".stripMargin)),
 
+    QueryDef("media_frames",
+      (s, dir) => Multimodal.sampleFramesStub(s,
+        Multimodal.syntheticMedia(Tables.documents(s, dir)), everyMs = 5000),
+      // the expanding mapPartitions shape (one row per sampled frame);
+      // synthetic metadata is pure doc_id arithmetic, so the full
+      // output is oracle-expressible
+      Some("""SELECT doc_id AS media_id,
+             |CAST(unnest(range(0, (doc_id * 37) % 90000 + 1000, 5000)) AS INT) AS frame_ts_ms,
+             |CAST(64 + doc_id % 64 AS INT) AS width,
+             |CAST(64 + (doc_id * 7) % 64 AS INT) AS height
+             |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
+
     // ---------------- windows & sketches ----------------
 
     QueryDef("window_tumbling",

@@ -103,6 +103,36 @@ object EventStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** Streaming near-duplicate ingestion — the steady-state corpus
+    * loop (probe → keep → admit) as one `foreachBatch`: every
+    * micro-batch probes the PERSISTED signature index
+    * (graft.operators.Dedup), hands the found (doc_new, doc_indexed,
+    * jaccard) pairs to `onPairs` (route them to a sink/table), and
+    * admits the batch's non-duplicate survivors into the index so
+    * later batches deduplicate against them. Within one micro-batch,
+    * documents are probed against the index as it stood BEFORE the
+    * batch — compose `Dedup.exactDuplicates` upstream if intra-batch
+    * duplicates matter. The index grows by plain parquet appends; a
+    * failed batch retried by the engine re-probes before re-admitting,
+    * so duplicate admission needs idempotent ids upstream. */
+  def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, threshold: Double = 0.8)(
+      onPairs: (DataFrame, Long) => Unit) = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint()
+        val pairs = Dedup.incrementalNearDuplicates(b, idCol, textCol,
+          indexPath, threshold).localCheckpoint()
+        val dups = pairs.select(col("doc_new").as(idCol)).distinct()
+        Dedup.appendToNearDupIndex(b.join(dups, Seq(idCol), "left_anti"),
+          idCol, textCol, indexPath)
+        onPairs(pairs, batchId)
+      }
+      .start()
+  }
+
   /** Wire a streaming frame to an in-memory sink (testing/debugging). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

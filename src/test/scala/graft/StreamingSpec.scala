@@ -105,6 +105,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupIngest probes then admits per batch: later batches dedup against earlier ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 20).map(i => s"word$i").mkString(" ")
+    val idx = "target/test_stream_dedup_index"
+    // seed the index with doc 1
+    Dedup.writeNearDupIndex(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val input = MemoryStream[(Long, String)]
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = EventStream.nearDupIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) {
+      (pairs, _) => found ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      // batch 1: doc 2 near-dups the seed; doc 3 is new and gets admitted
+      input.addData((2L, base + " extra"), (3L, other))
+      q.processAllAvailable()
+      assert(found.contains((2L, 1L)), s"seed dup not found: $found")
+      // batch 2: doc 4 near-dups doc 3 — only findable if 3 was admitted
+      input.addData((4L, other + " extra"))
+      q.processAllAvailable()
+      assert(found.contains((4L, 3L)), s"cross-batch dup not found: $found")
+      // the matched docs 2 and 4 were NOT admitted
+      val indexed = spark.read.parquet(s"$idx/hashes")
+        .select("doc").collect().map(_.getLong(0)).toSet
+      assert(indexed === Set(1L, 3L), s"index contents: $indexed")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState session accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
