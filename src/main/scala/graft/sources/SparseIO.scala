@@ -64,9 +64,25 @@ object SparseIO {
       .format(format)
       .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
       .save(s"$path/data")
+    // a Deferred universe stays DISTRIBUTED through persistence: its
+    // dims relation is written as parquet next to the data, never
+    // collected into the sidecar — an event-scan lexicon can hold
+    // millions of labels, and inlining it would OOM the driver at the
+    // exact scale the deferred shape exists for. Explicit universes
+    // (small by definition, order-bearing) stay inline.
+    val inlineLabels = rel.universe match {
+      case ColUniverse.Explicit(labels) => labels
+      case d: ColUniverse.Deferred =>
+        d.dimsDf.write.mode("overwrite").parquet(s"$path/dims")
+        Seq.empty[String]
+    }
     val meta = mapper.writeValueAsString(Map(
       "indexCols" -> rel.indexCols,
-      "columnUniverse" -> rel.columnUniverse,
+      "columnUniverse" -> inlineLabels,
+      "universeKind" -> (rel.universe match {
+        case _: ColUniverse.Explicit => "explicit"
+        case _ => "deferred"
+      }),
       "format" -> format,
       "schema" -> rel.df.schema.json))
     val stream = fs(rel.df.sparkSession, path)
@@ -97,11 +113,17 @@ object SparseIO {
             .asInstanceOf[org.apache.spark.sql.types.StructType])
       case _ => reader
     }
+    // universeKind is optional for metadata written by older versions
+    // (always-inline layout)
+    val universe =
+      if (Option(node.get("universeKind")).exists(_.asText() == "deferred"))
+        new ColUniverse.Deferred(spark.read.parquet(s"$path/dims"))
+      else ColUniverse.Explicit(strings("columnUniverse"))
     SparseRel(
       withSchema
         .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
         .load(s"$path/data"),
       strings("indexCols"),
-      ColUniverse.Explicit(strings("columnUniverse")))
+      universe)
   }
 }

@@ -27,6 +27,28 @@ class SparseIOSpec extends SparkSpecBase {
     assert(r.df.count() === 3)
   }
 
+  test("a Deferred universe persists as a distributed dims relation, never collected") {
+    // event-scan lexicons can hold millions of labels; the sidecar
+    // must not inline them, and the read-back universe must stay
+    // Deferred (no driver materialization on the round-trip)
+    val rel = SparseRel.scanEvents(graft.queries.Tables.events(spark, sf),
+      "event_type", Seq("user_id"), None)
+    assert(rel.universe.isInstanceOf[ColUniverse.Deferred])
+    val path = "target/test_io_deferred"
+    SparseIO.write(rel, path, rangePartitions = 2)
+    val back = SparseIO.read(spark, path)
+    assert(back.universe.isInstanceOf[ColUniverse.Deferred],
+      "round-trip degraded the universe to a driver-side list")
+    // the dims RELATION matches without ordering assumptions
+    val dims = back.universe.dims(spark).collect().map(_.getString(0)).toSet
+    assert(dims === graft.queries.Tables.EventTypes.toSet)
+    assert(back.df.count() === rel.df.count())
+    // and the sidecar itself carries no labels
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_sparse_meta.json")), "UTF-8")
+    assert(!meta.contains("click"), s"label leaked into sidecar: $meta")
+  }
+
   test("roundtrip survives hostile labels: commas, quotes, brackets, unicode") {
     val hostile = Seq("""a,b""", """x"y""", "[c]", "back\\slash", "tab\there", "ünïcødé")
     assert(roundtrip(hostile).columnUniverse === hostile)
