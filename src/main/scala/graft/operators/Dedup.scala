@@ -145,14 +145,21 @@ object Dedup {
     * matters when the corpus is 100 TB and the daily delta is not. At
     * warehouse scale, bucket the band table by `bh` so the incremental
     * join is co-located. */
+  /** The (doc, sh) signature relation an index stores — ONE definition
+    * shared by initial indexing and appends, so the two paths can
+    * never hash inconsistently. */
+  private def signatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
+
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, shingleN: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
     val spark = docs.sparkSession
     // hashes first, bands derived from the written hashes: the corpus
     // is tokenized and shingle-hashed exactly once
-    docs
-      .filter(size(tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
+    signatures(docs, idCol, textCol, shingleN)
       .write.mode("overwrite").parquet(s"$path/hashes")
     spark.read.parquet(s"$path/hashes")
       .select(col("doc"),
@@ -174,22 +181,36 @@ object Dedup {
     * [[incrementalNearDuplicates]], then admit the survivors). The
     * signature parameters come from the index's own sidecar, so an
     * appended batch can never be hashed inconsistently with what is
-    * already stored. Appends are plain parquet file additions: no
-    * rewrite of existing data, safe to run per micro-batch. The caller
-    * is responsible for not appending ids already present (append the
-    * dedup SURVIVORS of the probe, not the raw batch). */
+    * already stored.
+    *
+    * IDEMPOTENT under retries: ids already present in the index are
+    * skipped (anti-join on the stored hashes' doc column), so a
+    * replayed micro-batch cannot duplicate signatures. Write order
+    * makes a mid-append crash self-healing: bands land FIRST, hashes
+    * (the membership marker) last — an orphaned bands row is harmless
+    * (probe candidates are distinct'd, and verification inner-joins
+    * hashes, which drops it), and the retry re-appends both because
+    * the hashes marker never landed. Duplicate hashes rows would be
+    * the harmful kind (each emits its verified pair once) — this
+    * ordering plus the membership guard prevents exactly those.
+    * Assumes one writer at a time (a single streaming query). */
   def appendToNearDupIndex(newDocs: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
     val (shingleN, k, bands) = readIndexParams(spark, path)
-    val newH = newDocs
-      .filter(size(tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
+    val indexed = spark.read.parquet(s"$path/hashes").select(col("doc"))
+    val newH = signatures(newDocs, idCol, textCol, shingleN)
+      .join(indexed, Seq("doc"), "left_anti")
       .localCheckpoint() // hash once; both writes read the materialized batch
-    newH.write.mode("append").parquet(s"$path/hashes")
-    newH.select(col("doc"),
-        explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
-      .write.mode("append").parquet(s"$path/bands")
+    // skip the append jobs entirely for a fully-deduplicated batch —
+    // thousands of empty micro-batch part-files would degrade the
+    // index directories into a small-files swamp
+    if (!newH.isEmpty) {
+      newH.select(col("doc"),
+          explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
+        .write.mode("append").parquet(s"$path/bands")
+      newH.write.mode("append").parquet(s"$path/hashes")
+    }
   }
 
   /** Read back the (shingleN, k, bands) an index was written with. */
