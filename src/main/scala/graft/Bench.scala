@@ -73,6 +73,12 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
       try {
+        // GC-settle OUTSIDE the timed region: in a single-JVM bench a
+        // query otherwise pays the previous query's garbage (round 3's
+        // distinct_users_approx "regression" was exactly this — 0.55 s
+        // single-pass right after the heaviest query vs 0.19-0.21 s
+        // steady-state in isolation)
+        System.gc()
         val best = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           queries(name)(spark, sfDir).count()

@@ -44,6 +44,19 @@ sealed trait ColUniverse {
   def seq: Seq[String]
   /** The universe as a 1-column (`col: string`) relation. */
   def dims(spark: SparkSession): DataFrame
+  /** Membership check that never materializes a Deferred universe —
+    * one `limit(1)` probe job instead of collecting the lexicon. */
+  def contains(label: String): Boolean
+  /** The labels of `names` absent from this universe. For a Deferred
+    * universe this anti-joins the (small, driver-side) name list
+    * against the distributed dims relation, collecting at most
+    * `names.size` rows — a million-label lexicon never reaches the
+    * driver. Preserves `names` order. */
+  def missing(names: Seq[String]): Seq[String]
+  /** This universe with `label` appended, preserving the
+    * representation (Explicit stays Explicit, Deferred stays a
+    * distributed dims relation). Caller guarantees absence. */
+  def append(label: String): ColUniverse
 }
 object ColUniverse {
   final case class Explicit(seq: Seq[String]) extends ColUniverse {
@@ -51,12 +64,35 @@ object ColUniverse {
       import spark.implicits._
       seq.toDF(SparseRel.COL)
     }
+    def contains(label: String): Boolean = seq.contains(label)
+    def missing(names: Seq[String]): Seq[String] = names.filterNot(seq.contains)
+    def append(label: String): ColUniverse = Explicit(seq :+ label)
   }
   /** `dimsDf` must be a 1-column string relation of distinct labels. */
   final class Deferred(val dimsDf: DataFrame) extends ColUniverse {
-    lazy val seq: Seq[String] =
+    /** Flipped once the lexicon lands on the driver — lets specs prove
+      * an operator path stayed distributed. */
+    @volatile private[graft] var materializedOnDriver = false
+    lazy val seq: Seq[String] = {
+      materializedOnDriver = true
       dimsDf.collect().map(_.getString(0)).sorted.toSeq
+    }
     def dims(spark: SparkSession): DataFrame = dimsDf
+    def contains(label: String): Boolean =
+      !dimsDf.filter(col(SparseRel.COL) === label).isEmpty
+    def missing(names: Seq[String]): Seq[String] = {
+      val spark = dimsDf.sparkSession
+      import spark.implicits._
+      val absent = names.toDF(SparseRel.COL)
+        .join(dimsDf, Seq(SparseRel.COL), "left_anti")
+        .collect().map(_.getString(0)).toSet
+      names.filter(absent)
+    }
+    def append(label: String): ColUniverse = {
+      val spark = dimsDf.sparkSession
+      import spark.implicits._
+      new Deferred(dimsDf.unionByName(Seq(label).toDF(SparseRel.COL)))
+    }
   }
   def apply(labels: Seq[String]): ColUniverse = Explicit(labels)
 }
@@ -115,9 +151,13 @@ final case class SparseRel(
 
   /** Column projection preserving requested order
     * (reference: sparse_frame.py:460-467). Unknown labels are an error,
-    * like pandas `__getitem__`. */
+    * like pandas `__getitem__`. Validation is deferred-safe: a
+    * Deferred universe is probed with an anti-join on its dims
+    * relation, never materialized (the requested list itself is
+    * driver-side by the API, so the Explicit result universe is
+    * free). */
   def projectCols(names: Seq[String]): SparseRel = {
-    val missing = names.filterNot(columnUniverse.contains)
+    val missing = universe.missing(names)
     require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
     copy(df = df.filter(col(COL).isin(names: _*)),
       universe = ColUniverse.Explicit(names))
@@ -609,23 +649,25 @@ final case class SparseRel(
 
   /** Append a NEW column with a broadcast scalar value for every row
     * label (reference `assign`, sparse_frame.py:423-452; assigning an
-    * existing column is an error there too). */
+    * existing column is an error there too). Deferred-safe: the
+    * existence check is a `limit(1)` probe on the dims relation and
+    * the result universe keeps its representation — an event-scan
+    * lexicon never lands on the driver. */
   def assignScalar(name: String, value: Double): SparseRel = {
-    require(!columnUniverse.contains(name), s"column exists: $name")
+    require(!universe.contains(name), s"column exists: $name")
     val newCells = df.select(indexCols.map(col): _*).distinct()
       .withColumn(COL, lit(name))
       .withColumn(VALUE, lit(value))
-    copy(df = df.unionByName(newCells),
-      universe = ColUniverse.Explicit(columnUniverse :+ name))
+    copy(df = df.unionByName(newCells), universe = universe.append(name))
   }
 
-  /** Append a NEW column from a relation `(indexCols..., value)`. */
+  /** Append a NEW column from a relation `(indexCols..., value)`.
+    * Deferred-safe like [[assignScalar]]. */
   def assignFrom(name: String, values: DataFrame): SparseRel = {
-    require(!columnUniverse.contains(name), s"column exists: $name")
+    require(!universe.contains(name), s"column exists: $name")
     val cells = values.select(
       (indexCols.map(col) :+ lit(name).as(COL) :+ col(VALUE).cast("double").as(VALUE)): _*)
-    copy(df = df.unionByName(cells),
-      universe = ColUniverse.Explicit(columnUniverse :+ name))
+    copy(df = df.unionByName(cells), universe = universe.append(name))
   }
 
   // ------------------------------------------------------------------

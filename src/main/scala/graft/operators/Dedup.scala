@@ -58,15 +58,30 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("cnt"))
 
+  /** Stage the per-document signature relation ONCE per query:
+    * tokenizing + shingle-hashing the raw text is the dominant cost of
+    * every near-dup path at corpus scale, and each path references its
+    * signatures from multiple plan legs (two self-join sides plus two
+    * verification joins — Catalyst re-evaluates a shared subplan per
+    * leg, so the naive plan hashes every document ~4×). Materializing
+    * with `localCheckpoint` (executor-local, MEMORY_AND_DISK — the
+    * staged relation is k longs per doc, far smaller than the text it
+    * replaces) makes every leg read the staged arrays instead. */
+  private def stagedSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    signatures(docs, idCol, textCol, shingleN).localCheckpoint()
+
   /** Candidate near-duplicate pairs via banded MinHash-LSH.
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bands: Int): DataFrame = {
-    val withH = docs
-      .filter(size(tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
-    val banded = withH
-      .select(col("doc"), explode(HashExprs.minhashBandKeys(col("__h"), k, bands)).as("bh"))
+      shingleN: Int, k: Int, bands: Int): DataFrame =
+    lshCandidatesOf(stagedSignatures(docs, idCol, textCol, shingleN), k, bands)
+
+  /** Banded-LSH candidates over an already-staged (doc, sh) signature
+    * relation — both self-join legs read the staged arrays. */
+  private def lshCandidatesOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val banded = sig
+      .select(col("doc"), explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
     banded.as("x").join(banded.as("y"),
         col("x.bh") === col("y.bh") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
@@ -78,31 +93,35 @@ object Dedup {
     round(size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double"), 6)
 
-  /** Exact n-gram Jaccard for given candidate pairs: joins the
-    * shingle-hash sets back and computes |∩|/|∪| with array
-    * expressions — touches only candidates. */
-  def jaccardFor(candidates: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      shingleHashes(col(textCol), shingleN).as("__sh"))
+  /** Exact Jaccard for candidate pairs over a staged (doc, sh)
+    * signature relation — touches only candidates, reads staged arrays. */
+  private def jaccardOf(candidates: DataFrame, sig: DataFrame): DataFrame =
     candidates
-      .join(sh.withColumnRenamed("__id", "doc_a")
-        .withColumnRenamed("__sh", "sh_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("__id", "doc_b")
-        .withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))
+      .join(sig.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         jaccardExpr(col("sh_a"), col("sh_b")).as("jaccard"))
-  }
+
+  /** Exact n-gram Jaccard for given candidate pairs: joins the
+    * shingle-hash sets back and computes |∩|/|∪| with array
+    * expressions — touches only candidates. The signature relation is
+    * staged so each document is hashed once, not once per join leg. */
+  def jaccardFor(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int): DataFrame =
+    jaccardOf(candidates,
+      docs.select(col(idCol).as("doc"),
+        shingleHashes(col(textCol), shingleN).as("sh")).localCheckpoint())
 
   /** Near-duplicate pairs: banded MinHash-LSH candidates, then exact
     * shingle-Jaccard verification at `threshold`. The scale path: LSH
     * prunes the pair space to same-bucket collisions; verification
-    * touches only candidates. */
+    * touches only candidates. One staged signature pass feeds both the
+    * banded self-join and the verification joins. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands)
-    jaccardFor(cands, docs, idCol, textCol, shingleN)
+    val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    jaccardOf(lshCandidatesOf(sig, k, bands), sig)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -119,10 +138,9 @@ object Dedup {
     * the naive inverted-index result. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val withH = docs.select(col(idCol).as("doc"),
-      shingleHashes(col(textCol), shingleN).as("__h"))
-    val sh = withH.select(col("doc"), size(col("__h")).as("n"),
-      explode(col("__h")).as("s"))
+    val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    val sh = sig.select(col("doc"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
@@ -134,7 +152,7 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    jaccardFor(cands, docs, idCol, textCol, shingleN)
+    jaccardOf(cands, sig)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -346,9 +364,8 @@ object Dedup {
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       chunks: Int = 4): DataFrame = {
-    val withH = docs.filter(size(tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("__h"))
-    val withSim = withH.select(col("doc"), HashExprs.simhash(col("__h")).as("sim"))
+    val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    val withSim = sig.select(col("doc"), HashExprs.simhash(col("sh")).as("sim"))
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val chunked = withSim.select(col("doc"),
@@ -360,7 +377,7 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    jaccardFor(cands, docs, idCol, textCol, shingleN)
+    jaccardOf(cands, sig)
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -309,6 +309,26 @@ object CoreQueries {
       Some(s"""WITH a AS (${halfSql(0, "")}), b AS (${halfSql(1, "")})
               |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin)),
 
+    // reference `concat` (sparse_frame.py:394-398): the n-ary fold of
+    // vstack (axis 0) / joinAxis1 (axis 1) — declared with three
+    // frames so the fold itself is exercised, not just one pairwise op
+    QueryDef("concat_axis0",
+      (s, dir) => SparseRel.concat(Seq(
+          half(s, dir, even = true), half(s, dir, even = false),
+          half(s, dir, even = true)), axis = 0).df,
+      Some(s"""WITH a AS (${halfSql(0, "")}), b AS (${halfSql(1, "")})
+              |SELECT * FROM a UNION ALL SELECT * FROM b
+              |UNION ALL SELECT * FROM a""".stripMargin)),
+
+    QueryDef("concat_axis1",
+      (s, dir) => SparseRel.concat(Seq(
+          half(s, dir, even = true, "a_"), half(s, dir, even = false, "b_"),
+          half(s, dir, even = true, "c_")), axis = 1).df,
+      Some(s"""WITH a AS (${halfSql(0, "a_")}), b AS (${halfSql(1, "b_")}),
+              |c AS (${halfSql(0, "c_")})
+              |SELECT * FROM a UNION ALL SELECT * FROM b
+              |UNION ALL SELECT * FROM c""".stripMargin)),
+
     QueryDef("add_outer",
       (s, dir) => half(s, dir, even = true)
         .add(half(s, dir, even = false), AlignHow.Outer).df,

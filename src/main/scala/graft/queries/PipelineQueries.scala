@@ -49,6 +49,12 @@ object PipelineQueries {
       Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS cnt
              |FROM documents GROUP BY text""".stripMargin)),
 
+    // oracle = exact all-pairs Jaccard. LSH at k=128/bands=32 misses a
+    // borderline j≈0.8 pair with prob ~5e-8 — and since every hash
+    // seed is FIXED, a given fixture either matches forever or never:
+    // the gate cannot flake run-to-run, only on a (vanishingly
+    // unlikely) unlucky NEW fixture, where the ScalaTest equality spec
+    // would localize it immediately.
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 128, bands = 32, threshold = 0.8),
@@ -183,9 +189,11 @@ object PipelineQueries {
         // driver-visible verification for the hash-dependent ANN family:
         // recall of each approximate path against the oracle-green exact
         // top-k, computed INSIDE the query (one aggregate per path, no
-        // collect). The floors are far below observed recall on any
-        // fixture (spec floors 0.2; observed ≥0.8), so the boolean is
-        // stable and trivially oracle-expressible.
+        // collect). Floors are measured-margin: observed recall across
+        // sf0.001/0.01/0.1 is lsh 0.70-0.89, ivf 0.71-0.75, nearest-dup
+        // 0.59-0.72 (deterministic — fixed hash seeds), so a 0.5 floor
+        // holds everywhere with real margin while still failing on any
+        // genuine recall collapse.
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"),
@@ -198,7 +206,7 @@ object PipelineQueries {
             .agg(count(lit(1)).as("hits"))
           exact.agg(count(lit(1)).as("tot")).crossJoin(hits)
             .select(lit(method).as("method"),
-              (col("hits") >= col("tot") * 0.2).as("recall_ok"))
+              (col("hits") >= col("tot") * 0.5).as("recall_ok"))
         }
         val exact1nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
             emb.select(col("vec_id").as("qid"),
@@ -212,7 +220,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("hits"))
         val nnOk = exact1nn.agg(count(lit(1)).as("tot")).crossJoin(nnHits)
           .select(lit("nearest_dup_lsh").as("method"),
-            (col("hits") >= col("tot") * 0.2).as("recall_ok"))
+            (col("hits") >= col("tot") * 0.5).as("recall_ok"))
         recallOk("lsh", Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10))
           .unionByName(recallOk("ivf", Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10)))
           .unionByName(nnOk)
@@ -664,8 +672,10 @@ object PipelineQueries {
 
     QueryDef("simhash_recall_cert",
       (s, dir) => {
-        // simhash at threshold 0.5 must recover at least half of the
-        // oracle-computable planted pairs (exact Jaccard ≥ 0.9); the
+        // simhash at threshold 0.5 must recover ≥60% of the
+        // oracle-computable planted pairs (exact Jaccard ≥ 0.9) —
+        // measured recall is 0.68-0.85 across sf0.001/0.01/0.1
+        // (deterministic seeds), so the floor holds with margin; the
         // pigeonhole-guaranteed subset is spec-pinned in ScalaTest
         val docs = Tables.documents(s, dir)
         val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
@@ -678,7 +688,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("hits"))
         planted.agg(count(lit(1)).as("n_planted")).crossJoin(hits)
           .select(col("n_planted"),
-            (col("hits") * 2 >= col("n_planted")).as("recall_ok"))
+            (col("hits") >= col("n_planted") * 0.6).as("recall_ok"))
       },
       Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
               |TRUE AS recall_ok

@@ -47,7 +47,9 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(guaranteed.subsetOf(foundPairs),
       s"missed guaranteed pairs: ${guaranteed -- foundPairs}")
     val recall = (planted & foundPairs).size.toDouble / planted.size
-    assert(recall >= 0.5, s"simhash planted recall $recall too low")
+    // measured 0.852 on this fixture (deterministic seeds) — the floor
+    // matches the driver-visible simhash_recall_cert at 0.6
+    assert(recall >= 0.6, s"simhash planted recall $recall too low")
   }
 
   test("duplicateClusters resolves chains and stars to min-id components") {
@@ -268,8 +270,10 @@ class PipelineOpsSpec extends SparkSpecBase {
     val ann = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ann).size.toDouble / bf.size
-    // approximate by design; random-ish embeddings are the hard case
-    assert(recall >= 0.2, s"LSH recall $recall too low")
+    // approximate by design; random-ish embeddings are the hard case.
+    // measured 0.888 on this fixture with the default 12 tables
+    // (deterministic seeds) — floor set with margin below that
+    assert(recall >= 0.6, s"LSH recall $recall too low")
     // every ANN hit must be a real corpus vector scored correctly:
     // spot-check one pair's cosine against the brute-force score
     assert(ann.nonEmpty)
@@ -283,7 +287,8 @@ class PipelineOpsSpec extends SparkSpecBase {
     val lsh = Similarity.nearestDupLsh(emb, "vec_id", "embedding")
     val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & got).size.toDouble / exact.size
-    assert(recall >= 0.2, s"nearest-dup LSH recall $recall too low")
+    // measured 0.716 on this fixture (deterministic seeds)
+    assert(recall >= 0.5, s"nearest-dup LSH recall $recall too low")
     // the declared scale path must never plan an all-pairs product
     val plan = lsh.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
@@ -309,11 +314,12 @@ class PipelineOpsSpec extends SparkSpecBase {
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 10,
-        nlist = 16, nprobe = 4)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall >= 0.2, s"IVF recall $recall too low")
+    // measured 0.750 on this fixture with the default nprobe=8
+    // (deterministic seeds)
+    assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
   test("assignSplits partitions every row deterministically near the weights") {

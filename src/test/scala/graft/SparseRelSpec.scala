@@ -345,4 +345,31 @@ class SparseRelSpec extends SparkSpecBase {
     // forcing the universe materializes sorted distinct labels
     assert(r.columnUniverse === Seq("click", "error", "purchase", "signup", "view"))
   }
+
+  test("projectCols/assignScalar/assignFrom never collect a deferred universe") {
+    val r = SparseRel.scanEvents(
+      graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
+    val d = r.universe.asInstanceOf[ColUniverse.Deferred]
+    // projection: anti-join validation, Explicit result from the
+    // (already driver-side) requested list
+    val p = r.projectCols(Seq("click", "view"))
+    assert(p.columnUniverse === Seq("click", "view"))
+    intercept[IllegalArgumentException](r.projectCols(Seq("click", "nope")))
+    // assignment: limit(1) membership probe, representation preserved
+    val a = r.assignScalar("bias", 1.0)
+    assert(a.universe.isInstanceOf[ColUniverse.Deferred])
+    assert(a.df.filter(col(COL) === "bias").count() > 0)
+    intercept[IllegalArgumentException](r.assignScalar("click", 1.0))
+    val vals = r.df.select(col("user_id")).distinct().limit(5)
+      .withColumn(VALUE, lit(2.0))
+    val f = r.assignFrom("score", vals)
+    assert(f.universe.isInstanceOf[ColUniverse.Deferred])
+    assert(f.df.filter(col(COL) === "score").count() === 5)
+    intercept[IllegalArgumentException](r.assignFrom("view", vals))
+    // the proof: none of the above forced the lexicon onto the driver
+    assert(!d.materializedOnDriver, "deferred universe was collected")
+    // and the appended universes still resolve when explicitly asked
+    assert(a.columnUniverse.contains("bias"))
+    assert(f.columnUniverse.contains("score"))
+  }
 }
