@@ -50,6 +50,172 @@ object HashExprs {
   /** Column API: dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: min rolling hash over all `w`-byte windows of a text
+    * column — the O(len) document fingerprint. */
+  def rollingMinHash(text: Column, w: Int): Column =
+    ColumnBridge.column(RollingMinHash64(ColumnBridge.expression(text), w))
+
+  /** Column API: winnowing fingerprint — sorted distinct minima of
+    * each window of `g` consecutive `w`-byte rolling hashes. */
+  def winnowHashes(text: Column, w: Int, g: Int): Column =
+    ColumnBridge.column(WinnowHashes(ColumnBridge.expression(text), w, g))
+}
+
+/** Shared Karp–Rabin kernel for the fingerprint expressions: the
+  * finalized polynomial rolling hash of every `w`-byte window of a
+  * UTF-8 string in ONE O(len) pass — each step removes the outgoing
+  * byte's contribution and multiplies in the incoming byte (mod 2⁶⁴),
+  * then a splitmix64-style mixer whitens the window hash so low-order
+  * bytes can't bias the minimum. Replaces the interpreted
+  * `transform(sequence, xxhash64(substr))` chain, which re-hashed w
+  * bytes per window (O(len·w)) outside whole-stage codegen. */
+private[functions] object RollingHash {
+  final val B = 0x100000001B3L // FNV prime, odd → invertible mod 2^64
+
+  private def mix(h0: Long): Long = {
+    var z = h0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Finalized hash of each of the `len-w+1` windows; a text shorter
+    * than `w` (or empty) yields ONE hash over the whole text. */
+  def windowHashes(bytes: Array[Byte], w: Int): Array[Long] = {
+    val len = bytes.length
+    if (len <= w) {
+      var h = 0L
+      var i = 0
+      while (i < len) { h = h * B + (bytes(i) & 0xFFL); i += 1 }
+      return Array(mix(h))
+    }
+    // B^(w-1) for the outgoing byte's contribution
+    var pow = 1L
+    var p = 1
+    while (p < w) { pow *= B; p += 1 }
+    val out = new Array[Long](len - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xFFL); i += 1 }
+    out(0) = mix(h)
+    i = w
+    while (i < len) {
+      h = (h - (bytes(i - w) & 0xFFL) * pow) * B + (bytes(i) & 0xFFL)
+      out(i - w + 1) = mix(h)
+      i += 1
+    }
+    out
+  }
+}
+
+/** `rolling_min_hash(text, w)`: minimum finalized rolling hash over
+  * all `w`-byte windows — the min-sampled document fingerprint, now
+  * one O(len) primitive pass (previously O(len·w) interpreted). */
+case class RollingMinHash64(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 2, "window width must be at least 2 bytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val hs = RollingHash.windowHashes(input.getBytes, w)
+    var min = hs(0)
+    var i = 1
+    while (i < hs.length) { if (hs(i) < min) min = hs(i); i += 1 }
+    min
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollExpr", this, classOf[RollingMinHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_min_hash"
+}
+
+/** `winnow_hashes(text, w, g)`: true winnowing (the MOSS scheme) —
+  * the minimum of every window of `g` consecutive `w`-byte rolling
+  * hashes, as a sorted distinct array. Two documents sharing a
+  * substring of at least `w + g - 1` bytes are GUARANTEED to share a
+  * fingerprint value, so intersecting two documents' arrays detects
+  * partial overlap, not just whole-document similarity. The sliding
+  * minima use a monotone deque: O(len) total, not O(len·g). */
+case class WinnowHashes(child: Expression, w: Int, g: Int)
+    extends UnaryExpression {
+  require(w >= 2, "window width must be at least 2 bytes")
+  require(g >= 1, "winnow window must be at least 1 hash")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val hs = RollingHash.windowHashes(input.getBytes, w)
+    val n = hs.length
+    if (n <= g) {
+      var min = hs(0)
+      var i = 1
+      while (i < n) { if (hs(i) < min) min = hs(i); i += 1 }
+      return new GenericArrayData(Array(min))
+    }
+    // sliding-window minima via a monotone (increasing) index deque
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque occupies [head, tail)
+    val sel = new Array[Long](n - g + 1)
+    var s = 0
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - g) head += 1
+      if (i >= g - 1) { sel(s) = hs(deque(head)); s += 1 }
+      i += 1
+    }
+    // adjacent windows usually share their minimum — sort + dedupe
+    java.util.Arrays.sort(sel)
+    var uniq = 1
+    i = 1
+    while (i < s) { if (sel(i) != sel(i - 1)) uniq += 1; i += 1 }
+    val out = new Array[Long](uniq)
+    out(0) = sel(0)
+    var o = 1
+    i = 1
+    while (i < s) {
+      if (sel(i) != sel(i - 1)) { out(o) = sel(i); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_hashes"
 }
 
 /** `dot_product(a, b)`: Σ aᵢ·bᵢ over two array<double> columns in one

@@ -177,9 +177,14 @@ object Similarity {
     // wide embedding arrays never ride through the explode. Candidate
     // pairs are deduped across tables and undirected BEFORE the
     // vectors are fetched back by key, so each pair's cosine is
-    // computed exactly once.
+    // computed exactly once. The keyed relation is STAGED
+    // (localCheckpoint): the histogram pass and both self-join legs
+    // would otherwise each re-evaluate all tables×planes hyperplane
+    // dot products per row; the staged relation is two longs per
+    // (vector, table) — scale-safe to materialize, unlike the corpus.
     val keyed = c0.withColumn("__keys", keysOf(col("v")))
       .select(col("vec_id"), explode(col("__keys")).as("bucket"))
+      .localCheckpoint()
     // Skew guard: clustered embeddings concentrate sign patterns, and
     // one hot bucket holding k vectors contributes k²/2 pairs no
     // matter how many planes there are. Buckets over `maxBucket` are

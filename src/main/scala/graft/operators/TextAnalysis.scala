@@ -183,15 +183,29 @@ object TextAnalysis {
         explode(array_compact(array(hits: _*))).as("probe_id"))
   }
 
-  /** Rolling-hash document fingerprint: minimum xxhash64 over all
-    * `w`-char windows (winnowing-style min-sampling, one expression
-    * pass; deterministic). Documents shorter than `w` hash whole. */
+  /** Rolling-hash document fingerprint: minimum Karp–Rabin hash over
+    * all `w`-byte windows (min-sampling; deterministic). A native
+    * codegen'd expression — ONE O(len) pass per document, where the
+    * previous interpreted `transform(sequence, xxhash64(substr))`
+    * chain re-hashed w bytes per window (O(len·w)). Documents shorter
+    * than `w` hash whole. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 16): DataFrame =
     docs.select(col(idCol),
-      when(length(col(textCol)) < w, xxhash64(col(textCol)))
-        .otherwise(array_min(transform(
-          sequence(lit(1), length(col(textCol)) - lit(w - 1)),
-          i => xxhash64(col(textCol).substr(i, lit(w))))))
-        .as("fp"))
+      graft.functions.HashExprs.rollingMinHash(col(textCol), w).as("fp"))
+
+  /** TRUE winnowing fingerprint (the MOSS scheme): the sorted distinct
+    * minima of every window of `g` consecutive `w`-byte rolling
+    * hashes. Guarantee: two documents sharing any substring of at
+    * least `w + g - 1` bytes share a fingerprint value, so
+    * intersecting fingerprint arrays (or exploding to an inverted
+    * (fp → doc) index and equi-joining, the 100 TB shape) detects
+    * PARTIAL overlap — plagiarism/quotation/boilerplate — not just
+    * whole-document similarity. Density is ~2/(g+1) selected hashes
+    * per position, so the fingerprint is ~len/4 longs at the default
+    * g=7 instead of one hash per byte position. */
+  def fingerprintWinnow(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, g: Int = 7): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.HashExprs.winnowHashes(col(textCol), w, g).as("fps"))
 }

@@ -398,7 +398,7 @@ object PipelineQueries {
 
     QueryDef("fingerprint_rolling",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
-      None), // xxhash64-based — ScalaTest-verified
+      None), // rolling-hash-based — ScalaTest + fingerprint_cert verified
 
     // ---------------- json scalar extraction ----------------
 
@@ -658,17 +658,32 @@ object PipelineQueries {
         // floor (>= half), not equality
         val fp = TextAnalysis.fingerprint(Tables.documents(s, dir),
           "doc_id", "text")
+        val wn = TextAnalysis.fingerprintWinnow(Tables.documents(s, dir),
+          "doc_id", "text")
         val joined = Tables.documents(s, dir)
           .select(col("doc_id"), col("text")).join(fp, Seq("doc_id"))
+          .join(wn, Seq("doc_id"))
         joined.agg(
           count(lit(1)).as("n_docs"),
           (countDistinct(col("fp")) * 2 >= countDistinct(col("text")))
             .as("fp_discriminates"),
           (countDistinct(col("text")) ===
-            countDistinct(col("text"), col("fp"))).as("same_text_same_fp"))
+            countDistinct(col("text"), col("fp"))).as("same_text_same_fp"),
+          // winnow path: pure function of text (equal texts ⇒ equal
+          // arrays), discriminates at least as well as the single min
+          // (its minima SET contains strictly more information), and
+          // the global min-sample is always one of the selected minima
+          (countDistinct(col("text")) ===
+            countDistinct(col("text"), col("fps"))).as("same_text_same_winnow"),
+          (countDistinct(col("fps")) >= countDistinct(col("fp")))
+            .as("winnow_discriminates"),
+          (count(lit(1)) === sum(when(array_contains(col("fps"), col("fp")), 1L)
+            .otherwise(0L))).as("winnow_contains_min"))
       },
       Some("""SELECT COUNT(*) AS n_docs, TRUE AS fp_discriminates,
-             |TRUE AS same_text_same_fp FROM documents""".stripMargin)),
+             |TRUE AS same_text_same_fp, TRUE AS same_text_same_winnow,
+             |TRUE AS winnow_discriminates, TRUE AS winnow_contains_min
+             |FROM documents""".stripMargin)),
 
     QueryDef("simhash_recall_cert",
       (s, dir) => {

@@ -458,6 +458,64 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(fp1.values.toSet.size > fp1.size / 2, "fingerprints should mostly differ")
   }
 
+  test("rolling min hash equals an independent naive per-window computation") {
+    import spark.implicits._
+    // re-derive the fingerprint from the DEFINITION (hash every window
+    // from scratch) — pins the O(len) remove-multiply recurrence
+    def mix(h0: Long): Long = {
+      var z = h0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def naive(s: String, w: Int): Long = {
+      val b = s.getBytes("UTF-8")
+      if (b.length <= w)
+        mix(b.foldLeft(0L)((h, x) => h * 0x100000001B3L + (x & 0xFFL)))
+      else (0 to b.length - w).map { i =>
+        mix((i until i + w).foldLeft(0L)((h, j) =>
+          h * 0x100000001B3L + (b(j) & 0xFFL)))
+      }.min
+    }
+    val texts = Seq("", "short", "exactly16bytes!!",
+      "a slightly longer text exceeding sixteen bytes for the rolling path",
+      "unicode: héllo wörld — ünïcödé bytes roll too")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === naive(t, 16), s"text #$i") }
+  }
+
+  test("winnowing fingerprint: shared-substring guarantee, min containment") {
+    import spark.implicits._
+    // w + g - 1 = 22 bytes at the defaults; `shared` is far longer, so
+    // docs 1 and 2 MUST share at least one selected hash (MOSS bound)
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val d = Seq(
+      (1L, "aaa bbb " + shared + " ccc"),
+      (2L, "xxx yyy zzz " + shared + " qqq www longer tail here"),
+      (3L, "totally different content with no common long substring at all"))
+      .toDF("doc_id", "text")
+    val wn = TextAnalysis.fingerprintWinnow(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((wn(1L) & wn(2L)).nonEmpty,
+      "documents sharing a >= w+g-1-byte substring must share a winnow hash")
+    // the single min-sample fingerprint is always one of the winnow
+    // minima, and exactly their minimum
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp.foreach { case (id, f) =>
+      assert(wn(id).contains(f), s"doc $id: global min not selected")
+      assert(wn(id).min === f, s"doc $id: winnow min != fingerprint")
+    }
+    // deterministic across runs and repartitionings
+    val again = TextAnalysis.fingerprintWinnow(d.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again === wn)
+  }
+
   test("tumbling windows partition the event count exactly") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
