@@ -208,4 +208,34 @@ object TextAnalysis {
       w: Int = 16, g: Int = 7): DataFrame =
     docs.select(col(idCol),
       graft.functions.HashExprs.winnowHashes(col(textCol), w, g).as("fps"))
+
+  /** Document pairs sharing at least `minShared` winnowing fingerprint
+    * values — PARTIAL-overlap detection (boilerplate, quotation,
+    * licence headers, copy-paste) that whole-document similarity ops
+    * miss when the rest of the documents differ. The 100 TB shape is
+    * an inverted (fp → doc) index: explode each document's fingerprint
+    * array, self-equi-join on the hash value — candidate pairs meet
+    * only inside one fingerprint bucket, never all-pairs — then count
+    * shared values per pair with one hash aggregate. A single
+    * boilerplate hash shared by k documents contributes k²/2 pairs, so
+    * ubiquitous fingerprints (present in more than `maxDocFreq` docs)
+    * are dropped first — the standard stop-fingerprint guard, which
+    * also removes exactly the values that carry no overlap signal. */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, g: Int = 7, minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val inv = fingerprintWinnow(docs, idCol, textCol, w, g)
+      .select(col(idCol).as("doc"), explode(col("fps")).as("fp"))
+      .localCheckpoint() // hash the corpus once; both join legs read staged rows
+    val kept = inv.join(
+      inv.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDocFreq)
+        .select(col("fp")),
+      Seq("fp"))
+    kept.as("x").join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -685,6 +685,30 @@ object PipelineQueries {
              |TRUE AS winnow_discriminates, TRUE AS winnow_contains_min
              |FROM documents""".stripMargin)),
 
+    QueryDef("overlap_recall_cert",
+      (s, dir) => {
+        // partial-overlap detection (winnowing inverted index) must
+        // recover every planted near-identical pair — exact 3-gram
+        // Jaccard ≥ 0.9 means the documents share long token runs, so
+        // they must collide on ≥ minShared winnow fingerprints.
+        // Observed recall is 1.000 at sf0.001/0.01/0.1 (deterministic
+        // hashes); floor 0.8 with margin.
+        val docs = Tables.documents(s, dir)
+        val found = TextAnalysis.overlapPairs(docs, "doc_id", "text")
+          .select(col("doc_a"), col("doc_b"))
+        val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.9)
+          .select(col("doc_a"), col("doc_b"))
+        val hits = planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        planted.agg(count(lit(1)).as("n_planted")).crossJoin(hits)
+          .select(col("n_planted"),
+            (col("hits") >= col("n_planted") * 0.8).as("recall_ok"))
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+              |TRUE AS recall_ok
+              |FROM (${jaccardOracle(3, "0.9")})""".stripMargin)),
+
     QueryDef("simhash_recall_cert",
       (s, dir) => {
         // simhash at threshold 0.5 must recover ≥60% of the

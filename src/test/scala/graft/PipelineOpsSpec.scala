@@ -516,6 +516,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(again === wn)
   }
 
+  test("overlapPairs detects partial overlap only (inverted winnow index)") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly and again"
+    val d = Seq(
+      (1L, "aaa bbb " + shared + " ccc"),
+      (2L, "xxx yyy zzz " + shared + " qqq www"),
+      (3L, "totally different content with no common long substring at all"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.overlapPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      "only the documents sharing the long substring may pair")
+    // the plan must be a bucketed equi join on fingerprint values —
+    // never an all-pairs product
+    val plan = TextAnalysis.overlapPairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
   test("tumbling windows partition the event count exactly") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
