@@ -21,7 +21,7 @@ object Bench {
     "take_rows", "todense_pivot", "io_roundtrip",
     "q1_agg", "q3_join", "price_quantiles", "label_centroids",
     "dedup_exact", "dedup_minhash_lsh", "dedup_survivors",
-    "text_stats", "token_count", "chunk_documents",
+    "text_stats", "token_count", "chunk_documents", "fingerprint_rolling",
     "embed_cosine_topk", "embed_nearest_dup_lsh",
     "window_tumbling", "distinct_users_approx",
     "asof_join", "range_join", "sample_split", "pack_sequences")

@@ -110,4 +110,49 @@ class AlgebraPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- fingerprint kernel properties (no Spark jobs: direct compute) ----
+
+  private def rollOf(s: String, w: Int): Long =
+    graft.functions.RollingMinHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), w)
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  private def winnowOf(s: String, w: Int, g: Int): Array[Long] = {
+    val arr = graft.functions.WinnowHashes(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), w, g)
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+  }
+
+  test("property: winnow minima are sorted-distinct, contain the rolling min, deterministic") {
+    val genCase = Gen.zip(
+      Gen.choose(0, 120).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),
+      Gen.choose(2, 24), Gen.choose(1, 12))
+    forAllSeeded(genCase, n = 40) { case (s, w, g) =>
+      val sel = winnowOf(s, w, g)
+      assert(sel.nonEmpty)
+      assert(sel.toSeq === sel.toSeq.sorted.distinct, "sorted distinct")
+      assert(sel.min === rollOf(s, w), "winnow min must equal the global min-sample")
+      assert(winnowOf(s, w, g).toSeq === sel.toSeq, "deterministic")
+      // selection bound: at most one selected hash per winnow window
+      val nWindows = math.max(1, s.getBytes("UTF-8").length - w + 1)
+      assert(sel.length <= math.max(1, nWindows - g + 1))
+    }
+  }
+
+  test("property: documents sharing a >= w+g-1-byte substring share a winnow hash") {
+    val w = 16
+    val g = 7
+    val genCase = Gen.zip(
+      Gen.listOfN(w + g + 10, Gen.alphaNumChar).map(_.mkString), // shared core
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)))
+    forAllSeeded(genCase, n = 25) { case (core, pre, suf) =>
+      val a = winnowOf(pre + core, w, g).toSet
+      val b = winnowOf(core + suf, w, g).toSet
+      assert((a & b).nonEmpty,
+        s"no shared hash for core of ${core.length} bytes (pre=${pre.length}, suf=${suf.length})")
+    }
+  }
 }
