@@ -310,10 +310,15 @@ object Dedup {
           .withColumnRenamed("cluster", "ncluster"), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("ncluster")).as("nmin"))
+      // the pre-round label rides along as __old so the convergence
+      // probe below is a join-free filter over the checkpointed rows
+      // instead of re-joining updated against labels every round (two
+      // shuffles per round saved)
       val hopped = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          col("cluster").as("__old"))
       // pointer jumping: follow the label's own label. The parent row
       // always exists (every doc labels itself at worst), so an inner
       // join is safe; the parent's label is ≤ ours by construction.
@@ -327,15 +332,15 @@ object Dedup {
         h.as("x")
           .join(h.select(col("doc").as("cluster"),
             col("cluster").as("__pc")).as("y"), Seq("cluster"))
-          .select(col("doc"), least(col("cluster"), col("__pc")).as("cluster"))
+          .select(col("doc"), least(col("cluster"), col("__pc")).as("cluster"),
+            col("__old"))
       }).localCheckpoint()
       // iterate to an actual fixpoint — a fixed iteration count would
       // silently split components whose (log-)diameter exceeds it
       converged = updated
-        .join(labels.withColumnRenamed("cluster", "__old"), Seq("doc"))
         .filter(col("cluster") =!= col("__old"))
         .limit(1).count() == 0
-      labels = updated
+      labels = updated.drop("__old")
       i += 1
     }
     labels
