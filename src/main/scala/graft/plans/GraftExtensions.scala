@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashBandKeys, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, MinHashBandKeys, RollingMinHash64, ShingleHashes, SimHash64, WinnowHashes}
 
 /** SQL-surface registration for the engine's native expressions — the
   * `SparkSessionExtensions` integration point (builder guide §custom
@@ -66,6 +66,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "dot_product(a, b)")
         DotProduct(args.head, args(1))
+      }),
+    ("rolling_min_hash",
+      new ExpressionInfo(classOf[RollingMinHash64].getName, "rolling_min_hash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "rolling_min_hash(text, w)")
+        RollingMinHash64(args.head, intArg(args(1), "w"))
+      }),
+    ("winnow_hashes",
+      new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "winnow_hashes(text, w, g)")
+        WinnowHashes(args.head, intArg(args(1), "w"), intArg(args(2), "g"))
       }))
 
   /** Register every function on an already-built session. */

@@ -31,5 +31,20 @@ class ExtensionsSpec extends SparkSpecBase {
     val dot = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
     assert(dot === 11.0)
+
+    // fingerprint kernels: SQL path agrees with the Column API, and
+    // the winnow minimum is the rolling min-sample
+    val fpSql = spark.sql(
+      """SELECT doc_id, rolling_min_hash(text, 4) AS fp,
+        |array_min(winnow_hashes(text, 4, 2)) AS wmin
+        |FROM ext_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fpApi = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.HashExprs.rollingMinHash(
+          org.apache.spark.sql.functions.col("text"), 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpSql.view.mapValues(_._1).toMap === fpApi)
+    assert(fpSql.values.forall { case (fp, wmin) => fp === wmin })
   }
 }
