@@ -97,13 +97,20 @@ object Similarity {
     * Candidates meet only inside a bucket — a key-equi join, never
     * all-pairs; recall/cost is tuned by (tables, planes): more planes
     * → smaller buckets (cheaper, lower recall), more tables → higher
-    * recall (linearly more probe keys). Defaults measured on the
-    * synthetic fixtures: top-10 recall 0.70–0.89 across sf0.001–0.1
-    * (floor-certified at 0.5 by `embed_ann_recall`); clustered
-    * real-world embeddings do better. */
+    * recall (linearly more probe keys). `multiProbe` additionally
+    * probes, per table, the buckets reached by flipping the
+    * `multiProbe` smallest-margin sign bits (query-directed
+    * multi-probe): recall rises on the PROBE side only — the corpus
+    * explode, which is what scales with data size, stays at `tables`
+    * rows per vector, so at 100 TB multi-probe buys recall strictly
+    * cheaper than more tables. Defaults (8 tables × 2 flip-probes)
+    * measured on the synthetic fixtures: top-10 recall 0.96–0.98
+    * across sf0.001–0.1 (floor-certified at 0.8 by
+    * `embed_ann_recall`) — higher than 12 tables without multi-probe
+    * at two-thirds of the corpus-side cost. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, planes: Int = 4,
-      tables: Int = 12, dim: Int = -1): DataFrame = {
+      tables: Int = 8, dim: Int = -1, multiProbe: Int = 2): DataFrame = {
     val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
@@ -111,11 +118,32 @@ object Similarity {
       array(allPlanes.zipWithIndex.map { case (hp, t) =>
         lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
       }: _*)
+    // per-table base key plus the 1-bit-flip keys of the smallest
+    // |dot| planes — the planes the query sits closest to, i.e. the
+    // neighbouring buckets most likely to hold missed neighbours
+    def probeKeysOf(v: Column): Column =
+      if (multiProbe <= 0) keysOf(v)
+      else flatten(array(allPlanes.zipWithIndex.map { case (hp, t) =>
+        val base = lshBucket(v, hp)
+        val margins = array(hp.zipWithIndex.toIndexedSeq.map { case (p, i) =>
+          struct(abs(dot(v, array(p.toIndexedSeq.map(lit): _*))).as("m"),
+            lit(i).as("i"))
+        }: _*)
+        val flips = transform(
+          slice(array_sort(margins, (a, b) =>
+            when(a.getField("m") < b.getField("m"), -1)
+              .when(a.getField("m") > b.getField("m"), 1).otherwise(0)),
+            1, math.min(multiProbe, planes)),
+          s => base.bitwiseXOR(
+              call_function("shiftleft", lit(1L), s.getField("i")))
+            .bitwiseOR(lit(t.toLong << 56)))
+        concat(array(base.bitwiseOR(lit(t.toLong << 56))), flips)
+      }: _*))
     // stage the bucket-key array (interpreted HOFs: compute once per row)
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__keys", keysOf(col("v")))
       .select(col("vec_id"), col("v"), explode(col("__keys")).as("bucket"))
-    val probes = queries.withColumn("__keys", keysOf(col("qv")))
+    val probes = queries.withColumn("__keys", probeKeysOf(col("qv")))
       .select(col("qid"), col("qv"), explode(col("__keys")).as("bucket"))
     val scored = c.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))

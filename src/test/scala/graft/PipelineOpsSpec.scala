@@ -271,9 +271,9 @@ class PipelineOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ann).size.toDouble / bf.size
     // approximate by design; random-ish embeddings are the hard case.
-    // measured 0.888 on this fixture with the default 12 tables
-    // (deterministic seeds) — floor set with margin below that
-    assert(recall >= 0.6, s"LSH recall $recall too low")
+    // measured 0.975 on this fixture with the default 8 tables ×
+    // 2 flip-probes (deterministic seeds) — floor with margin below
+    assert(recall >= 0.8, s"LSH recall $recall too low")
     // every ANN hit must be a real corpus vector scored correctly:
     // spot-check one pair's cosine against the brute-force score
     assert(ann.nonEmpty)
@@ -514,6 +514,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     val again = TextAnalysis.fingerprintWinnow(d.repartition(5), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(again === wn)
+  }
+
+  test("near-dup query plans read staged signatures — no re-hashing per join leg") {
+    // the staged localCheckpoint truncates lineage, so the executed
+    // plan of every near-dup path must contain ZERO shingle_hashes
+    // evaluations: each document was hashed exactly once, at staging
+    for ((name, df) <- Seq(
+        "nearDuplicates" -> Dedup.nearDuplicates(docs, "doc_id", "text"),
+        "simhash" -> Dedup.simhashNearDuplicates(docs, "doc_id", "text"),
+        "ngramJaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("shingle_hashes"),
+        s"$name re-hashes documents inside the query plan:\n$plan")
+    }
   }
 
   test("overlapPairs detects partial overlap only (inverted winnow index)") {
