@@ -68,31 +68,47 @@ object ColUniverse {
     def missing(names: Seq[String]): Seq[String] = names.filterNot(seq.contains)
     def append(label: String): ColUniverse = Explicit(seq :+ label)
   }
-  /** `dimsDf` must be a 1-column string relation of distinct labels. */
-  final class Deferred(val dimsDf: DataFrame) extends ColUniverse {
+  /** `baseDims` must be a 1-column string relation of distinct labels.
+    * `appended` holds labels added by `assign`-style operators AFTER
+    * the scanned lexicon: the materialized order is (sorted base
+    * labels) ++ appended, matching the Explicit path's pandas-like
+    * "new column goes last" semantics — without it, a label appended
+    * to a Deferred frame would re-sort into the middle of the lexicon
+    * and silently reorder toDense output. */
+  final class Deferred(val baseDims: DataFrame,
+      private val appended: Seq[String] = Nil) extends ColUniverse {
     /** Flipped once the lexicon lands on the driver — lets specs prove
       * an operator path stayed distributed. */
     @volatile private[graft] var materializedOnDriver = false
+    /** The scanned dims relation (without appended labels). */
+    def dimsDf: DataFrame = baseDims
     lazy val seq: Seq[String] = {
       materializedOnDriver = true
-      dimsDf.collect().map(_.getString(0)).sorted.toSeq
+      baseDims.collect().map(_.getString(0)).sorted.toSeq ++ appended
     }
-    def dims(spark: SparkSession): DataFrame = dimsDf
+    def dims(spark: SparkSession): DataFrame =
+      if (appended.isEmpty) baseDims
+      else {
+        import spark.implicits._
+        baseDims.unionByName(appended.toDF(SparseRel.COL))
+      }
     def contains(label: String): Boolean =
-      !dimsDf.filter(col(SparseRel.COL) === label).isEmpty
+      appended.contains(label) ||
+        !baseDims.filter(col(SparseRel.COL) === label).isEmpty
     def missing(names: Seq[String]): Seq[String] = {
-      val spark = dimsDf.sparkSession
+      val spark = baseDims.sparkSession
       import spark.implicits._
-      val absent = names.toDF(SparseRel.COL)
-        .join(dimsDf, Seq(SparseRel.COL), "left_anti")
-        .collect().map(_.getString(0)).toSet
-      names.filter(absent)
+      val candidates = names.filterNot(appended.contains)
+      if (candidates.isEmpty) Nil
+      else {
+        val absent = candidates.toDF(SparseRel.COL)
+          .join(baseDims, Seq(SparseRel.COL), "left_anti")
+          .collect().map(_.getString(0)).toSet
+        names.filter(absent)
+      }
     }
-    def append(label: String): ColUniverse = {
-      val spark = dimsDf.sparkSession
-      import spark.implicits._
-      new Deferred(dimsDf.unionByName(Seq(label).toDF(SparseRel.COL)))
-    }
+    def append(label: String): ColUniverse =
+      new Deferred(baseDims, appended :+ label)
   }
   def apply(labels: Seq[String]): ColUniverse = Explicit(labels)
 }
@@ -386,8 +402,10 @@ final case class SparseRel(
             .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
           ColUniverse.Explicit(renamed)
         case d: ColUniverse.Deferred =>
+          // dims(...) not dimsDf: assign-appended labels must rename too
           new ColUniverse.Deferred(
-            d.dimsDf.select(f(col(COL)).cast("string").as(COL)).distinct())
+            d.dims(df.sparkSession)
+              .select(f(col(COL)).cast("string").as(COL)).distinct())
       })
 
   /** Re-key the frame through a mapping relation `(oldKey..., newKey...)`

@@ -21,15 +21,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object HashExprs {
 
+  /** splitmix64 finalizer (avalanche stage) — the ONE definition
+    * shared by the salt stream, the rolling-hash whitener, and the
+    * hyperplane generator, so the deterministic hash streams the
+    * oracle machinery depends on can never drift apart. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   private[functions] def splitmix(seed: Long): Iterator[Long] = new Iterator[Long] {
     private var state = seed
     def hasNext = true
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+      mix64(state)
     }
   }
 
@@ -73,12 +81,8 @@ object HashExprs {
 private[functions] object RollingHash {
   final val B = 0x100000001B3L // FNV prime, odd → invertible mod 2^64
 
-  private def mix(h0: Long): Long = {
-    var z = h0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(h0: Long): Long =
+    HashExprs.mix64(h0 + 0x9E3779B97F4A7C15L)
 
   /** Finalized hash of each of the `len-w+1` windows; a text shorter
     * than `w` (or empty) yields ONE hash over the whole text. */

@@ -66,7 +66,16 @@ object Dedup {
     * leg, so the naive plan hashes every document ~4×). Materializing
     * with `localCheckpoint` (executor-local, MEMORY_AND_DISK — the
     * staged relation is k longs per doc, far smaller than the text it
-    * replaces) makes every leg read the staged arrays instead. */
+    * replaces) makes every leg read the staged arrays instead.
+    *
+    * Deliberate trade-offs of the EAGER checkpoint: (a) constructing a
+    * near-dup DataFrame runs the staging job immediately (a lazy
+    * checkpoint could not stop one action's self-join legs from racing
+    * to compute the signatures twice — the exact waste being removed);
+    * (b) checkpoint blocks are not lineage-recomputable, so an
+    * executor loss fails the query instead of recomputing — the
+    * standard `localCheckpoint` contract, same as the clustering loop
+    * below; use reliable `checkpoint` on preemptible clusters. */
   private def stagedSignatures(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame =
     signatures(docs, idCol, textCol, shingleN).localCheckpoint()

@@ -62,10 +62,7 @@ object Similarity {
     var state = seed
     def next(): Double = {
       state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
+      val z = graft.functions.HashExprs.mix64(state)
       // top 53 bits → [0,1) → [-1,1)
       (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
@@ -118,15 +115,19 @@ object Similarity {
       array(allPlanes.zipWithIndex.map { case (hp, t) =>
         lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
       }: _*)
-    // per-table base key plus the 1-bit-flip keys of the smallest
-    // |dot| planes — the planes the query sits closest to, i.e. the
-    // neighbouring buckets most likely to hold missed neighbours
+    // per-table base key plus the 1-bit-flip keys of the smallest-
+    // margin planes — the planes the query sits closest to, i.e. the
+    // neighbouring buckets most likely to hold missed neighbours.
+    // Margin is |dot|/‖plane‖ (true point-to-hyperplane distance):
+    // the random planes are not unit-norm, and ranking by raw |dot|
+    // would bias flips toward small-norm planes.
     def probeKeysOf(v: Column): Column =
       if (multiProbe <= 0) keysOf(v)
       else flatten(array(allPlanes.zipWithIndex.map { case (hp, t) =>
         val base = lshBucket(v, hp)
         val margins = array(hp.zipWithIndex.toIndexedSeq.map { case (p, i) =>
-          struct(abs(dot(v, array(p.toIndexedSeq.map(lit): _*))).as("m"),
+          val pNorm = math.sqrt(p.map(x => x * x).sum)
+          struct((abs(dot(v, array(p.toIndexedSeq.map(lit): _*))) / pNorm).as("m"),
             lit(i).as("i"))
         }: _*)
         val flips = transform(

@@ -226,12 +226,15 @@ object TextAnalysis {
       maxDocFreq: Int = 1000): DataFrame = {
     val inv = fingerprintWinnow(docs, idCol, textCol, w, g)
       .select(col(idCol).as("doc"), explode(col("fps")).as("fp"))
-      .localCheckpoint() // hash the corpus once; both join legs read staged rows
+      .localCheckpoint() // hash the corpus once (histogram + filter read this)
+    // kept is itself staged: it feeds BOTH self-join legs, and without
+    // staging each leg would re-run the df histogram aggregate + join
     val kept = inv.join(
       inv.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDocFreq)
         .select(col("fp")),
       Seq("fp"))
+      .localCheckpoint()
     kept.as("x").join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))

@@ -73,7 +73,10 @@ object SparseIO {
     val inlineLabels = rel.universe match {
       case ColUniverse.Explicit(labels) => labels
       case d: ColUniverse.Deferred =>
-        d.dimsDf.write.mode("overwrite").parquet(s"$path/dims")
+        // dims(...) not dimsDf: assign-appended labels must persist too
+        // (their append-last ordering is not round-tripped — a reread
+        // Deferred materializes sorted, like any scanned lexicon)
+        d.dims(rel.df.sparkSession).write.mode("overwrite").parquet(s"$path/dims")
         Seq.empty[String]
     }
     val meta = mapper.writeValueAsString(Map(

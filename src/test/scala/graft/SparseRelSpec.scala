@@ -368,8 +368,16 @@ class SparseRelSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](r.assignFrom("view", vals))
     // the proof: none of the above forced the lexicon onto the driver
     assert(!d.materializedOnDriver, "deferred universe was collected")
-    // and the appended universes still resolve when explicitly asked
-    assert(a.columnUniverse.contains("bias"))
-    assert(f.columnUniverse.contains("score"))
+    // appended labels materialize LAST (pandas assign semantics, same
+    // as the Explicit path) — not lexicographically resorted into the
+    // middle, which would silently reorder toDense columns
+    assert(a.columnUniverse ===
+      Seq("click", "error", "purchase", "signup", "view", "bias"))
+    assert(f.columnUniverse ===
+      Seq("click", "error", "purchase", "signup", "view", "score"))
+    // a second append stays ordered and the dims relation carries both
+    val a2 = a.assignScalar("bias2", 2.0)
+    assert(a2.columnUniverse.takeRight(2) === Seq("bias", "bias2"))
+    assert(a2.universe.dims(spark).count() === 7)
   }
 }
