@@ -59,6 +59,11 @@ object HashExprs {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column API: exact Jaccard |∩|/|∪| of two SORTED DISTINCT
+    * array<long> columns, rounded to 6 — null when both are empty. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Column API: min rolling hash over all `w`-byte windows of a text
     * column — the O(len) document fingerprint. */
   def rollingMinHash(text: Column, w: Int): Column =
@@ -68,6 +73,67 @@ object HashExprs {
     * each window of `g` consecutive `w`-byte rolling hashes. */
   def winnowHashes(text: Column, w: Int, g: Int): Column =
     ColumnBridge.column(WinnowHashes(ColumnBridge.expression(text), w, g))
+}
+
+/** `sorted_jaccard(a, b)`: |∩|/|∪| of two SORTED DISTINCT
+  * array<long> columns (the shingle-hash representation every dedup
+  * path produces), rounded to 6 decimals — one two-pointer merge,
+  * O(|a|+|b|) with zero allocation, replacing the generic
+  * `array_intersect`/`array_union` pair that builds two hash sets and
+  * two result arrays per candidate. This is the verification hot path:
+  * every LSH/simhash/prefix-filter candidate pair runs it once.
+  * Returns null when both inputs are empty (0/0 — matches SQL
+  * division-by-zero semantics of the expression it replaces).
+  * Inputs MUST be sorted distinct; results are undefined otherwise. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint>, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return null
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    // replicate Spark round(x, 6): HALF_UP decimal rounding
+    BigDecimal(inter.toDouble / union)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sjExpr", this, classOf[SortedJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.compute($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_jaccard"
 }
 
 /** Shared Karp–Rabin kernel for the fingerprint expressions: the

@@ -97,10 +97,14 @@ object Dedup {
       .distinct()
   }
 
-  /** |∩|/|∪| of two hash-set array columns, rounded to 6. */
+  /** |∩|/|∪| of two sorted-distinct hash arrays, rounded to 6 — a
+    * native two-pointer merge (graft.functions.SortedJaccard), O(n+m)
+    * per candidate with no hash-set allocation; sortedness is
+    * guaranteed by ShingleHashes. Value- and null-identical to the
+    * `round(size(array_intersect)/size(array_union), 6)` it replaced
+    * (spec-pinned property). */
   private def jaccardExpr(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double"), 6)
+    HashExprs.sortedJaccard(a, b)
 
   /** Exact Jaccard for candidate pairs over a staged (doc, sh)
     * signature relation — touches only candidates, reads staged arrays. */

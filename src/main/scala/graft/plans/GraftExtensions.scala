@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashBandKeys, RollingMinHash64, ShingleHashes, SimHash64, WinnowHashes}
+import graft.functions.{DotProduct, MinHashBandKeys, RollingMinHash64, ShingleHashes, SimHash64, SortedJaccard, WinnowHashes}
 
 /** SQL-surface registration for the engine's native expressions — the
   * `SparkSessionExtensions` integration point (builder guide §custom
@@ -78,6 +78,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 3, "winnow_hashes(text, w, g)")
         WinnowHashes(args.head, intArg(args(1), "w"), intArg(args(2), "g"))
+      }),
+    ("sorted_jaccard",
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "sorted_jaccard(a, b)")
+        SortedJaccard(args.head, args(1))
       }))
 
   /** Register every function on an already-built session. */

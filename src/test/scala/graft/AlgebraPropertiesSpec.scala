@@ -141,6 +141,24 @@ class AlgebraPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: sorted_jaccard is value- and null-identical to the generic expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{round => sqlRound, _}
+    val genSet = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50L, 50L)).map(_.distinct.sorted))
+    def opt(r: org.apache.spark.sql.Row): Option[Double] =
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    forAllSeeded(Gen.zip(genSet, genSet), n = 20) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val generic = opt(df.select(sqlRound(
+          size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b"))).cast("double"), 6)).head())
+      val native = opt(df.select(
+          graft.functions.HashExprs.sortedJaccard(col("a"), col("b"))).head())
+      assert(native === generic, s"a=$a b=$b")
+    }
+  }
+
   test("property: documents sharing a >= w+g-1-byte substring share a winnow hash") {
     val w = 16
     val g = 7
