@@ -82,6 +82,10 @@ object ColUniverse {
     @volatile private[graft] var materializedOnDriver = false
     /** The scanned dims relation (without appended labels). */
     def dimsDf: DataFrame = baseDims
+    /** Labels appended after the scanned lexicon (driver-side, tiny) —
+      * exposed so order-preserving transforms (rename) can map them
+      * locally and keep them in the appended slot. */
+    private[graft] def appendedLabels: Seq[String] = appended
     lazy val seq: Seq[String] = {
       materializedOnDriver = true
       baseDims.collect().map(_.getString(0)).sorted.toSeq ++ appended
@@ -402,10 +406,25 @@ final case class SparseRel(
             .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
           ColUniverse.Explicit(renamed)
         case d: ColUniverse.Deferred =>
-          // dims(...) not dimsDf: assign-appended labels must rename too
+          // assign-appended labels are already driver-side strings:
+          // rename them in the same tiny local job as the Explicit
+          // path and KEEP them in the appended slot — folding them
+          // into the scanned dims relation would re-sort them into
+          // the middle of the lexicon on materialization, silently
+          // reordering toDense output (the exact hazard the
+          // appended-last slot exists to prevent)
+          val renamedAppended =
+            if (d.appendedLabels.isEmpty) Nil
+            else {
+              val spark = df.sparkSession
+              import spark.implicits._
+              d.appendedLabels.zipWithIndex.toDF(COL, "__i")
+                .select(col("__i"), f(col(COL)).cast("string").as(COL))
+                .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+            }
           new ColUniverse.Deferred(
-            d.dims(df.sparkSession)
-              .select(f(col(COL)).cast("string").as(COL)).distinct())
+            d.dimsDf.select(f(col(COL)).cast("string").as(COL)).distinct(),
+            renamedAppended)
       })
 
   /** Re-key the frame through a mapping relation `(oldKey..., newKey...)`

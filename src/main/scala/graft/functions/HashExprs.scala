@@ -84,7 +84,17 @@ object HashExprs {
   * every LSH/simhash/prefix-filter candidate pair runs it once.
   * Returns null when both inputs are empty (0/0 — matches SQL
   * division-by-zero semantics of the expression it replaces).
-  * Inputs MUST be sorted distinct; results are undefined otherwise. */
+  * Inputs MUST be sorted distinct; results are undefined otherwise.
+  *
+  * Elements are read as primitive longs (`getLong`), guarded by a
+  * per-slot null check: internal producers ([[ShingleHashes]],
+  * [[WinnowHashes]], `array_sort(array_distinct)` over non-null
+  * input) never emit null elements, but the nullable-element TYPE is
+  * unavoidable — Spark file sources force `containsNull = true` on
+  * every array read back from parquet (the persisted dedup index), so
+  * analysis-time rejection would break the engine's own reload path.
+  * A null element actually encountered (possible only via the SQL
+  * surface) yields NULL instead of reading an undefined slot. */
 case class SortedJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -106,6 +116,10 @@ case class SortedJaccard(left: Expression, right: Expression)
     var j = 0
     var inter = 0
     while (i < n && j < m) {
+      // never-taken branch for all internal producers (they emit no
+      // null elements); guards the SQL surface against reading
+      // undefined primitive slots
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { inter += 1; i += 1; j += 1 }

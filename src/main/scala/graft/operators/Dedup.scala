@@ -118,12 +118,24 @@ object Dedup {
   /** Exact n-gram Jaccard for given candidate pairs: joins the
     * shingle-hash sets back and computes |∩|/|∪| with array
     * expressions — touches only candidates. The signature relation is
-    * staged so each document is hashed once, not once per join leg. */
+    * staged so each document is hashed once, not once per join leg.
+    *
+    * NOTE — eager staging, same contract as [[stagedSignatures]]:
+    * with `stage = true` (the default) merely CONSTRUCTING the
+    * returned DataFrame runs a Spark job and pins MEMORY_AND_DISK
+    * blocks that are freed only when the checkpointed RDD is GC'd, so
+    * a caller that re-builds this frame repeatedly (bench reps,
+    * interactive loops) accumulates executor storage until the driver
+    * GCs the old plans. Pass `stage = false` to keep the plan fully
+    * lazy (each join leg then re-hashes the documents — correct, just
+    * slower) when construction count, not per-query cost, dominates. */
   def jaccardFor(candidates: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, shingleN: Int): DataFrame =
-    jaccardOf(candidates,
-      docs.select(col(idCol).as("doc"),
-        shingleHashes(col(textCol), shingleN).as("sh")).localCheckpoint())
+      idCol: String, textCol: String, shingleN: Int,
+      stage: Boolean = true): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc"),
+      shingleHashes(col(textCol), shingleN).as("sh"))
+    jaccardOf(candidates, if (stage) sig.localCheckpoint() else sig)
+  }
 
   /** Near-duplicate pairs: banded MinHash-LSH candidates, then exact
     * shingle-Jaccard verification at `threshold`. The scale path: LSH

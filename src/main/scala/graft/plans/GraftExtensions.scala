@@ -80,7 +80,17 @@ object GraftExtensions {
         WinnowHashes(args.head, intArg(args(1), "w"), intArg(args(2), "g"))
       }),
     ("sorted_jaccard",
-      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      // DESCRIBE FUNCTION surfaces the preconditions: inputs must be
+      // SORTED DISTINCT (undefined results otherwise); a null element
+      // yields NULL (elements are otherwise read as primitive longs)
+      new ExpressionInfo(classOf[SortedJaccard].getName, null, "sorted_jaccard",
+        "_FUNC_(a, b) - Jaccard |intersect|/|union| of two SORTED DISTINCT " +
+          "array<bigint> columns, rounded to 6 decimals; NULL when both " +
+          "are empty. Inputs MUST be sorted distinct (as produced by " +
+          "shingle_hashes/winnow_hashes or " +
+          "array_sort(array_distinct(...))) - results are undefined " +
+          "otherwise. A null element yields NULL.",
+        "", "", "", "", "", "", ""),
       (args: Seq[Expression]) => {
         require(args.size == 2, "sorted_jaccard(a, b)")
         SortedJaccard(args.head, args(1))

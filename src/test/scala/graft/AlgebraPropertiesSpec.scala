@@ -159,6 +159,24 @@ class AlgebraPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_jaccard null-guards elements instead of reading undefined slots") {
+    // the nullable-element TYPE must be accepted (file sources force
+    // containsNull=true on parquet read — the persisted dedup index
+    // path), but an ACTUAL null element must yield NULL, never an
+    // undefined primitive read
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1)
+      .select(array(lit(1L), lit(null).cast("long")).as("a"),
+        array(lit(1L), lit(2L)).as("b"), array(lit(2L)).as("c"))
+    assert(df.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val r = df.select(
+      graft.functions.HashExprs.sortedJaccard(col("a"), col("b")).as("withNull"),
+      graft.functions.HashExprs.sortedJaccard(col("b"), col("c")).as("noNull")).head()
+    assert(r.isNullAt(0), "a null element read during the merge must poison the result")
+    assert(r.getDouble(1) === 0.5, "nullable TYPE without null values computes normally")
+  }
+
   test("property: documents sharing a >= w+g-1-byte substring share a winnow hash") {
     val w = 16
     val g = 7

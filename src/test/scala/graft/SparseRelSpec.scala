@@ -326,6 +326,23 @@ class SparseRelSpec extends SparkSpecBase {
       Seq("x_click", "x_error", "x_purchase", "x_signup", "x_view"))
   }
 
+  test("renameColsExpr keeps Deferred assign-appended labels LAST") {
+    // an appended label must survive rename in the appended slot:
+    // folding it into the scanned dims relation would re-sort it into
+    // the middle of the lexicon on materialization (silent toDense
+    // column reorder — the hazard the appended slot exists to prevent)
+    val r = SparseRel.scanEvents(
+        graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
+      .assignScalar("bias", 1.0)
+      .renameColsExpr(c => concat(lit("x_"), c))
+    assert(r.universe.isInstanceOf[ColUniverse.Deferred])
+    assert(r.columnUniverse ===
+      Seq("x_click", "x_error", "x_purchase", "x_signup", "x_view", "x_bias"))
+    // the stored cells renamed too, and the dims relation carries both
+    assert(r.df.filter(!col(COL).startsWith("x_")).count() === 0)
+    assert(r.universe.dims(spark).count() === 6)
+  }
+
   test("joinAxis1 with deferred universes combines dims distributed") {
     val ev = graft.queries.Tables.events(spark, sf)
     val a = SparseRel.scanEvents(ev, "event_type", Seq("user_id"), None)
