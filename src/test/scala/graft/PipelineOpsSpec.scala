@@ -25,6 +25,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(lsh === exact)
   }
 
+  test("nearDuplicatesChecked returns the exact pair set with a green lsh_ok flag") {
+    val checked = Dedup.nearDuplicatesChecked(docs, "doc_id", "text",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.8)
+    val rows = checked.collect()
+    assert(rows.nonEmpty, "fixture should contain planted near-duplicates")
+    // the certificate column is constant true: LSH ⊆ exact and planted
+    // (j ≥ 0.9) recall ≥ 0.9
+    assert(rows.forall(_.getBoolean(3)), "lsh_ok must hold on the fixture")
+    // row values are the DETERMINISTIC exact pair set (the de-flaked
+    // oracle contract), which on this fixture the LSH set also equals
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === exact)
+  }
+
   test("simhash near-duplicates: threshold holds, Hamming≤chunks-1 pigeonhole guarantee holds") {
     val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.5)
