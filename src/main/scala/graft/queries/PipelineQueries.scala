@@ -203,10 +203,13 @@ object PipelineQueries {
         // recall of each approximate path against the oracle-green exact
         // top-k, computed INSIDE the query (one aggregate per path, no
         // collect). Floors are measured-margin (deterministic — fixed
-        // hash seeds): observed recall across sf0.001/0.01/0.1 is
-        // lsh 0.96-0.98 (multi-probe), ivf 0.71-0.75, nearest-dup
-        // 0.59-0.72 — floors 0.8/0.5/0.5 hold everywhere with real
-        // margin while still failing on any genuine recall collapse.
+        // hash seeds and a hash-ordered training sample): observed
+        // recall across sf0.001/0.01/0.1 is lsh 0.96-0.98
+        // (multi-probe), ivf 0.788-0.838 (data-derived k-means
+        // centroids; was 0.71-0.75 with random directions),
+        // nearest-dup 0.59-0.72 — floors 0.8/0.6/0.5 hold everywhere
+        // with >=30% margin on the first two while still failing on
+        // any genuine recall collapse.
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"),
@@ -238,7 +241,7 @@ object PipelineQueries {
         recallOk("lsh",
             Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10), 0.8)
           .unionByName(recallOk("ivf",
-            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10), 0.5))
+            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10), 0.6))
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok

@@ -333,9 +333,12 @@ class PipelineOpsSpec extends SparkSpecBase {
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    // measured 0.750 on this fixture with the default nprobe=8
-    // (deterministic seeds)
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // measured 0.788-0.838 across sf0.001-0.1 with data-derived
+    // spherical-k-means centroids at the default nprobe=8
+    // (deterministic sample + seeds); was 0.71-0.75 with random
+    // directions — floor 0.6 matches the driver-visible
+    // embed_ann_recall cert with >=30% margin
+    assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
   test("assignSplits partitions every row deterministically near the weights") {
