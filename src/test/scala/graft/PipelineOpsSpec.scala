@@ -303,8 +303,11 @@ class PipelineOpsSpec extends SparkSpecBase {
     val lsh = Similarity.nearestDupLsh(emb, "vec_id", "embedding")
     val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & got).size.toDouble / exact.size
-    // measured 0.716 on this fixture (deterministic seeds)
-    assert(recall >= 0.5, s"nearest-dup LSH recall $recall too low")
+    // measured 0.973-0.992 across sf0.001-0.1 with asymmetric
+    // multi-probe (deterministic seeds; was 0.59-0.72 base-only) —
+    // floor 0.7 matches the driver-visible embed_ann_recall cert
+    // with >=30% margin
+    assert(recall >= 0.7, s"nearest-dup LSH recall $recall too low")
     // the declared scale path must never plan an all-pairs product
     val plan = lsh.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
