@@ -45,7 +45,13 @@ sealed trait ColUniverse {
   /** The universe as a 1-column (`col: string`) relation. */
   def dims(spark: SparkSession): DataFrame
   /** Membership check that never materializes a Deferred universe —
-    * one `limit(1)` probe job instead of collecting the lexicon. */
+    * one `limit(1)` probe job instead of collecting the lexicon.
+    * NOTE: for a Deferred universe each call runs one (tiny, but
+    * real) Spark job, so a loop of k `assignScalar`-style calls runs
+    * k probe jobs. If a batch consumer ever needs many membership
+    * checks at once, add a set-at-a-time variant on the model of
+    * [[missing]] (one anti-join job for the whole batch) rather than
+    * looping this. */
   def contains(label: String): Boolean
   /** The labels of `names` absent from this universe. For a Deferred
     * universe this anti-joins the (small, driver-side) name list

