@@ -124,7 +124,7 @@ object Bench {
     val total = timings.values.sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+        s""""queries":$qs,"errors":$es,"reps":$reps,"sf":${jstr(sfDir)}}"""
     println(line)
     // sbt decorates stdout with "[info] ", which defeats the driver's
     // line parse — also drop the bare line where it can be read back

@@ -465,6 +465,19 @@ object PipelineQueries {
              |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // STREAMING made driver-visible: the same tumbling aggregation
+    // executed by the Structured Streaming engine (multi-file stage →
+    // 4 micro-batches → incremental state updates → drained memory
+    // sink) must hash-match the same DuckDB oracle as the batch
+    // window_tumbling above — stream ≡ batch, checked by the driver
+    // rather than only in ScalaTest.
+    QueryDef("stream_window_tumbling",
+      (s, dir) => graft.streaming.EventStream.tumblingDrained(
+        s, Tables.events(s, dir)),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("window_sliding",
       (s, dir) => Windows.sliding(Tables.events(s, dir), "1 hour", "30 minutes"),
       Some("""WITH x AS (SELECT event_type,

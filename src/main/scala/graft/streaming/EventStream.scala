@@ -133,6 +133,49 @@ object EventStream {
       .start()
   }
 
+  private val drainCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The driver-visible face of the streaming layer: run the SAME
+    * tumbling aggregation as batch `Windows.tumbling` THROUGH the
+    * Structured Streaming engine and return the drained result as a
+    * batch DataFrame — so the stream's own output can be
+    * hash-compared against the batch SQL oracle (the
+    * `stream_window_tumbling` query).
+    *
+    * The input frame is staged as a multi-file parquet directory and
+    * streamed with `maxFilesPerTrigger=1`, so the drain executes
+    * `files` real micro-batches with incremental state-store updates —
+    * not one batch in disguise. Complete output mode + memory sink
+    * hold the final aggregate; a watermarked append-mode variant (the
+    * production shape, [[tumblingCounts]]) would never emit the
+    * trailing windows on a finite drain, which is why this entry
+    * point exists separately. Staging/sink names are unique per
+    * (process, call) so concurrent verifies cannot collide. */
+  def tumblingDrained(spark: SparkSession, events: DataFrame,
+      width: String = "1 hour", files: Int = 4): DataFrame = {
+    val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$id").getAbsolutePath
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartition(files)
+      .write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val agg = stream
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("val_sum"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("cnt"), col("val_sum"))
+    val sinkName = s"graft_stream_drain_$id"
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Wire a streaming frame to an in-memory sink (testing/debugging). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
     df.writeStream

@@ -344,6 +344,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("IVF centroid training is deterministic and partitioning-independent") {
+    // the coarse quantizer must not depend on physical layout: the
+    // training sample is chosen by (hash, id) order, so a repartition
+    // cannot change the centroids (and with them every cell assignment)
+    val a = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val b = Similarity.trainIvfCentroids(emb.repartition(7), "vec_id", "embedding",
+      nlist = 16)
+    assert(a.length === 16)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // centroids are unit-norm (spherical k-means: argmax-dot = cosine)
+    a.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"non-unit centroid norm $n")
+    }
+  }
+
   test("assignSplits partitions every row deterministically near the weights") {
     import graft.operators.Sampling
     val split = Sampling.assignSplits(docs, "doc_id",
@@ -544,6 +560,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     // evaluations: each document was hashed exactly once, at staging
     for ((name, df) <- Seq(
         "nearDuplicates" -> Dedup.nearDuplicates(docs, "doc_id", "text"),
+        "nearDuplicatesChecked" -> Dedup.nearDuplicatesChecked(docs, "doc_id", "text"),
         "simhash" -> Dedup.simhashNearDuplicates(docs, "doc_id", "text"),
         "ngramJaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))) {
       val plan = df.queryExecution.executedPlan.toString

@@ -63,6 +63,21 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("tumblingDrained (driver-visible streaming query) equals batch tumbling") {
+    // the stream_window_tumbling query's engine: multi-file staging →
+    // several micro-batches → drained Complete-mode sink must equal
+    // the batch operator row-for-row (same rounding)
+    val ev = graft.queries.Tables.events(spark, sf)
+    val streamed = EventStream.tumblingDrained(spark, ev)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.operators.Windows.tumbling(ev, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming split assignment equals batch (stateless sampling ops stream as-is)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
