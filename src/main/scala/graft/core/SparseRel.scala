@@ -419,18 +419,29 @@ final case class SparseRel(
           // the middle of the lexicon on materialization, silently
           // reordering toDense output (the exact hazard the
           // appended-last slot exists to prevent)
+          val baseRenamed =
+            d.dimsDf.select(f(col(COL)).cast("string").as(COL)).distinct()
           val renamedAppended =
             if (d.appendedLabels.isEmpty) Nil
             else {
               val spark = df.sparkSession
               import spark.implicits._
-              d.appendedLabels.zipWithIndex.toDF(COL, "__i")
+              val renamed = d.appendedLabels.zipWithIndex.toDF(COL, "__i")
                 .select(col("__i"), f(col(COL)).cast("string").as(COL))
-                .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+                .collect().sortBy(_.getInt(0)).map(_.getString(1))
+                .distinct.toSeq
+              // a Deferred dims relation is a SET (method contract
+              // above): a renamed appended label that now collides
+              // with a renamed base label is already represented
+              // there — keep it once, in the base (sorted) position,
+              // exactly as the pre-appended-slot code did. One
+              // anti-join over ≤|appended| driver-side rows.
+              val inBase = renamed.toDF(COL)
+                .join(baseRenamed, Seq(COL), "left_semi")
+                .collect().map(_.getString(0)).toSet
+              renamed.filterNot(inBase)
             }
-          new ColUniverse.Deferred(
-            d.dimsDf.select(f(col(COL)).cast("string").as(COL)).distinct(),
-            renamedAppended)
+          new ColUniverse.Deferred(baseRenamed, renamedAppended)
       })
 
   /** Re-key the frame through a mapping relation `(oldKey..., newKey...)`

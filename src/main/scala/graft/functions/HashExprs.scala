@@ -126,6 +126,12 @@ case class SortedJaccard(left: Expression, right: Expression)
       else if (x < y) i += 1
       else j += 1
     }
+    // the merge stops when the shorter side exhausts — scan the
+    // unvisited tails for nulls too (array_sort places nulls LAST,
+    // exactly where the merge never looks), so "a null element
+    // yields NULL" holds for every slot, not just visited ones
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    while (j < m) { if (b.isNullAt(j)) return null; j += 1 }
     val union = n + m - inter
     // replicate Spark round(x, 6): HALF_UP decimal rounding
     BigDecimal(inter.toDouble / union)

@@ -172,16 +172,25 @@ object Dedup {
     * trip on, and the reason this variant exists: the row VALUES are
     * reproducible SQL while a genuine LSH recall collapse still flips
     * `lsh_ok` red. One staged signature pass feeds the banded
-    * self-join, the prefix-filter join, and all verification legs. */
+    * self-join, the prefix-filter join, and all verification legs.
+    * On a pair-free corpus with a violated certificate a single
+    * sentinel row (-1, -1, -1.0, false) is emitted, so the gate can
+    * never pass vacuously. */
   def nearDuplicatesChecked(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, plantedThreshold: Double = 0.9,
       recallFloor: Double = 0.9): DataFrame = {
     val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    // lsh and exact are each referenced from multiple plan legs (the
+    // output rows plus the certificate's subset/planted/missed
+    // aggregates) — stage them like the signatures, or Catalyst
+    // re-executes the heavy self-joins once per leg (the pair sets
+    // are hundreds of rows; the sweeps they'd re-run are not)
     val lsh = jaccardOf(lshCandidatesOf(sig, k, bands), sig)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val exact = ngramJaccardPairsOf(sig, threshold)
+      .localCheckpoint()
+    val exact = ngramJaccardPairsOf(sig, threshold).localCheckpoint()
     val extra = lsh.join(exact.select(col("doc_a"), col("doc_b")),
         Seq("doc_a", "doc_b"), "left_anti")
       .agg(count(lit(1)).as("n_extra"))
@@ -194,7 +203,15 @@ object Dedup {
       .select((col("n_extra") === 0 &&
         col("n_missed") <= (lit(1.0) - recallFloor) * col("n_planted"))
         .as("lsh_ok"))
-    exact.crossJoin(broadcast(ok))
+    // the certificate must not be VACUOUS on a pair-free corpus:
+    // riding only on output rows, a false flag attached to zero rows
+    // would vanish and the empty result would still match the empty
+    // oracle — emit a sentinel row instead, turning the gate red
+    val sentinel = exact.agg(count(lit(1)).as("__n")).crossJoin(ok)
+      .filter(col("__n") === 0 && !col("lsh_ok"))
+      .select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"),
+        lit(-1.0).as("jaccard"), col("lsh_ok"))
+    exact.crossJoin(broadcast(ok)).unionByName(sentinel)
   }
 
   /** All-pairs n-gram Jaccard above a threshold — EXACT, via prefix

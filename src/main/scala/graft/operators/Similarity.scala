@@ -254,13 +254,23 @@ object Similarity {
     // a corpus no larger than maxBucket provably has no hot bucket —
     // skip the histogram pass entirely (the registered query's default
     // path at test scale; the guard engages automatically beyond it)
+    // a vector contributes at most one row per (table, bucket) on
+    // either leg, so no bucket can exceed n rows — a corpus no larger
+    // than maxBucket provably has no hot bucket even with probe keys
     val noSalt = maxBucket <= 0 || (n >= 0 && n <= maxBucket)
-    // the histogram (and the hot-bucket split map) comes from the
-    // INDEX leg's base keys; both legs sub-bucket by the same
-    // deterministic vec_id hash, so a hot-bucket pair is found iff
-    // its endpoints share a sub-bucket — same recall confinement as
-    // the symmetric join, probe keys included
-    lazy val hot = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
+    // The histogram (and the hot-bucket split map) is built from the
+    // PROBE leg when multi-probe is on: each vector's probe keys
+    // include its base key, so the probe rowset is a superset of the
+    // base rowset — a bucket made hot purely by probe-key
+    // concentration (base count under maxBucket, but a neighbouring
+    // hot cluster flipping its smallest-margin bits into it) is
+    // caught too, where a base-only histogram would let the join
+    // blow up base×probe inside it unsalted. Both legs sub-bucket by
+    // the same deterministic vec_id hash, so a hot-bucket pair is
+    // found iff its endpoints share a sub-bucket — recall confinement
+    // unchanged, salting strictly more conservative.
+    lazy val hot = (if (multiProbe <= 0) keyed else keyedProbe)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") > maxBucket)
       .withColumn("__splits", ceil(col("__bc") / lit(maxBucket.toDouble)))
       .select(col("bucket"), col("__splits"))
@@ -316,10 +326,11 @@ object Similarity {
     * the search metric. Deterministic: hash-ordered sample, splitmix64
     * seeding, fixed iteration count — re-runs and resumes agree.
     * Falls back to [[hyperplanes]] directions when the corpus has
-    * fewer than `nlist` usable vectors. */
+    * fewer than `nlist` usable vectors (`dim`, when > 0, fixes that
+    * fallback's dimension without a deriveDim job). */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, sampleSize: Int = 10000, iters: Int = 10,
-      seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] = {
+      seed: Long = 0x9E3779B97F4A7C15L, dim: Int = -1): Array[Array[Double]] = {
     val sample = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
@@ -336,7 +347,8 @@ object Similarity {
     val pts = sample.map(normalize)
     if (pts.length < nlist)
       return hyperplanes(nlist,
-        pts.headOption.map(_.length).getOrElse(deriveDim(corpus, vecCol)))
+        pts.headOption.map(_.length)
+          .getOrElse(if (dim > 0) dim else deriveDim(corpus, vecCol)))
         .map(normalize)
     def dotL(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -413,8 +425,12 @@ object Similarity {
     * nprobe for the recall/cost point instead. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
-      sampleSize: Int = 10000): DataFrame = {
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize)
+      dim: Int = -1, sampleSize: Int = 10000): DataFrame = {
+    // dim keeps its pre-k-means position and meaning (positional
+    // callers must not silently retrain on a dim-sized sample): it
+    // skips the deriveDim job on the empty-corpus fallback path
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
+      dim = dim)
     def cellOf(v: Column): Column = {
       // argmax over centroids of dot(v, c): fold keeping (best, bestIdx)
       val scores = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>

@@ -173,7 +173,18 @@ object EventStream {
     val q = agg.writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Complete).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sinkName)
+    // detach the result from the sink, then clean up: without this
+    // every call leaks a full staged copy of the events under
+    // java.io.tmpdir and a catalog-registered memory table holding
+    // the aggregate for the life of the session (repeated verify
+    // runs would accumulate both). The checkpointed result is a few
+    // thousand aggregate rows — bounded.
+    val out = spark.table(sinkName).localCheckpoint()
+    spark.catalog.dropTempView(sinkName)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    out
   }
 
   /** Wire a streaming frame to an in-memory sink (testing/debugging). */

@@ -167,14 +167,21 @@ class AlgebraPropertiesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val df = spark.range(1)
       .select(array(lit(1L), lit(null).cast("long")).as("a"),
-        array(lit(1L), lit(2L)).as("b"), array(lit(2L)).as("c"))
+        array(lit(1L), lit(2L)).as("b"), array(lit(2L)).as("c"),
+        array(lit(1L)).as("d"))
     assert(df.schema("a").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
     val r = df.select(
       graft.functions.HashExprs.sortedJaccard(col("a"), col("b")).as("withNull"),
-      graft.functions.HashExprs.sortedJaccard(col("b"), col("c")).as("noNull")).head()
+      graft.functions.HashExprs.sortedJaccard(col("b"), col("c")).as("noNull"),
+      // the null sits in the UNVISITED tail here (the merge exhausts d
+      // at the shared 1L) — which is where array_sort actually places
+      // nulls, so the tail scan must catch it too
+      graft.functions.HashExprs.sortedJaccard(col("a"), col("d")).as("tailNull"))
+      .head()
     assert(r.isNullAt(0), "a null element read during the merge must poison the result")
     assert(r.getDouble(1) === 0.5, "nullable TYPE without null values computes normally")
+    assert(r.isNullAt(2), "a null element in the unvisited tail must poison the result")
   }
 
   test("property: documents sharing a >= w+g-1-byte substring share a winnow hash") {

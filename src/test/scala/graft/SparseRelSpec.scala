@@ -343,6 +343,20 @@ class SparseRelSpec extends SparkSpecBase {
     assert(r.universe.dims(spark).count() === 6)
   }
 
+  test("renameColsExpr dedups a renamed appended label that collides with base") {
+    // a Deferred dims relation is a SET: when a rename maps an
+    // appended label onto an existing base label, the label must
+    // appear once (in its sorted base position), not twice
+    val r = SparseRel.scanEvents(
+        graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
+      .assignScalar("bias", 1.0)
+      .renameColsExpr(c => when(c === "bias", lit("click")).otherwise(c))
+    assert(r.universe.isInstanceOf[ColUniverse.Deferred])
+    assert(r.columnUniverse ===
+      Seq("click", "error", "purchase", "signup", "view"))
+    assert(r.universe.dims(spark).count() === 5)
+  }
+
   test("joinAxis1 with deferred universes combines dims distributed") {
     val ev = graft.queries.Tables.events(spark, sf)
     val a = SparseRel.scanEvents(ev, "event_type", Seq("user_id"), None)
