@@ -175,7 +175,12 @@ object Dedup {
     * self-join, the prefix-filter join, and all verification legs.
     * On a pair-free corpus with a violated certificate a single
     * sentinel row (-1, -1, -1.0, false) is emitted, so the gate can
-    * never pass vacuously. */
+    * never pass vacuously.
+    *
+    * At warehouse scale the exact sweep is verification-grade, not
+    * free: run [[nearDuplicates]] as the production operator and this
+    * variant on the audit slice (a fixture, a sampled shard, a
+    * release gate) where deterministic values are worth the sweep. */
   def nearDuplicatesChecked(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, plantedThreshold: Double = 0.9,

@@ -371,6 +371,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF survives a degenerate corpus (identical vectors, tiny corpus)") {
+    import spark.implicits._
+    // all-identical vectors: k-means++ D² weights are all zero — the
+    // seeding and Lloyd loop must not divide by zero or crash, and
+    // search must still return each query's neighbours
+    val same = (1L to 20L).map(i => (i, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(same, "vec_id", "embedding", nlist = 4)
+    assert(cents.length === 4)
+    val q = same.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val hits = Similarity.ivfTopK(same, "vec_id", "embedding", q, k = 5)
+    assert(hits.count() === 5)
+    // fewer usable vectors than nlist: falls back to hyperplane directions
+    val tiny = (1L to 3L).map(i => (i, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.trainIvfCentroids(tiny, "vec_id", "embedding", nlist = 8).length === 8)
+  }
+
   test("assignSplits partitions every row deterministically near the weights") {
     import graft.operators.Sampling
     val split = Sampling.assignSplits(docs, "doc_id",
