@@ -106,11 +106,12 @@ object Similarity {
     * `embed_ann_recall`) — higher than 12 tables without multi-probe
     * at two-thirds of the corpus-side cost. */
   /** Per-table (table-tag | sign-bucket) key array of a vector under
-    * every table's hyperplanes — the base LSH keys. */
+    * every table's hyperplanes — the base LSH keys. One native
+    * primitive pass per row ([[graft.functions.LshKeys]]); the
+    * previous `when`-folded Column chain is kept as the reference
+    * implementation in the equivalence spec. */
   private def tableKeys(v: Column, allPlanes: Seq[Array[Array[Double]]]): Column =
-    array(allPlanes.zipWithIndex.map { case (hp, t) =>
-      lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
-    }: _*)
+    graft.functions.LshKeys.keys(v, allPlanes, multiProbe = 0)
 
   /** Per-table base key PLUS the 1-bit-flip keys of the `multiProbe`
     * smallest-margin planes — the planes the vector sits closest to,
@@ -118,28 +119,12 @@ object Similarity {
     * neighbours (query-directed multi-probe). Margin is |dot|/‖plane‖
     * (true point-to-hyperplane distance): the random planes are not
     * unit-norm, and ranking by raw |dot| would bias flips toward
-    * small-norm planes. */
+    * small-norm planes. Native single pass: the interpreted
+    * `array_sort(comparator)` HOF this replaces ran once per CORPUS
+    * row on the nearestDupLsh probe leg. */
   private def tableProbeKeys(v: Column, allPlanes: Seq[Array[Array[Double]]],
       multiProbe: Int): Column =
-    if (multiProbe <= 0) tableKeys(v, allPlanes)
-    else flatten(array(allPlanes.zipWithIndex.map { case (hp, t) =>
-      val base = lshBucket(v, hp)
-      val planes = hp.length
-      val margins = array(hp.zipWithIndex.toIndexedSeq.map { case (p, i) =>
-        val pNorm = math.sqrt(p.map(x => x * x).sum)
-        struct((abs(dot(v, array(p.toIndexedSeq.map(lit): _*))) / pNorm).as("m"),
-          lit(i).as("i"))
-      }: _*)
-      val flips = transform(
-        slice(array_sort(margins, (a, b) =>
-          when(a.getField("m") < b.getField("m"), -1)
-            .when(a.getField("m") > b.getField("m"), 1).otherwise(0)),
-          1, math.min(multiProbe, planes)),
-        s => base.bitwiseXOR(
-            call_function("shiftleft", lit(1L), s.getField("i")))
-          .bitwiseOR(lit(t.toLong << 56)))
-      concat(array(base.bitwiseOR(lit(t.toLong << 56))), flips)
-    }: _*))
+    graft.functions.LshKeys.keys(v, allPlanes, multiProbe)
 
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, planes: Int = 4,

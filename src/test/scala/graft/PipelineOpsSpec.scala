@@ -355,6 +355,51 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("native lsh_keys equals the Column-composed reference (base + multi-probe)") {
+    // the reference implementation this native expression replaced:
+    // when-folded bucket bits + margin structs + stable array_sort
+    import spark.implicits._
+    def refProbeKeys(v: org.apache.spark.sql.Column,
+        allPlanes: Seq[Array[Array[Double]]], multiProbe: Int) =
+      if (multiProbe <= 0)
+        array(allPlanes.zipWithIndex.map { case (hp, t) =>
+          Similarity.lshBucket(v, hp).bitwiseOR(lit(t.toLong << 56))
+        }: _*)
+      else flatten(array(allPlanes.zipWithIndex.map { case (hp, t) =>
+        val base = Similarity.lshBucket(v, hp)
+        val margins = array(hp.zipWithIndex.toIndexedSeq.map { case (p, i) =>
+          val pNorm = math.sqrt(p.map(x => x * x).sum)
+          struct((abs(graft.functions.HashExprs.dotProduct(v,
+            array(p.toIndexedSeq.map(lit): _*))) / pNorm).as("m"),
+            lit(i).as("i"))
+        }: _*)
+        val flips = transform(
+          slice(array_sort(margins, (a, b) =>
+            when(a.getField("m") < b.getField("m"), -1)
+              .when(a.getField("m") > b.getField("m"), 1).otherwise(0)),
+            1, math.min(multiProbe, hp.length)),
+          s => base.bitwiseXOR(
+              call_function("shiftleft", lit(1L), s.getField("i")))
+            .bitwiseOR(lit(t.toLong << 56)))
+        concat(array(base.bitwiseOR(lit(t.toLong << 56))), flips)
+      }: _*))
+    val vecs = emb.limit(50)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val dims = vecs.select(size(col("v"))).head().getInt(0)
+    val planes = (0 until 8).map(t =>
+      Similarity.hyperplanes(5, dims, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+    for (mp <- Seq(0, 1, 2, 3)) {
+      val rows = vecs.select(col("vec_id"),
+          graft.functions.LshKeys.keys(col("v"), planes, mp).as("native"),
+          refProbeKeys(col("v"), planes, mp).as("reference"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"mp=$mp vec=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("IVF centroid training is deterministic and partitioning-independent") {
     // the coarse quantizer must not depend on physical layout: the
     // training sample is chosen by (hash, id) order, so a repartition
