@@ -416,30 +416,15 @@ object Similarity {
     // skips the deriveDim job on the empty-corpus fallback path
     val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
       dim = dim)
-    def cellOf(v: Column): Column = {
-      // argmax over centroids of dot(v, c): fold keeping (best, bestIdx)
-      val scores = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct(dot(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("i"))
-      }: _*)
-      element_at(array_sort(scores,
-        (a, b) => when(a.getField("s") > b.getField("s"), -1)
-          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1)
-        .getField("i")
-    }
-    def cellsOf(v: Column, n: Int): Column = {
-      val scores = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct(dot(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("i"))
-      }: _*)
-      transform(
-        slice(array_sort(scores,
-          (a, b) => when(a.getField("s") > b.getField("s"), -1)
-            .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, n),
-        s => s.getField("i"))
-    }
+    // cell assignment is one native IvfCells pass per row (argmax /
+    // top-nprobe over centroid dots) — the interpreted array_sort
+    // comparator it replaces ran once per CORPUS row; the old chain
+    // survives as the reference implementation in the equivalence spec
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", cellOf(col("v")))
+      .withColumn("cell",
+        element_at(graft.functions.IvfCells.cells(col("v"), cents, 1), 1))
     val probes = queries.select(col("qid"), col("qv"),
-      explode(cellsOf(col("qv"), nprobe)).as("cell"))
+      explode(graft.functions.IvfCells.cells(col("qv"), cents, nprobe)).as("cell"))
     val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),

@@ -400,6 +400,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("native ivf_cells equals the Column-composed reference (top-nprobe cells)") {
+    // the replaced chain: score structs + stable descending array_sort
+    def refCells(v: org.apache.spark.sql.Column,
+        cents: Array[Array[Double]], n: Int) = {
+      val scores = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(graft.functions.HashExprs.dotProduct(v,
+          array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("i"))
+      }: _*)
+      transform(
+        slice(array_sort(scores,
+          (a, b) => when(a.getField("s") > b.getField("s"), -1)
+            .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, n),
+        s => s.getField("i"))
+    }
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val vecs = emb.limit(50)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    for (n <- Seq(1, 4, 8, 16)) {
+      val rows = vecs.select(col("vec_id"),
+          graft.functions.IvfCells.cells(col("v"), cents, n).as("native"),
+          refCells(col("v"), cents, n).as("reference"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"n=$n vec=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("IVF centroid training is deterministic and partitioning-independent") {
     // the coarse quantizer must not depend on physical layout: the
     // training sample is chosen by (hash, id) order, so a repartition
