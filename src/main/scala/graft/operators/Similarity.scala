@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   *    (with optional multi-probe on 1-bit flips). At 100 TB this is the
   *    shape that scales: the bucket id is a shuffle key, no all-pairs.
   *
-  * All vector math is `zip_with`/`aggregate` expressions over doubles —
-  * whole-stage codegen, no UDFs.
+  * All vector math runs as native codegen'd expressions over doubles
+  * (`DotProduct`, `LshKeys`, `IvfCells` — `graft.functions`): no UDFs
+  * and no interpreted higher-order functions on corpus-sized paths.
   */
 object Similarity {
 
-  /** Cast an array<float> to array<double> for stable math. */
-  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Cast an array<float> to array<double> for stable math — a plain
+    * array `Cast` (whole-stage-codegen'd), not a `transform` lambda
+    * (higher-order functions evaluate interpreted and break the
+    * codegen span on every corpus row). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
     graft.functions.HashExprs.dotProduct(a, b)
