@@ -355,6 +355,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("nearDuplicatesChecked on a pair-free corpus returns empty, no vacuous sentinel") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "lambda mu nu xi omicron")).toDF("doc_id", "text")
+    // no pairs and a holding certificate → empty result (matches an
+    // empty oracle); the sentinel row appears only if the cert FAILS
+    assert(Dedup.nearDuplicatesChecked(d, "doc_id", "text").count() === 0)
+  }
+
+  test("nearestDupLsh on an empty corpus returns empty without crashing") {
+    val none = emb.filter(col("vec_id") < 0)
+    assert(Similarity.nearestDupLsh(none, "vec_id", "embedding").count() === 0)
+  }
+
   test("native lsh_keys equals the Column-composed reference (base + multi-probe)") {
     // the reference implementation this native expression replaced:
     // when-folded bucket bits + margin structs + stable array_sort
