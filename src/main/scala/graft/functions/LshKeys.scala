@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * plane index, matching the stable `array_sort`). A vector whose
   * length differs from the plane dimension raises, like
   * [[DotProduct]] — a silent truncation would quietly corrupt bucket
-  * assignments. */
+  * assignments. A null ELEMENT (possible on any parquet-read
+  * embedding — file sources force `containsNull = true`) yields NULL
+  * for the row instead of reading an undefined primitive slot, the
+  * same contract as [[SortedJaccard]]. */
 case class LshKeys(child: Expression,
     planes: Array[Array[Array[Double]]], multiProbe: Int)
     extends UnaryExpression {
@@ -44,6 +47,13 @@ case class LshKeys(child: Expression,
     planes.map(hp => 1 + math.min(math.max(0, multiProbe), hp.length)).sum
 
   def compute(v: ArrayData): ArrayData = {
+    // one prescan instead of a per-plane per-slot branch: the dot
+    // loops below re-read every slot tables×planes times
+    var s = 0
+    while (s < v.numElements()) {
+      if (v.isNullAt(s)) return null
+      s += 1
+    }
     val out = new Array[Long](totalKeys)
     var o = 0
     var t = 0
@@ -97,9 +107,14 @@ case class LshKeys(child: Expression,
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshKeysExpr", this, classOf[LshKeys].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshKeys =
@@ -122,7 +137,8 @@ object LshKeys {
   * replaces), in ONE primitive pass per row. The replaced expression
   * sorted an nlist-element struct array with an interpreted lambda
   * comparator — per CORPUS row on the IVF assignment side. Same
-  * dimension-mismatch contract as [[LshKeys]]/[[DotProduct]]. */
+  * dimension-mismatch and null-element contracts as [[LshKeys]]:
+  * a null slot in a parquet-read embedding yields NULL for the row. */
 case class IvfCells(child: Expression,
     centroids: Array[Array[Double]], n: Int)
     extends UnaryExpression {
@@ -136,6 +152,11 @@ case class IvfCells(child: Expression,
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
 
   def compute(v: ArrayData): ArrayData = {
+    var s = 0
+    while (s < v.numElements()) {
+      if (v.isNullAt(s)) return null
+      s += 1
+    }
     val k = math.min(math.max(1, n), centroids.length)
     // selection buffer of the k LARGEST dots, descending; ties keep
     // the earlier centroid index (strict-> insertion)
@@ -167,9 +188,14 @@ case class IvfCells(child: Expression,
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ivfCellsExpr", this, classOf[IvfCells].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfCells =

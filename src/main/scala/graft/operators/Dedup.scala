@@ -212,9 +212,14 @@ object Dedup {
     // riding only on output rows, a false flag attached to zero rows
     // would vanish and the empty result would still match the empty
     // oracle — emit a sentinel row instead, turning the gate red
+    // cast the sentinel ids to exact's ACTUAL id type: with a string
+    // idCol, a bare lit(-1L) would make unionByName coerce doc_a/doc_b
+    // to string for the whole result — silent schema drift vs
+    // nearDuplicates and the exact path
     val sentinel = exact.agg(count(lit(1)).as("__n")).crossJoin(ok)
       .filter(col("__n") === 0 && !col("lsh_ok"))
-      .select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"),
+      .select(lit(-1L).cast(exact.schema("doc_a").dataType).as("doc_a"),
+        lit(-1L).cast(exact.schema("doc_b").dataType).as("doc_b"),
         lit(-1.0).as("jaccard"), col("lsh_ok"))
     exact.crossJoin(broadcast(ok)).unionByName(sentinel)
   }

@@ -138,7 +138,8 @@ object Similarity {
       hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
     def keysOf(v: Column): Column = tableKeys(v, allPlanes)
     def probeKeysOf(v: Column): Column = tableProbeKeys(v, allPlanes, multiProbe)
-    // stage the bucket-key array (interpreted HOFs: compute once per row)
+    // keys are one native LshKeys pass per row: compute the
+    // tables×planes dot products once, shuffle only (id, bucket) longs
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__keys", keysOf(col("v")))
       .select(col("vec_id"), col("v"), explode(col("__keys")).as("bucket"))

@@ -160,31 +160,35 @@ object EventStream {
         col("event_type"), col("value"))
       .repartition(files)
       .write.mode("overwrite").parquet(stage)
-    val stream = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-    val agg = stream
-      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("val_sum"))
-      .select(col("w.start").as("ws"), col("event_type"),
-        col("cnt"), col("val_sum"))
-    val sinkName = s"graft_stream_drain_$id"
-    val q = agg.writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
-    // detach the result from the sink, then clean up: without this
-    // every call leaks a full staged copy of the events under
-    // java.io.tmpdir and a catalog-registered memory table holding
-    // the aggregate for the life of the session (repeated verify
-    // runs would accumulate both). The checkpointed result is a few
-    // thousand aggregate rows — bounded.
-    val out = spark.table(sinkName).localCheckpoint()
-    spark.catalog.dropTempView(sinkName)
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    out
+    // delete the stage in a finally: a failed or interrupted stream
+    // must not leak a full staged parquet copy of the events per call
+    try {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val agg = stream
+        .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("val_sum"))
+        .select(col("w.start").as("ws"), col("event_type"),
+          col("cnt"), col("val_sum"))
+      val sinkName = s"graft_stream_drain_$id"
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+      // detach the result from the sink, then drop it: without this
+      // every call leaks a catalog-registered memory table holding
+      // the aggregate for the life of the session (repeated verify
+      // runs would accumulate them). The checkpointed result is a few
+      // thousand aggregate rows — bounded.
+      val out = spark.table(sinkName).localCheckpoint()
+      spark.catalog.dropTempView(sinkName)
+      out
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(stage)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
   }
 
   /** Wire a streaming frame to an in-memory sink (testing/debugging). */

@@ -443,6 +443,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lsh_keys and ivf_cells yield NULL on a null vector element, not garbage") {
+    // parquet-read embeddings carry containsNull=true; an actual null
+    // slot must surface as a NULL row (the SortedJaccard contract),
+    // never as an undefined-slot read silently corrupting buckets
+    import spark.implicits._
+    val planes = Seq(Similarity.hyperplanes(4, 3, seed = 7L))
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val vecs = Seq((1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+        (2L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val rows = vecs.select(col("vec_id"),
+        graft.functions.LshKeys.keys(col("v"), planes, 2).as("lsh"),
+        graft.functions.IvfCells.cells(col("v"), cents, 2).as("ivf"))
+      .orderBy(col("vec_id")).collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1), "null element must yield NULL lsh keys")
+    assert(rows(1).isNullAt(2), "null element must yield NULL ivf cells")
+  }
+
+  test("nearDuplicatesChecked keeps a string id type through the sentinel union") {
+    // the sentinel leg casts its -1 ids to the exact path's id type;
+    // without that, unionByName would coerce doc_a/doc_b for EVERY
+    // result (schema drift vs nearDuplicates appears at plan time, so
+    // asserting the schema suffices — no need to trigger the sentinel)
+    import spark.implicits._
+    val d = Seq(("a", "alpha beta gamma delta epsilon"),
+      ("b", "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val checked = Dedup.nearDuplicatesChecked(d, "doc_id", "text")
+    assert(checked.schema("doc_a").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(checked.schema("doc_b").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("IVF centroid training is deterministic and partitioning-independent") {
     // the coarse quantizer must not depend on physical layout: the
     // training sample is chosen by (hash, id) order, so a repartition
