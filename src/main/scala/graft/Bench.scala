@@ -24,15 +24,18 @@ object Bench {
     * alone (~0.8 s vs ~2.2 s at sf0.1). `overlap_recall_cert` (added
     * round 5) times the winnowing inverted-index self-join — the
     * newest heavy join previously absent from the bench — plus its
-    * certificate's planted-pair sweep. */
+    * certificate's planted-pair sweep. `embed_ann_sq8` and
+    * `decontaminate_bloom_cert` (added round 6) time the
+    * int8-quantized scan + exact rerank and the Bloom-filter
+    * decontamination scan + its exact-join certificate. */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
     "q1_agg", "q3_join", "price_quantiles", "label_centroids",
     "dedup_exact", "dedup_minhash_lsh", "dedup_survivors",
     "text_stats", "token_count", "chunk_documents", "fingerprint_rolling",
-    "overlap_recall_cert",
-    "embed_cosine_topk", "embed_nearest_dup_lsh",
+    "overlap_recall_cert", "decontaminate_bloom_cert",
+    "embed_cosine_topk", "embed_ann_sq8", "embed_nearest_dup_lsh",
     "window_tumbling", "distinct_users_approx",
     "asof_join", "range_join", "sample_split", "pack_sequences")
 

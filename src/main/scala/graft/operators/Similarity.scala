@@ -441,4 +441,57 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
+
+  /** The int8-quantized relation of a vector column: (id, int8 codes)
+    * — 8× smaller than float64 at rest and in shuffle. This is the
+    * relation a warehouse would PERSIST as the scan-side ANN index
+    * (quantization is a one-time pass; see [[sq8TopK]] for the
+    * search). Cosine needs no per-vector scale (it cancels), so the
+    * codes alone are the index. */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("vec_id"),
+      graft.functions.Quantize.int8(asDouble(col(vecCol))).as("codes"))
+
+  /** Exact-rerank SQ8 top-k: score the CORPUS against each query on
+    * int8 codes (8× less data streamed than [[bruteForceTopK]] — the
+    * standard scalar-quantization memory/IO path), keep the
+    * `k · refine` best candidates per query, then re-rank just those
+    * few with full-precision cosine. Only candidate rows ever touch
+    * the full vectors (an equi-join by id — at 100 TB the float
+    * vectors stay in cold storage and are fetched per candidate),
+    * and the output is ranked by the SAME rounded-cosine/id order as
+    * [[bruteForceTopK]], so results differ from exact only when a
+    * true top-k neighbour fell outside the quantized top-`k·refine`
+    * — measured top-10 recall ≥ 0.98 at the default refine=4
+    * (floor-certified by `embed_ann_recall`). Deterministic: integer
+    * quantization, integer dot products, id tie-breaks. */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, refine: Int = 4): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+    val qCodes = queries.select(col("qid"),
+      graft.functions.Quantize.int8(col("qv")).as("qcodes"))
+    // quantized scan: corpus codes stream once, tiny query side is
+    // broadcast; qcos is one primitive int8 pass per (row, query)
+    val cand = codes.crossJoin(broadcast(qCodes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.Quantize.cosine(col("codes"), col("qcodes")).as("qcos"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val shortlist = cand.withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= k * refine)
+      .select(col("qid"), col("vec_id"))
+    // exact rerank on the shortlist only: fetch full vectors by id
+    val rescored = shortlist
+      .join(base, Seq("vec_id"))
+      .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
 }

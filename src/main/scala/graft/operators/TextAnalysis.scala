@@ -209,6 +209,42 @@ object TextAnalysis {
     docs.select(col(idCol),
       graft.functions.HashExprs.winnowHashes(col(textCol), w, g).as("fps"))
 
+  /** Bloom-filter decontamination: score every corpus document against
+    * the n-gram set of a benchmark/eval relation WITHOUT joining the
+    * corpus — the 100 TB shape for eval-set decontamination. The
+    * benchmark side (small by nature: eval sets are fixed and tiny
+    * relative to training corpora) is aggregated once into a Bloom
+    * filter over its shingle hashes, which rides to every executor
+    * inside a native expression ([[graft.functions.BloomLongHits]]);
+    * each corpus document is then scored in place during the scan —
+    * its n-grams never shuffle, and no corpus-sized join exists in the
+    * plan. Contrast [[contamination]], which is exact but carries the
+    * probe strings as literals and only scales to a handful of probes.
+    *
+    * Guarantees: ZERO false negatives (every document truly sharing an
+    * n-gram with the benchmark reports `contaminated`), false
+    * positives bounded by `fpp` per n-gram (default 1e-6: a 1000-gram
+    * document is falsely flagged with p ≈ 1e-3; tighten fpp for
+    * aggressive-drop pipelines). Output: (id, bloom_hits,
+    * contaminated). Deterministic given (benchmark n-gram set, fpp) —
+    * Spark's Bloom build is order-independent bit-OR aggregation.
+    * Driver-visible via `decontaminate_bloom_cert`, which checks both
+    * guarantees against the exact shingle join. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3, fpp: Double = 1e-6): DataFrame = {
+    val benchHashes = benchmark.select(
+      explode(Dedup.shingleHashes(col(benchTextCol), n)).as("h"))
+    // expectedNumItems sizes the bitset; one count over the (small)
+    // benchmark side keeps the build deterministic and honestly sized
+    val nItems = math.max(1L, benchHashes.distinct().count())
+    val bloom = benchHashes.stat.bloomFilter("h", nItems, fpp)
+    corpus.select(col(idCol),
+        graft.functions.BloomLongHits.hits(
+          Dedup.shingleHashes(col(textCol), n), bloom).as("bloom_hits"))
+      .withColumn("contaminated", col("bloom_hits") > 0)
+  }
+
   /** Document pairs sharing at least `minShared` winnowing fingerprint
     * values — PARTIAL-overlap detection (boilerplate, quotation,
     * licence headers, copy-paste) that whole-document similarity ops

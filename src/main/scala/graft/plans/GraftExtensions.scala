@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashBandKeys, RollingMinHash64, ShingleHashes, SimHash64, SortedJaccard, WinnowHashes}
+import graft.functions.{DotProduct, MinHashBandKeys, QuantizeInt8, QuantizedCosine, RollingMinHash64, ShingleHashes, SimHash64, SortedJaccard, WinnowHashes}
 
 /** SQL-surface registration for the engine's native expressions — the
   * `SparkSessionExtensions` integration point (builder guide §custom
@@ -94,6 +94,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "sorted_jaccard(a, b)")
         SortedJaccard(args.head, args(1))
+      }),
+    ("quantize_int8",
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "quantize_int8(v)")
+        QuantizeInt8(args.head)
+      }),
+    ("quantized_cosine",
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "quantized_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "quantized_cosine(a, b)")
+        QuantizedCosine(args.head, args(1))
       }))
 
   /** Register every function on an already-built session. */

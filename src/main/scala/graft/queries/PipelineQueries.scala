@@ -162,6 +162,22 @@ object PipelineQueries {
       },
       None), // bucket membership depends on hash planes — recall ScalaTest
 
+    QueryDef("embed_ann_sq8",
+      (s, dir) => {
+        // int8-quantized scan + exact rerank (the scalar-quantization
+        // memory/IO path): candidate membership depends on the
+        // quantized preselection, so no SQL oracle on the rows —
+        // recall vs the exact top-k is floored driver-visibly by
+        // embed_ann_recall (observed ≥0.98 at refine=4) and the
+        // quantization kernels are property-tested in ScalaTest.
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      None),
+
     QueryDef("embed_nearest_dup",
       (s, dir) => {
         // embedding-cosine near-dup: every vector's single nearest
@@ -243,10 +259,13 @@ object PipelineQueries {
             Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10), 0.8)
           .unionByName(recallOk("ivf",
             Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10), 0.6))
+          .unionByName(recallOk("sq8",
+            Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.9))
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok
              |UNION ALL SELECT 'ivf', TRUE
+             |UNION ALL SELECT 'sq8', TRUE
              |UNION ALL SELECT 'nearest_dup_lsh', TRUE""".stripMargin)),
 
     QueryDef("label_centroids",
@@ -741,6 +760,70 @@ object PipelineQueries {
       Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
               |TRUE AS recall_ok
               |FROM (${jaccardOracle(3, "0.9")})""".stripMargin)),
+
+    QueryDef("decontaminate_bloom_cert",
+      (s, dir) => {
+        // Bloom decontamination vs the exact shingle join, both
+        // guarantees checked in-query: (1) zero false negatives —
+        // structural (the filter contains every benchmark hash) but
+        // asserted against the independent exact join anyway; (2) the
+        // false-positive count stays inside a generous bound derived
+        // from fpp (1e-6 per n-gram → expected ~1e-3 per ~1k-gram doc;
+        // bound = max(5, 1% of corpus)). Benchmark = the deterministic
+        // doc_id % 20 == 0 slice, corpus = the rest, so the planted
+        // near-dup pairs make real cross-slice contamination. n = 5
+        // (real decontamination uses longer n-grams than dedup): at
+        // n=3 the synthetic corpus shares short phrases so broadly
+        // that ~100% counts contaminated and the FP bound is vacuous;
+        // at n=5 the contaminated set is the planted overlaps (2-132
+        // docs across SFs) and BOTH directions of the cert have mass.
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        // referenced from two certificate legs (false-negative probe +
+        // bloom-hit count) — stage it, or the scan+Bloom probe reruns
+        val res = TextAnalysis.decontaminate(corpus, "doc_id", "text",
+          bench, "text", n = 5, fpp = 1e-6).localCheckpoint()
+        val benchH = bench.select(
+          explode(Dedup.shingleHashes(col("text"), 5)).as("h")).distinct()
+        val exact = corpus.select(col("doc_id"),
+            explode(Dedup.shingleHashes(col("text"), 5)).as("h"))
+          .join(broadcast(benchH), Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct().localCheckpoint()
+        val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+        val nExact = exact.agg(count(lit(1)).as("n_contaminated"))
+        val falseNeg = exact.join(res.filter(!col("contaminated")),
+            Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("__fn"))
+        val nBloom = res.filter(col("contaminated"))
+          .agg(count(lit(1)).as("__nb"))
+        nCorpus.crossJoin(nExact).crossJoin(falseNeg).crossJoin(nBloom)
+          .select(col("n_corpus"), col("n_contaminated"),
+            (col("__fn") === 0).as("no_false_negatives"),
+            (col("__nb") - col("n_contaminated") <=
+              greatest(lit(5L), ceil(col("n_corpus") * 0.01).cast("long")))
+              .as("fp_bound_ok"))
+      },
+      Some {
+        val sh5 = (1 to 5).map(j => s"l[i+${j - 1}]").mkString(" || chr(1) || ")
+        s"""WITH b AS (
+           |  SELECT DISTINCT unnest(list_distinct(
+           |    [$sh5 FOR i IN range(1, len(l) - 3)])) AS sg
+           |  FROM (SELECT string_split(text, ' ') AS l FROM documents
+           |        WHERE doc_id % 20 = 0)
+           |  WHERE len(l) >= 5),
+           |c AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    [$sh5 FOR i IN range(1, len(l) - 3)])) AS sg
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           |        WHERE doc_id % 20 <> 0)
+           |  WHERE len(l) >= 5),
+           |hits AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (sg))
+           |SELECT
+           |  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 <> 0) AS n_corpus,
+           |  CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_contaminated,
+           |  TRUE AS no_false_negatives, TRUE AS fp_bound_ok""".stripMargin
+      }),
 
     QueryDef("simhash_recall_cert",
       (s, dir) => {

