@@ -84,6 +84,32 @@ object Sampling {
       .limit(k)
       .drop("__draw")
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shuffle_pos` — its rank under `md5(seed ‖ key)` order — the
+    * data-order randomization a pretraining pipeline runs before
+    * sharding, reproducible across re-runs/retries/layouts (change
+    * `seed` per epoch for a fresh order). Distributed shape: the sort
+    * is Spark's range-partitioned exchange + per-partition sort (the
+    * layout you'd write shards from at 100 TB), and positions come
+    * from RDD `zipWithIndex` — a per-partition count job plus offset
+    * arithmetic, NOT a `row_number` window funneling every row
+    * through one partition (same shape as `SparseRel.takeRowsAt`).
+    * Duplicate keys draw identical ranks' neighbourhoods (their
+    * relative order is immaterial — the rows are interchangeable);
+    * the result SET of (row, pos) is deterministic for distinct
+    * keys. */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: String = ""): DataFrame = {
+    val keyed = df
+      .withColumn("__draw", md5(concat(lit(seed), col(keyCol).cast("string"))))
+      .orderBy(col("__draw"), col(keyCol))
+    val schema = keyed.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType)
+    df.sparkSession.createDataFrame(
+        keyed.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        schema)
+      .drop("__draw")
+  }
+
   /** Deterministic weighted mixture of sources: rows tagged by
     * `sourceCol` are down-sampled so the EXPECTED output composition
     * matches `targetWeights` while keeping as much data as possible —

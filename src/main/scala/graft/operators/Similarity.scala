@@ -466,9 +466,35 @@ object Similarity {
     * (floor-certified by `embed_ann_recall`). Deterministic: integer
     * quantization, integer dot products, id tie-breaks. */
   def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, refine: Int = 4): DataFrame = {
-    val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val codes = quantizeInt8(corpus, idCol, vecCol)
+      queries: DataFrame, k: Int, refine: Int = 4): DataFrame =
+    sq8Search(quantizeInt8(corpus, idCol, vecCol),
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      queries, k, refine)
+
+  /** Persist the SQ8 code relation as a parquet index — the one-time
+    * quantization pass. At warehouse scale this index is the HOT
+    * relation (8× smaller than the float64 vectors) and the vectors
+    * stay cold: [[sq8TopKFromIndex]] scans only the codes and fetches
+    * full vectors per shortlisted candidate. */
+  def writeSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit =
+    quantizeInt8(corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[sq8TopK]] against a pre-built [[writeSq8Index]] index: the
+    * quantized scan reads the (small) code parquet; `corpus` is
+    * touched only by the per-candidate rerank join. Output is
+    * identical to [[sq8TopK]] over the same corpus (quantization is
+    * deterministic), spec-pinned. */
+  def sq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, refine: Int = 4): DataFrame =
+    sq8Search(spark.read.parquet(path),
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      queries, k, refine)
+
+  private def sq8Search(codes: DataFrame, base: DataFrame,
+      queries: DataFrame, k: Int, refine: Int): DataFrame = {
     val qCodes = queries.select(col("qid"),
       graft.functions.Quantize.int8(col("qv")).as("qcodes"))
     // quantized scan: corpus codes stream once, tiny query side is

@@ -647,6 +647,17 @@ object PipelineQueries {
              |ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
              |LIMIT 50""".stripMargin)),
 
+    QueryDef("shuffle_order",
+      (s, dir) => Sampling.shuffleOrder(Tables.documents(s, dir)
+            .select(col("doc_id")), "doc_id", seed = "r6")
+        .select(col("doc_id"), col("shuffle_pos")),
+      // the training-order shuffle is a pure function of (seed, key):
+      // the oracle recomputes the md5 rank directly
+      Some("""SELECT doc_id,
+             |ROW_NUMBER() OVER (ORDER BY md5('r6' || CAST(doc_id AS VARCHAR)),
+             |                   doc_id) - 1 AS shuffle_pos
+             |FROM documents""".stripMargin)),
+
     QueryDef("rebalance_mix",
       (s, dir) => Sampling.rebalanceMix(Tables.documents(s, dir),
           "doc_id", "source",

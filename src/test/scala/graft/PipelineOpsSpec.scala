@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, Windows}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis, Windows}
 import graft.queries.Tables
 
 /** Behavior tests for the training-data-pipeline operators whose
@@ -541,6 +541,43 @@ class PipelineOpsSpec extends SparkSpecBase {
     // so a miss needs a true neighbour outside the quantized top-40) —
     // floor 0.9 matches the driver-visible embed_ann_recall cert
     assert(recall >= 0.9, s"SQ8 recall $recall too low")
+  }
+
+  test("sq8TopKFromIndex over a persisted index equals the direct path") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sq8_idx_${ProcessHandle.current().pid()}").getAbsolutePath
+    try {
+      Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+      val direct = Similarity.sq8TopK(emb, "vec_id", "embedding", queries, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val fromIdx = Similarity.sq8TopKFromIndex(spark, idx, emb, "vec_id",
+          "embedding", queries, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(fromIdx === direct)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("shuffleOrder is a deterministic layout-proof permutation; seeds decorrelate") {
+    val ids = docs.select(col("doc_id"))
+    val a = Sampling.shuffleOrder(ids, "doc_id", seed = "e1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = a.size
+    // a permutation: every position 0..n-1 exactly once
+    assert(a.values.toSeq.sorted === (0L until n))
+    // physical layout must not change the order (retry/re-run safety)
+    val b = Sampling.shuffleOrder(ids.repartition(7), "doc_id", seed = "e1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === a)
+    // a different seed (epoch) produces a genuinely different order
+    val c = Sampling.shuffleOrder(ids, "doc_id", seed = "e2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.count { case (id, p) => c(id) == p } < n / 10,
+      "epoch seeds should decorrelate the order")
   }
 
   test("bloom decontamination: zero false negatives, bounded false positives, layout-proof") {
