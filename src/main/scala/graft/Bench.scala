@@ -37,7 +37,8 @@ object Bench {
     "overlap_recall_cert", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_nearest_dup_lsh",
     "window_tumbling", "distinct_users_approx",
-    "asof_join", "range_join", "sample_split", "pack_sequences")
+    "asof_join", "range_join", "sample_split", "shuffle_order",
+    "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

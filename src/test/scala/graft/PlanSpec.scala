@@ -89,4 +89,36 @@ class PlanSpec extends SparkSpecBase {
     val k = plan(Sampling.sampleExactK(docs, "doc_id", 10))
     assert(k.contains("TakeOrderedAndProject"), s"exact-k not partial top-k:\n$k")
   }
+
+  test("bloom decontamination plans one corpus scan — no join, no shuffle") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    // the benchmark side aggregates into the filter BEFORE this plan
+    // exists; the corpus-side plan must be a pure map stage — the
+    // whole point of the Bloom path is that corpus n-grams never
+    // enter a join or a shuffle
+    val p = plan(TextAnalysis.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      bench, "text", n = 5))
+    assert(!p.contains("Join"), s"corpus-side join crept in:\n$p")
+    assert(!p.contains("Exchange"), s"corpus-side shuffle crept in:\n$p")
+  }
+
+  test("shuffleOrder enumerates via range-partitioned sort, never a global window") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val shuffled = Sampling.shuffleOrder(docs, "doc_id", seed = "p")
+    // the output frame is built from the zipWithIndex RDD, so assert
+    // on the SORT stage's plan: rank order comes from a rangepartitioning
+    // exchange + local sort, not a Window over one partition
+    val keyed = docs
+      .withColumn("__draw", md5(concat(lit("p"), col("doc_id").cast("string"))))
+      .orderBy(col("__draw"), col("doc_id"))
+    val p = plan(keyed)
+    assert(p.contains("rangepartitioning"), s"sort not range-partitioned:\n$p")
+    assert(!p.contains("Window"), s"window crept into the shuffle order:\n$p")
+    assert(!plan(shuffled).contains("Window"),
+      "window crept into the enumerated output")
+  }
 }
