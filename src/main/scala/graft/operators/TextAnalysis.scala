@@ -236,13 +236,21 @@ object TextAnalysis {
     val benchHashes = benchmark.select(
       explode(Dedup.shingleHashes(col(benchTextCol), n)).as("h"))
     // expectedNumItems sizes the bitset; one count over the (small)
-    // benchmark side keeps the build deterministic and honestly sized
-    val nItems = math.max(1L, benchHashes.distinct().count())
-    val bloom = benchHashes.stat.bloomFilter("h", nItems, fpp)
-    corpus.select(col(idCol),
-        graft.functions.BloomLongHits.hits(
-          Dedup.shingleHashes(col(textCol), n), bloom).as("bloom_hits"))
-      .withColumn("contaminated", col("bloom_hits") > 0)
+    // benchmark side keeps the build deterministic and honestly sized.
+    // An EMPTY n-gram set (empty benchmark, or every doc shorter than
+    // n tokens) short-circuits to all-clean: nothing can be a member,
+    // and Spark's stat.bloomFilter NPEs on an empty input relation.
+    val nItems = benchHashes.distinct().count()
+    if (nItems == 0L)
+      corpus.select(col(idCol), lit(0).as("bloom_hits"),
+        lit(false).as("contaminated"))
+    else {
+      val bloom = benchHashes.stat.bloomFilter("h", nItems, fpp)
+      corpus.select(col(idCol),
+          graft.functions.BloomLongHits.hits(
+            Dedup.shingleHashes(col(textCol), n), bloom).as("bloom_hits"))
+        .withColumn("contaminated", col("bloom_hits") > 0)
+    }
   }
 
   /** Document pairs sharing at least `minShared` winnowing fingerprint

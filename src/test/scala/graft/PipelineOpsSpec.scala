@@ -606,6 +606,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(res2 === flagged)
   }
 
+  test("decontaminate against an empty or shingle-free benchmark flags nothing") {
+    import spark.implicits._
+    val corpus = docs.limit(50)
+    val emptyBench = docs.filter(col("doc_id") < 0)
+    assert(TextAnalysis.decontaminate(corpus, "doc_id", "text",
+        emptyBench, "text", n = 5)
+      .filter(col("contaminated")).count() === 0)
+    // benchmark docs shorter than n tokens produce zero shingles —
+    // same result as an empty benchmark, not a crash or a full flag
+    val shortBench = Seq((1L, "too short")).toDF("doc_id", "text")
+    assert(TextAnalysis.decontaminate(corpus, "doc_id", "text",
+        shortBench, "text", n = 5)
+      .filter(col("contaminated")).count() === 0)
+  }
+
+  test("sq8TopK on an empty corpus returns empty without crashing") {
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val none = emb.filter(col("vec_id") < 0)
+    assert(Similarity.sq8TopK(none, "vec_id", "embedding", queries, 10).count() === 0)
+  }
+
   test("IVF centroid training is deterministic and partitioning-independent") {
     // the coarse quantizer must not depend on physical layout: the
     // training sample is chosen by (hash, id) order, so a repartition
