@@ -4,20 +4,21 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Symmetric per-vector int8 scalar quantization (SQ8) of a double
-  * vector: q_i = round(x_i * 127 / max|x|), the standard
-  * memory-footprint path for billion-vector ANN — the quantized
-  * corpus is 8× smaller than float64 (4× vs float32), so the scan
-  * side of a top-k fits in memory at corpus sizes where full vectors
-  * do not. Cosine under symmetric quantization is SCALE-FREE
-  * (the per-vector scale cancels in q·q′/‖q‖‖q′‖), so the quantized
-  * relation alone supports approximate scoring; exact re-ranking
-  * fetches full vectors for the few candidates only
-  * ([[graft.operators.Similarity.sq8TopK]]).
+  * vector: byte i = round(x_i * 127 / max|x|), the standard
+  * memory-footprint path for billion-vector ANN. The codes are a
+  * BINARY blob (one signed byte per dimension), not an array<byte>:
+  * parquet stores an array element as a repeated INT32 while a binary
+  * value is one contiguous BYTE_ARRAY, so the persisted index really
+  * is ~8× smaller than float64 on disk as well as in memory. Cosine
+  * under symmetric quantization is SCALE-FREE (the per-vector scale
+  * cancels in q·q′/‖q‖‖q′‖), so the codes alone support approximate
+  * scoring; exact re-ranking fetches full vectors for the few
+  * candidates only ([[graft.operators.Similarity.sq8TopK]]).
   *
   * Deterministic: round-half-up on the scaled magnitude (Math.round),
   * all-zero vectors quantize to all zeros, and a null ELEMENT yields
@@ -30,10 +31,10 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<double>, got $other")
   }
-  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
-  def compute(v: ArrayData): ArrayData = {
+  def compute(v: ArrayData): Array[Byte] = {
     val n = v.numElements()
     var absMax = 0.0
     var i = 0
@@ -52,7 +53,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
         i += 1
       }
     }
-    new GenericArrayData(out)
+    out
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
@@ -60,7 +61,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("quantizeExpr", this, classOf[QuantizeInt8].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r = $ref.compute($c);
+      byte[] r = $ref.compute($c);
       if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
     """)
   }
@@ -71,53 +72,51 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quantize_int8"
 }
 
-/** Cosine similarity of two SQ8-quantized vectors: Σ qa·qb /
-  * (‖qa‖·‖qb‖) over the int8 codes — an integer dot product plus two
-  * integer norms in one primitive pass (the per-vector quantization
-  * scales cancel, see [[QuantizeInt8]]). NULL when either norm is
-  * zero (cosine undefined — the all-zero vector) or on a null
-  * element; raises on a length mismatch like [[DotProduct]]. */
+/** Cosine similarity of two SQ8 code blobs: Σ qa·qb / (‖qa‖·‖qb‖)
+  * over the signed bytes — an integer dot product plus two integer
+  * norms in one primitive loop over contiguous byte arrays (the
+  * per-vector quantization scales cancel, see [[QuantizeInt8]]).
+  * NULL when either norm is zero (cosine undefined — the all-zero
+  * vector); raises on a length mismatch like [[DotProduct]]. The
+  * single sqrt of the norm product makes self-cosine exactly 1.0. */
 case class QuantizedCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two array<tinyint>, got $other")
+        s"$prettyName expects two binary code blobs, got $other")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  def compute(a: ArrayData, b: ArrayData): Any = {
-    val n = a.numElements()
-    if (b.numElements() != n)
+  def compute(a: Array[Byte], b: Array[Byte]): Any = {
+    val n = a.length
+    if (b.length != n)
       throw new IllegalArgumentException(
-        s"quantized_cosine length mismatch: $n vs ${b.numElements()}")
+        s"quantized_cosine length mismatch: $n vs ${b.length}")
     var dot = 0L
     var na = 0L
     var nb = 0L
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getByte(i).toLong
-      val y = b.getByte(i).toLong
+      val x = a(i).toLong
+      val y = b(i).toLong
       dot += x * y
       na += x * x
       nb += y * y
       i += 1
     }
     // single sqrt of the norm product: self-cosine is exactly 1.0
-    // (na² is an exact double for any realistic dim), and one sqrt
-    // beats two on the corpus-scan hot path. No long overflow:
-    // na·nb ≤ (127²·n)² stays under 2⁶³ for n up to ~20M elements.
+    // (na² is an exact double for any realistic dim). No long
+    // overflow: na·nb ≤ (127²·n)² stays under 2⁶³ for n up to ~20M.
     if (na == 0L || nb == 0L) null
     else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("qcosExpr", this, classOf[QuantizedCosine].getName)
@@ -135,11 +134,11 @@ case class QuantizedCosine(left: Expression, right: Expression)
 }
 
 object Quantize {
-  /** Column API: int8 codes of an array<double> vector. */
+  /** Column API: int8 code blob (binary) of an array<double> vector. */
   def int8(v: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))
 
-  /** Column API: cosine of two int8 code arrays. */
+  /** Column API: cosine of two int8 code blobs. */
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCosine(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -54,7 +54,7 @@ class ExtensionsSpec extends SparkSpecBase {
         |quantized_cosine(quantize_int8(array(0.5D, -1.0D, 0.25D)),
         |                 quantize_int8(array(0.5D, -1.0D, 0.25D))) AS c
         |""".stripMargin).head()
-    assert(qRow.getSeq[Byte](0) === Seq[Byte](64, -127, 32))
+    assert(qRow.getAs[Array[Byte]](0).toSeq === Seq[Byte](64, -127, 32))
     assert(qRow.getDouble(1) === 1.0)
   }
 }

@@ -491,7 +491,7 @@ class PipelineOpsSpec extends SparkSpecBase {
       else v.map(x => Math.round(x * 127.0 / m).toByte)
     }
     rows.foreach { r =>
-      assert(r.getSeq[Byte](2) === naive(r.getSeq[Double](1)),
+      assert(r.getAs[Array[Byte]](2).toSeq === naive(r.getSeq[Double](1)),
         s"vec=${r.getLong(0)}")
     }
     // pairwise: native quantized cosine equals the naive integer
@@ -521,9 +521,9 @@ class PipelineOpsSpec extends SparkSpecBase {
       .select(col("id"), graft.functions.Quantize.int8(col("v")).as("q"))
       .orderBy(col("id")).collect()
     assert(edge(0).isNullAt(1), "null element must yield NULL codes")
-    assert(edge(1).getSeq[Byte](1) === Seq[Byte](0, 0, 0))
+    assert(edge(1).getAs[Array[Byte]](1).toSeq === Seq[Byte](0, 0, 0))
     val zeroCos = spark.range(1).select(graft.functions.Quantize.cosine(
-      typedLit(Seq[Byte](0, 0, 0)), typedLit(Seq[Byte](1, 2, 3))).as("c"))
+      typedLit(Array[Byte](0, 0, 0)), typedLit(Array[Byte](1, 2, 3))).as("c"))
       .head()
     assert(zeroCos.isNullAt(0), "zero-norm cosine must be NULL")
   }
