@@ -35,7 +35,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_survivors",
     "text_stats", "token_count", "chunk_documents", "fingerprint_rolling",
     "overlap_recall_cert", "decontaminate_bloom_cert",
-    "embed_cosine_topk", "embed_ann_sq8", "embed_nearest_dup_lsh",
+    "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
+    "embed_nearest_dup_lsh",
     "window_tumbling", "distinct_users_approx",
     "asof_join", "range_join", "sample_split", "shuffle_order",
     "pack_sequences")

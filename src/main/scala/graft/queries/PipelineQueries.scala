@@ -178,6 +178,23 @@ object PipelineQueries {
       },
       None),
 
+    QueryDef("embed_ann_ivf_sq8",
+      (s, dir) => {
+        // IVF cell pruning × SQ8 quantized scoring + exact rerank —
+        // the FAISS-IVF-SQ composition, the shape a 100 TB ANN
+        // actually runs: the scan side is nprobe/nlist-pruned AND 8×
+        // lighter. Candidate membership depends on centroids AND the
+        // quantized preselection → no SQL oracle on rows; recall is
+        // floored by embed_ann_recall (measured equal to ivfTopK's
+        // 0.79–0.84: the sq8+rerank layer is lossless within cells).
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      None),
+
     QueryDef("embed_nearest_dup",
       (s, dir) => {
         // embedding-cosine near-dup: every vector's single nearest
@@ -261,11 +278,14 @@ object PipelineQueries {
             Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10), 0.6))
           .unionByName(recallOk("sq8",
             Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.9))
+          .unionByName(recallOk("ivf_sq8",
+            Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.6))
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok
              |UNION ALL SELECT 'ivf', TRUE
              |UNION ALL SELECT 'sq8', TRUE
+             |UNION ALL SELECT 'ivf_sq8', TRUE
              |UNION ALL SELECT 'nearest_dup_lsh', TRUE""".stripMargin)),
 
     QueryDef("label_centroids",
