@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * candidates only ([[graft.operators.Similarity.sq8TopK]]).
   *
   * Deterministic: round-half-up on the scaled magnitude (Math.round),
-  * all-zero vectors quantize to all zeros, and a null ELEMENT yields
-  * NULL for the row (the [[SortedJaccard]] contract — parquet-read
-  * embeddings carry containsNull=true). One primitive pass per row. */
+  * all-zero vectors quantize to all zeros, and a null OR NON-FINITE
+  * element yields NULL for the row (the [[SortedJaccard]] contract —
+  * parquet-read embeddings carry containsNull=true, and a NaN/Inf
+  * slot has no meaningful int8 code: silently mapping NaN to 0 would
+  * let a garbage vector rank normally in the quantized scan while
+  * the exact path scores it NaN). One primitive pass per row. */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -40,7 +43,9 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val a = math.abs(v.getDouble(i))
+      val x = v.getDouble(i)
+      if (!java.lang.Double.isFinite(x)) return null
+      val a = math.abs(x)
       if (a > absMax) absMax = a
       i += 1
     }

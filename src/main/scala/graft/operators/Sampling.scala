@@ -99,15 +99,19 @@ object Sampling {
     * the result SET of (row, pos) is deterministic for distinct
     * keys. */
   def shuffleOrder(df: DataFrame, keyCol: String, seed: String = ""): DataFrame = {
+    // project the 32-char draw away BEFORE enumeration (the projection
+    // cannot be pushed below the sort — the sort needs the column — so
+    // row order is preserved into the RDD, and the per-row payload
+    // through the Row conversion stays the caller's columns only)
     val keyed = df
       .withColumn("__draw", md5(concat(lit(seed), col(keyCol).cast("string"))))
       .orderBy(col("__draw"), col(keyCol))
+      .drop("__draw")
     val schema = keyed.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType)
     df.sparkSession.createDataFrame(
-        keyed.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-        schema)
-      .drop("__draw")
+      keyed.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
   }
 
   /** Deterministic weighted mixture of sources: rows tagged by

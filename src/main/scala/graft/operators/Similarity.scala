@@ -52,6 +52,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cos"))
+    topKByCos(scored, k)
+  }
+
+  /** Top `k` rows per query by (cos desc, id tie-break) with a rank
+    * column — the ONE definition of the ranking tail every top-k path
+    * shares, so the rounding/tie-break contract cannot silently
+    * diverge between the exact and approximate paths. */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -150,11 +158,7 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cos"))
       .distinct()
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+    topKByCos(scored, k)
   }
 
   /** Approximate embedding-cosine nearest-duplicate over the WHOLE
@@ -415,12 +419,17 @@ object Similarity {
     * nprobe for the recall/cost point instead. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
-      dim: Int = -1, sampleSize: Int = 10000): DataFrame = {
+      dim: Int = -1, sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null): DataFrame = {
     // dim keeps its pre-k-means position and meaning (positional
     // callers must not silently retrain on a dim-sized sample): it
-    // skips the deriveDim job on the empty-corpus fallback path
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
-      dim = dim)
+    // skips the deriveDim job on the empty-corpus fallback path.
+    // `centroids` lets a caller composing several IVF paths (e.g. the
+    // embed_ann_recall certificate running ivfTopK AND ivfSq8TopK)
+    // train the quantizer once instead of per call.
+    val cents = if (centroids != null) centroids
+      else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
+        dim = dim)
     // cell assignment is one native IvfCells pass per row (argmax /
     // top-nprobe over centroid dots) — the interpreted array_sort
     // comparator it replaces ran once per CORPUS row; the old chain
@@ -435,11 +444,7 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cos"))
       .distinct()
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+    topKByCos(scored, k)
   }
 
   /** The int8-quantized relation of a vector column: (id, int8 codes)
@@ -527,11 +532,7 @@ object Similarity {
       .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    rescored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+    topKByCos(rescored, k)
   }
 
   /** IVF + SQ8: the standard big-corpus ANN composition (FAISS
@@ -549,9 +550,11 @@ object Similarity {
     * at the defaults, floored at 0.6 by `embed_ann_recall`). */
   def ivfSq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
-      refine: Int = 4, dim: Int = -1, sampleSize: Int = 10000): DataFrame = {
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
-      dim = dim)
+      refine: Int = 4, dim: Int = -1, sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids
+      else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
+        dim = dim)
     val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val c = base.select(col("vec_id"),
       element_at(graft.functions.IvfCells.cells(col("v"), cents, 1), 1).as("cell"),

@@ -246,9 +246,14 @@ object TextAnalysis {
         lit(false).as("contaminated"))
     else {
       val bloom = benchHashes.stat.bloomFilter("h", nItems, fpp)
+      // a NULL text has no n-grams → clean (bloom_hits 0), matching
+      // the exact-join semantics and the empty-benchmark branch — the
+      // kernel's NULL would otherwise make null-text rows vanish from
+      // BOTH keep-clean and keep-contaminated filters
       corpus.select(col(idCol),
-          graft.functions.BloomLongHits.hits(
-            Dedup.shingleHashes(col(textCol), n), bloom).as("bloom_hits"))
+          coalesce(graft.functions.BloomLongHits.hits(
+            Dedup.shingleHashes(col(textCol), n), bloom), lit(0))
+            .as("bloom_hits"))
         .withColumn("contaminated", col("bloom_hits") > 0)
     }
   }

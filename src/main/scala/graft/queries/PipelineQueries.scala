@@ -272,14 +272,20 @@ object PipelineQueries {
         val nnOk = exact1nn.agg(count(lit(1)).as("tot")).crossJoin(nnHits)
           .select(lit("nearest_dup_lsh").as("method"),
             (col("hits") >= col("tot") * 0.7).as("recall_ok"))
+        // both IVF paths share one trained quantizer (identical to
+        // what each would train itself — deterministic sample/seeds)
+        val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+          nlist = 16)
         recallOk("lsh",
             Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10), 0.8)
           .unionByName(recallOk("ivf",
-            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10), 0.6))
+            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
+              centroids = cents), 0.6))
           .unionByName(recallOk("sq8",
             Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.9))
           .unionByName(recallOk("ivf_sq8",
-            Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.6))
+            Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10,
+              centroids = cents), 0.6))
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok

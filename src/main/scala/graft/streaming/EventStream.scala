@@ -160,8 +160,12 @@ object EventStream {
         col("event_type"), col("value"))
       .repartition(files)
       .write.mode("overwrite").parquet(stage)
-    // delete the stage in a finally: a failed or interrupted stream
-    // must not leak a full staged parquet copy of the events per call
+    // both cleanups in a finally: a failed or interrupted stream must
+    // not leak the staged parquet copy NOR the catalog-registered
+    // memory table (repeated verify runs would accumulate both); the
+    // view drop is a no-op when the failure preceded sink creation,
+    // and on success it runs after the result is checkpoint-detached
+    val sinkName = s"graft_stream_drain_$id"
     try {
       val stream = spark.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
@@ -172,19 +176,14 @@ object EventStream {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("val_sum"))
         .select(col("w.start").as("ws"), col("event_type"),
           col("cnt"), col("val_sum"))
-      val sinkName = s"graft_stream_drain_$id"
       val q = agg.writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Complete).start()
       try q.processAllAvailable() finally q.stop()
-      // detach the result from the sink, then drop it: without this
-      // every call leaks a catalog-registered memory table holding
-      // the aggregate for the life of the session (repeated verify
-      // runs would accumulate them). The checkpointed result is a few
-      // thousand aggregate rows — bounded.
-      val out = spark.table(sinkName).localCheckpoint()
-      spark.catalog.dropTempView(sinkName)
-      out
+      // the checkpointed result detaches from the sink and is a few
+      // thousand aggregate rows — bounded
+      spark.table(sinkName).localCheckpoint()
     } finally {
+      spark.catalog.dropTempView(sinkName)
       val fs = new org.apache.hadoop.fs.Path(stage)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)

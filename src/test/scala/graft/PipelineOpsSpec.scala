@@ -522,6 +522,16 @@ class PipelineOpsSpec extends SparkSpecBase {
       .orderBy(col("id")).collect()
     assert(edge(0).isNullAt(1), "null element must yield NULL codes")
     assert(edge(1).getAs[Array[Byte]](1).toSeq === Seq[Byte](0, 0, 0))
+    // non-finite elements: NaN must not silently become code 0 (a
+    // garbage vector ranking normally in the quantized scan) and Inf
+    // must not zero the whole vector — both yield NULL like null slots
+    val nonFinite = Seq((1L, Seq(Double.NaN, 1.0, 2.0)),
+        (2L, Seq(Double.PositiveInfinity, 1.0, 2.0)))
+      .toDF("id", "v")
+      .select(col("id"), graft.functions.Quantize.int8(col("v")).as("q"))
+      .orderBy(col("id")).collect()
+    assert(nonFinite.forall(_.isNullAt(1)),
+      "NaN/Inf elements must yield NULL codes")
     val zeroCos = spark.range(1).select(graft.functions.Quantize.cosine(
       typedLit(Array[Byte](0, 0, 0)), typedLit(Array[Byte](1, 2, 3))).as("c"))
       .head()
