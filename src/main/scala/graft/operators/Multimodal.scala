@@ -1,5 +1,12 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO, ImageWriter}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,13 +16,20 @@ import org.apache.spark.sql.functions._
   * lakehouse: bytes are never interpreted by the engine, only by
   * per-partition decode functions.
   *
-  * The Spark-side plumbing — schema, range partitioning by media id,
-  * iterator-in/iterator-out batch shape (`mapPartitions` over typed
-  * Datasets, the JVM analogue of `mapInPandas`) — is real and tested.
-  * The codec step itself is a STUB: this container has no image/audio
-  * libraries, so `decodeStub` derives deterministic pseudo-features
-  * from the raw bytes (documented below); swap `decodeStub` for a real
-  * codec (JavaCV/TwelveMonkeys/ffmpeg) without touching any plumbing.
+  * Since round 7 the codec layer is REAL, pure-JVM, public formats
+  * only: PNG and animated GIF via `javax.imageio`, 16-bit PCM WAV via
+  * `javax.sound.sampled`. [[syntheticMedia]] ENCODES genuine media
+  * payloads whose content parameters are closed-form functions of
+  * `media_id`; [[extractFeatures]] DECODES the bytes (never trusting
+  * the metadata columns) — so the `media_features` DuckDB oracle,
+  * which recomputes the same closed forms in SQL, certifies a full
+  * encode → compress → decode → feature round trip, not a header
+  * read. Formats this container lacks codecs for (JPEG is present in
+  * the JDK too, but e.g. MP4/FLAC are not) would slot in behind the
+  * same `decode*` functions without touching the Spark plumbing:
+  * range partitioning by media id and iterator-in/iterator-out
+  * `mapPartitions` batches (the JVM analogue of `mapInPandas`, so
+  * per-partition codec setup amortizes).
   */
 object Multimodal {
 
@@ -29,61 +43,243 @@ object Multimodal {
       sample_rate: Int,         // audio
       duration_ms: Int)         // audio/video
 
-  /** Decoded per-media features (fixed-width vector + scalars). */
+  /** Decoded per-media features — every scalar comes from parsing
+    * `bytes`, not from the metadata columns. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      mean_byte: Double,
-      feature: Array[Float])    // FEATURE_DIM-dim embedding-like vector
+      width_px: Int,            // image/video frame dims (0 for audio)
+      height_px: Int,
+      n_frames: Int,            // 1 for image, GIF frame count for video
+      sample_rate_hz: Int,      // audio (0 otherwise)
+      n_samples: Long,          // audio PCM frames (0 otherwise)
+      mean_px: Double,          // mean luminance (image: whole image; video: over frames)
+      rms: Double,              // audio RMS amplitude (0 otherwise)
+      feature: Array[Float])    // FEATURE_DIM-dim modality profile (L1-normalized)
 
   val FeatureDim = 16
 
-  /** Synthesize a deterministic media table from `documents`: payload =
-    * UTF-8 bytes of the text (a stand-in for real image/audio bytes);
-    * metadata derived arithmetically from doc_id. This gives every
-    * scale factor a media corpus without shipping binaries. */
-  def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      to_binary(col("text"), lit("utf-8")).as("bytes"),
-      (lit(64) + pmod(col("doc_id"), lit(64))).cast("int").as("width"),
-      (lit(64) + pmod(col("doc_id") * 7, lit(64))).cast("int").as("height"),
-      when(pmod(col("doc_id"), lit(3)) === 1, lit(16000)).otherwise(lit(0))
-        .cast("int").as("sample_rate"),
-      (pmod(col("doc_id") * 37, lit(90000)) + lit(1000)).cast("int")
-        .as("duration_ms"))
+  // ---- synthesis parameters: closed-form in media_id, mirrored
+  //      verbatim by the media_features / media_frames DuckDB oracles ----
+  private[graft] def imageW(id: Long): Int = (16 + id % 17).toInt
+  private[graft] def imageH(id: Long): Int = (16 + (id * 7) % 17).toInt
+  private[graft] def imageGray(id: Long): Int = ((id * 31) % 256).toInt
+  private[graft] val AudioRate = 8000
+  private[graft] def audioSamples(id: Long): Int = (1024 + (id % 16) * 256).toInt
+  private[graft] def audioAmp(id: Long): Int = (1000 + (id % 100) * 250).toInt
+  private[graft] val VideoDim = 8
+  private[graft] def videoFrames(id: Long): Int = (2 + id % 5).toInt
+  private[graft] def videoGray(id: Long, frame: Int): Int =
+    ((id * 13 + frame * 40L) % 256).toInt
 
-  /** STUB decode: deterministic pseudo-features from raw bytes — a
-    * 16-bin byte histogram (L1-normalized) plus byte-mean. Replace with
-    * a real codec; the signature (one `MediaFile` in, one
-    * `MediaFeatures` out, called inside a partition iterator) is the
-    * production contract. */
-  def decodeStub(m: MediaFile): MediaFeatures = {
-    val hist = new Array[Float](FeatureDim)
-    var sum = 0L
+  /** Synthesize a deterministic media table from `documents`: one REAL
+    * encoded payload per doc — PNG (solid-gray, id-derived dims/level),
+    * WAV (16-bit PCM mono square wave: RMS ≡ amplitude, exactly) or
+    * animated GIF (id-derived frame count, per-frame solid gray) — so
+    * every scale factor gets a genuine media corpus without shipping
+    * binaries. Encoding runs distributed inside `mapPartitions`. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)   // in-memory streams; no temp-file cache
+      ids.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val (w, h) = (imageW(id), imageH(id))
+            MediaFile(id, "image", encodePng(w, h, imageGray(id)),
+              w, h, 0, 0)
+          case 1 =>
+            val n = audioSamples(id)
+            MediaFile(id, "audio", encodeWav(n, audioAmp(id), AudioRate),
+              0, 0, AudioRate, n / (AudioRate / 1000))
+          case _ =>
+            val f = videoFrames(id)
+            MediaFile(id, "video",
+              encodeGif(VideoDim, VideoDim,
+                Array.tabulate(f)(i => videoGray(id, i))),
+              VideoDim, VideoDim, 0, f * 1000)
+        }
+      }
+    }.toDF()
+  }
+
+  // ---------------- encoders (synthesis side) ----------------
+
+  private def solidImage(w: Int, h: Int, gray: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(solidImage(w, h, gray), "png", bos)
+    bos.toByteArray
+  }
+
+  /** 16-bit little-endian PCM mono square wave (8 samples +amp, 8
+    * samples −amp): every sample has |v| = amp, so decoded RMS is
+    * exactly `amp` — the property the oracle checks. */
+  private[graft] def encodeWav(n: Int, amp: Int, sr: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
     var i = 0
-    while (i < m.bytes.length) {
-      val b = m.bytes(i) & 0xFF
-      hist(b * FeatureDim / 256) += 1f
-      sum += b
+    while (i < n) {
+      val v: Short = (if ((i / 8) % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
       i += 1
     }
-    val n = math.max(1, m.bytes.length)
-    var j = 0
-    while (j < FeatureDim) { hist(j) /= n.toFloat; j += 1 }
-    MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
-      sum.toDouble / n, hist)
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private[graft] def encodeGif(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer: ImageWriter = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        writer.writeToSequence(
+          new IIOImage(solidImage(w, h, g), null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  // ---------------- decoders (the real codec surface) ----------------
+
+  /** Decode a single image payload: (width, height, mean luminance,
+    * FeatureDim-bin luminance histogram counts). Luminance = the
+    * ITU-R 601 integer approximation (77R + 150G + 29B) >> 8. */
+  private[graft] def decodeImage(bytes: Array[Byte]): (Int, Int, Double, Array[Long]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    statsOf(img)
+  }
+
+  private def statsOf(img: BufferedImage): (Int, Int, Double, Array[Long]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Long](FeatureDim)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+          29 * (rgb & 0xFF)) >> 8
+        hist(lum * FeatureDim / 256) += 1
+        sum += lum
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum.toDouble / (w.toLong * h), hist)
+  }
+
+  /** Decode a WAV payload: (sampleRate, nSamples, rms, FeatureDim
+    * per-window RMS profile). Supports the 16-bit little-endian PCM
+    * the synthesis emits (the common interchange case). */
+  private[graft] def decodeAudio(bytes: Array[Byte]): (Int, Long, Double, Array[Double]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unsupported WAV layout: $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val windows = new Array[Double](FeatureDim)
+      var ss = 0.0
+      var i = 0
+      while (i < n) {
+        val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toDouble
+        ss += v * v
+        windows(math.min(i * FeatureDim / n, FeatureDim - 1)) += v * v
+        i += 1
+      }
+      var wI = 0
+      val winLen = math.max(1, n / FeatureDim)
+      while (wI < FeatureDim) {
+        windows(wI) = math.sqrt(windows(wI) / winLen); wI += 1
+      }
+      (fmt.getSampleRate.toInt, n.toLong,
+        if (n == 0) 0.0 else math.sqrt(ss / n), windows)
+    } finally ais.close()
+  }
+
+  /** Decode an animated-GIF payload into per-frame stats:
+    * (frameIdx, width, height, mean luminance) per frame. */
+  private[graft] def decodeVideoFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Double)] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val (w, h, mean, _) = statsOf(reader.read(i))
+        (i, w, h, mean)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Full decode of one media row — dispatches on `kind`, parses the
+    * payload with the real codec, and derives the modality profile
+    * vector (L1-normalized luminance histogram for images, normalized
+    * per-window RMS profile for audio, normalized per-frame mean
+    * luminance for video). */
+  def decode(m: MediaFile): MediaFeatures = {
+    def l1(v: Array[Float]): Array[Float] = {
+      val s = v.sum
+      if (s > 0f) v.map(_ / s) else v
+    }
+    m.kind match {
+      case "image" =>
+        val (w, h, mean, hist) = decodeImage(m.bytes)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          w, h, 1, 0, 0L, mean, 0.0, l1(hist.map(_.toFloat)))
+      case "audio" =>
+        val (sr, n, rms, prof) = decodeAudio(m.bytes)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          0, 0, 0, sr, n, 0.0, rms, l1(prof.map(_.toFloat)))
+      case _ =>
+        val frames = decodeVideoFrames(m.bytes)
+        val (w, h) = frames.headOption.map(f => (f._2, f._3)).getOrElse((0, 0))
+        val mean =
+          if (frames.isEmpty) 0.0 else frames.map(_._4).sum / frames.length
+        val prof = new Array[Float](FeatureDim)
+        frames.take(FeatureDim).foreach { case (i, _, _, m0) =>
+          prof(i) = m0.toFloat
+        }
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
+          w, h, frames.length, 0, 0L, mean, 0.0, l1(prof))
+    }
   }
 
   /** Decode/feature-extract over a media relation: typed
     * `mapPartitions` — the whole partition streams through one
     * iterator (batch shape ≡ `mapInPandas`), so per-call codec setup
-    * (model load, ffmpeg context) amortizes across the partition.
-    * Repartitions by media_id range so decode work spreads evenly
-    * regardless of upstream file layout. */
+    * amortizes across the partition. Repartitions by media_id range so
+    * decode work spreads evenly regardless of upstream file layout. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
       partitions: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -94,36 +290,58 @@ object Multimodal {
       if (partitions > 0) typed.repartitionByRange(partitions, col("media_id"))
       else typed
     parted.mapPartitions { it =>
-      // per-partition setup for a real codec would happen here, once
-      it.map(decodeStub)
+      ImageIO.setUseCache(false)
+      it.map(decode)
     }
   }
 
-  /** Resize stub for image media: the real implementation would decode,
-    * scale to (w, h) and re-encode inside the partition iterator; the
-    * stub rewrites the metadata and passes bytes through unchanged
-    * (clearly marked — bytes are NOT actually resampled). */
-  def resizeStub(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+  /** Real image resize: decode → bilinear-scale to (w, h) → re-encode
+    * PNG, inside the partition iterator. Non-image rows pass through
+    * unchanged. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions { it =>
-      it.map(m =>
-        if (m.kind == "image") m.copy(width = w, height = h) else m)
+      ImageIO.setUseCache(false)
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+          val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          m.copy(bytes = bos.toByteArray, width = w, height = h)
+        }
+      }
     }.toDF()
   }
 
-  /** Frame-sampling stub for video media: emits one row per sampled
-    * frame timestamp (every `everyMs`) with the parent payload's
-    * metadata — the iterator-to-iterator *expanding* shape
-    * (flatMap within mapPartitions) that real frame extraction uses. */
-  def sampleFramesStub(spark: SparkSession, media: DataFrame,
-      everyMs: Int): DataFrame = {
+  /** Real frame sampling for video media: decode the animated GIF and
+    * emit one row per `stride`-th frame — the iterator-to-iterator
+    * *expanding* shape (flatMap within mapPartitions) real frame
+    * extraction uses. Columns: (media_id, frame_idx, width, height,
+    * mean_px rounded to 4). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     import spark.implicits._
     media.as[MediaFile].mapPartitions { it =>
+      ImageIO.setUseCache(false)
       it.flatMap { m =>
         if (m.kind != "video") Iterator.empty
-        else (0 until m.duration_ms by everyMs).iterator.map(ts =>
-          (m.media_id, ts, m.width, m.height))
+        else decodeVideoFrames(m.bytes).iterator
+          .filter(_._1 % stride == 0)
+          .map { case (i, w, h, mean) =>
+            (m.media_id, i, w, h,
+              BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
       }
-    }.toDF("media_id", "frame_ts_ms", "width", "height")
+    }.toDF("media_id", "frame_idx", "width", "height", "mean_px")
   }
 }

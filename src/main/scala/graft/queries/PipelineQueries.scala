@@ -478,29 +478,57 @@ object PipelineQueries {
 
     // ---------------- multimodal ----------------
 
+    // REAL codec round trip, driver-checked: syntheticMedia ENCODES
+    // genuine PNG / 16-bit-PCM WAV / animated-GIF payloads whose
+    // content parameters are closed-form in doc_id; extractFeatures
+    // DECODES the bytes (javax.imageio / javax.sound.sampled — never
+    // reading the metadata columns); the oracle recomputes the same
+    // closed forms in SQL. A hash match therefore certifies the full
+    // encode → compress → decode → feature path: image dims + mean
+    // luminance from pixels, WAV sample-rate/frame-count/RMS from
+    // PCM, GIF frame count + mean over frames.
     QueryDef("media_features",
       (s, dir) => Multimodal.extractFeatures(s,
           Multimodal.syntheticMedia(Tables.documents(s, dir)), partitions = 8)
-        .toDF().select(col("media_id"), col("kind"), col("n_bytes")),
-      // the feature vector + byte stats are codec-stub outputs,
-      // ScalaTest-verified; the oracle pins the schema/partition plumbing
+        .toDF().select(col("media_id"), col("kind"),
+          col("width_px"), col("height_px"), col("n_frames"),
+          col("sample_rate_hz"), col("n_samples"),
+          round(col("mean_px"), 4).as("mean_px"),
+          round(col("rms"), 4).as("rms")),
       Some("""SELECT doc_id AS media_id,
              |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
              |  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 17
+             |  WHEN 2 THEN 8 ELSE 0 END AS INT) AS width_px,
+             |CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 17
+             |  WHEN 2 THEN 8 ELSE 0 END AS INT) AS height_px,
+             |CAST(CASE doc_id % 3 WHEN 0 THEN 1
+             |  WHEN 2 THEN 2 + doc_id % 5 ELSE 0 END AS INT) AS n_frames,
+             |CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT) AS sample_rate_hz,
+             |CAST(CASE doc_id % 3 WHEN 1 THEN 1024 + (doc_id % 16) * 256
+             |  ELSE 0 END AS BIGINT) AS n_samples,
+             |ROUND(CASE doc_id % 3
+             |  WHEN 0 THEN CAST((doc_id * 31) % 256 AS DOUBLE)
+             |  WHEN 2 THEN list_avg([CAST((doc_id * 13 + i * 40) % 256 AS DOUBLE)
+             |    FOR i IN range(0, 2 + doc_id % 5)])
+             |  ELSE 0 END, 4) AS mean_px,
+             |ROUND(CASE doc_id % 3 WHEN 1
+             |  THEN CAST(1000 + (doc_id % 100) * 250 AS DOUBLE)
+             |  ELSE 0 END, 4) AS rms
              |FROM documents""".stripMargin)),
 
     QueryDef("media_frames",
-      (s, dir) => Multimodal.sampleFramesStub(s,
-        Multimodal.syntheticMedia(Tables.documents(s, dir)), everyMs = 5000),
-      // the expanding mapPartitions shape (one row per sampled frame);
-      // synthetic metadata is pure doc_id arithmetic, so the full
-      // output is oracle-expressible
-      Some("""SELECT doc_id AS media_id,
-             |CAST(unnest(range(0, (doc_id * 37) % 90000 + 1000, 5000)) AS INT) AS frame_ts_ms,
-             |CAST(64 + doc_id % 64 AS INT) AS width,
-             |CAST(64 + (doc_id * 7) % 64 AS INT) AS height
-             |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
+      (s, dir) => Multimodal.sampleFrames(s,
+        Multimodal.syntheticMedia(Tables.documents(s, dir)), stride = 1),
+      // one row per REAL decoded GIF frame (expanding mapPartitions
+      // shape); frame count, dims and per-frame mean luminance must
+      // come back out of the codec equal to what went in
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 5)) AS i
+             |  FROM documents WHERE doc_id % 3 = 2)
+             |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             |CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             |ROUND(CAST((doc_id * 13 + i * 40) % 256 AS DOUBLE), 4) AS mean_px
+             |FROM f""".stripMargin)),
 
     // ---------------- windows & sketches ----------------
 
