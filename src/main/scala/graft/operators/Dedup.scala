@@ -58,6 +58,36 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("cnt"))
 
+  /** Paragraph-level exact dedup — the sub-document granularity of the
+    * standard training-data pipeline (document-level exact/near dedup
+    * miss boilerplate repeated INSIDE otherwise-distinct documents).
+    * The corpus has no explicit paragraph breaks, so the paragraph
+    * unit is the non-overlapping `chunkSize`-token window
+    * ([[TextAnalysis.chunkDocuments]] with overlap 0 — the same
+    * splitter the packing pipeline uses). Each span is keyed by its
+    * sha2-256; one row per OCCURRENCE of a span whose text appears
+    * more than once in the corpus: (doc, span ordinal, digest, total
+    * copies) — downstream keeps one occurrence per digest and drops
+    * the rest.
+    *
+    * Scale shape: the span text never shuffles — spans reduce to
+    * (id, ordinal, 64-char digest) before the single hash-aggregate
+    * shuffle on the digest; the count relation that joins back is one
+    * row per DISTINCT duplicated span (tiny) and AQE handles a
+    * pathological hot span. */
+  def paragraphDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32): DataFrame = {
+    val spans = TextAnalysis.chunkDocuments(docs, idCol, textCol,
+        chunkSize, overlap = 0)
+      .select(col(idCol), col("chunk_id"),
+        sha2(col("chunk_text"), 256).as("span_sha"))
+    val dupCounts = spans.groupBy(col("span_sha"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    spans.join(dupCounts, Seq("span_sha"))
+      .select(col(idCol), col("chunk_id"), col("span_sha"), col("n_copies"))
+  }
+
   /** Stage the per-document signature relation ONCE per query:
     * tokenizing + shingle-hashing the raw text is the dominant cost of
     * every near-dup path at corpus scale, and each path references its

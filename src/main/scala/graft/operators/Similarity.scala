@@ -568,4 +568,45 @@ object Similarity {
         graft.functions.Quantize.cosine(col("codes"), col("qcodes")).as("qcos"))
     rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
   }
+
+  /** SemDeDup-style semantic dedup: all pairs of corpus vectors with
+    * exact cosine ≥ `threshold`, found by a WITHIN-CELL sweep — each
+    * vector is assigned to its `probes` nearest IVF centroids (trained
+    * by [[trainIvfCentroids]]) and candidate pairs meet only inside a
+    * shared cell, so the self-join is bucketed by cell instead of
+    * cartesian (the published SemDeDup recipe: cluster, then compare
+    * within clusters). Candidates are EXACT-verified — every emitted
+    * pair's cosine is computed on the full vectors, so false positives
+    * are impossible; the approximation is recall only (a pair split
+    * across all probed cells is missed), which `dedup_semantic`'s
+    * certificate floors against the brute-force sweep. `probes` > 1
+    * trades duplicated assignment rows for cross-boundary recall.
+    *
+    * Scale shape: cells bound the quadratic term to ~(N/nlist)² per
+    * cell — size nlist ~ √N at warehouse scale (the FAISS rule) and
+    * raise it with the corpus; the assigned relation is staged once
+    * (`localCheckpoint`) so the two self-join legs read it instead of
+    * re-running assignment, and only (id, vector, cell) rows shuffle.
+    * Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded 6. */
+  def semanticDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, probes: Int = 2,
+      sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids
+      else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize)
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cells", graft.functions.IvfCells.cells(col("v"), cents, probes))
+      .localCheckpoint()
+    val leg = assigned.select(col("vec_id"), col("v"),
+      explode(col("cells")).as("cell"))
+    leg.as("a")
+      .join(leg.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("c0"))
+      .filter(col("c0") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c0"), 6).as("cos"))
+      .distinct()
+  }
 }

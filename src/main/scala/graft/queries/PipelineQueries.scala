@@ -49,6 +49,30 @@ object PipelineQueries {
       Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS cnt
              |FROM documents GROUP BY text""".stripMargin)),
 
+    // paragraph (sub-document) exact dedup: every occurrence of a
+    // 32-token span whose text appears more than once in the corpus.
+    // DuckDB rebuilds the same non-overlapping chunking (the
+    // chunk_documents CTE with step = size = 32) and its sha256()
+    // emits the same lowercase hex as Spark's sha2(…, 256), so the
+    // digest column itself is oracle-compared.
+    QueryDef("dedup_paragraph",
+      (s, dir) => Dedup.paragraphDuplicates(Tables.documents(s, dir),
+        "doc_id", "text", chunkSize = 32),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |starts AS (SELECT doc_id, l, unnest(range(0, GREATEST(len(l) - 1, 0) + 1, 32)) AS st
+             |  FROM t),
+             |numbered AS (SELECT doc_id, l, st,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS chunk_id
+             |  FROM starts),
+             |chunks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  array_to_string(l[st + 1 : st + 32], ' ') AS chunk_text
+             |  FROM numbered WHERE len(l) - st > 0),
+             |g AS (SELECT chunk_text, COUNT(*) AS n_copies FROM chunks
+             |  GROUP BY chunk_text HAVING COUNT(*) > 1)
+             |SELECT c.doc_id, c.chunk_id, sha256(c.chunk_text) AS span_sha,
+             |g.n_copies
+             |FROM chunks c JOIN g ON c.chunk_text = g.chunk_text""".stripMargin)),
+
     // DETERMINISTIC gate for a probabilistic method: the row values
     // are the exact prefix-filtered pair set (reproducible SQL — the
     // same jaccardOracle as before), while the LSH path's behaviour is
@@ -99,6 +123,61 @@ object PipelineQueries {
               |SELECT doc_a AS doc_new, doc_b AS doc_indexed, jaccard FROM p
               |UNION ALL
               |SELECT doc_b, doc_a, jaccard FROM p""".stripMargin)),
+
+    // Semantic (embedding-space) dedup — completes the family: exact /
+    // minhash / simhash / ngram / semantic. Same DETERMINISTIC-gate
+    // shape as dedup_minhash_lsh: the corpus gets planted
+    // near-duplicates (each base vector < 16 re-emitted under
+    // id + 1e6 with a closed-form ±2% alternating-sign perturbation —
+    // cos ≈ 0.9998, reproducible in SQL to the bit), the row values
+    // are the exact brute-force pair set at cos ≥ 0.95 (no natural
+    // pair exceeds ~0.51, so the gate has a huge margin on both
+    // sides), and the IVF-cell path is asserted IN-QUERY by the
+    // constant sem_ok column: its pairs ⊆ exact (candidates are
+    // exact-verified, so extras are impossible by construction) AND
+    // recall ≥ 0.8 over the planted pairs.
+    QueryDef("dedup_semantic",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val planted = base.filter(col("vec_id") < 16)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("v"), (x, i) =>
+              x * (lit(1.0) + lit(0.02) *
+                when(pmod(i, lit(2)) === 0, lit(1.0))
+                  .otherwise(lit(-1.0)))).as("v"))
+        val corpus = base.unionByName(planted).localCheckpoint()
+        val exact = corpus.as("a").join(corpus.as("b"),
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            Similarity.cosine(col("a.v"), col("b.v")).as("c0"))
+          .filter(col("c0") >= 0.95)
+          .select(col("vec_a"), col("vec_b"), round(col("c0"), 6).as("cos"))
+          .localCheckpoint()
+        val approx = Similarity
+          .semanticDuplicates(corpus, "vec_id", "v", threshold = 0.95)
+          .select(col("vec_a"), col("vec_b")).localCheckpoint()
+        val extras = approx.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+          .agg(count(lit(1)).as("n_extra"))
+        val hits = exact.join(approx, Seq("vec_a", "vec_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val ok = exact.agg(count(lit(1)).as("tot"))
+          .crossJoin(hits).crossJoin(extras)
+          .select((col("n_extra") === 0 &&
+            col("hits") >= col("tot") * 0.8).as("sem_ok"))
+        exact.crossJoin(ok)
+      },
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |planted AS (SELECT vec_id + 1000000 AS vec_id,
+             |  [v[i] * (1 + 0.02 * (CASE WHEN (i - 1) % 2 = 0 THEN 1 ELSE -1 END))
+             |    FOR i IN range(1, len(v) + 1)] AS v
+             |  FROM base WHERE vec_id < 16),
+             |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos, TRUE AS sem_ok
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin)),
 
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",

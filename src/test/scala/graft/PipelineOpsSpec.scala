@@ -289,6 +289,27 @@ class PipelineOpsSpec extends SparkSpecBase {
       n - docs.select("text").distinct().count())
   }
 
+  test("paragraph dedup finds planted cross-document spans, by occurrence") {
+    import spark.implicits._
+    // doc 1 and 2 share their first 4-token span exactly; doc 3 is
+    // disjoint; doc 4 repeats doc 1's SECOND span, offset to a
+    // different ordinal — chunkSize=4 makes every span one "paragraph"
+    val docs4 = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s t u v w"),
+      (4L, "e f g h m n o p")).toDF("doc_id", "text")
+    val d = Dedup.paragraphDuplicates(docs4, "doc_id", "text", chunkSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(d === Map(
+      (1L, 0L) -> 2L, (2L, 0L) -> 2L,    // shared "a b c d"
+      (1L, 1L) -> 2L, (4L, 0L) -> 2L))   // "e f g h" at different ordinals
+    // a span duplicated only WITHIN one document is still caught
+    val self = Seq((9L, "a b a b")).toDF("doc_id", "text")
+    assert(Dedup.paragraphDuplicates(self, "doc_id", "text", chunkSize = 2)
+      .count() === 2)
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
@@ -337,6 +358,26 @@ class PipelineOpsSpec extends SparkSpecBase {
         maxBucket = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === again)
+  }
+
+  test("semanticDuplicates: full recall on planted near-dups, zero false positives") {
+    import spark.implicits._
+    // plant a ~2%-perturbed copy of every vector: cos(v, v') ≈ 0.9998
+    val base = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") < 16)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) => x * (lit(1.0) + lit(0.02) *
+          when(pmod(i, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))).as("v"))
+    val corpus = base.unionByName(planted)
+    val got = Similarity.semanticDuplicates(corpus, "vec_id", "v", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 16L).map(i => (i, i + 1000000L)).toSet
+    assert((want -- got).isEmpty, s"missed planted pairs: ${want -- got}")
+    // every emitted pair is exact-verified, so nothing below threshold
+    // can appear; with no natural pair above ~0.51 the sets are equal
+    assert(got === want)
+    // a corpus with no pairs above threshold yields an empty result
+    assert(Similarity.semanticDuplicates(base, "vec_id", "v", 0.95).isEmpty)
   }
 
   test("IVF ANN recall vs brute force") {
