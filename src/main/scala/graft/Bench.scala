@@ -24,20 +24,28 @@ object Bench {
     * alone (~0.8 s vs ~2.2 s at sf0.1). `overlap_recall_cert` (added
     * round 5) times the winnowing inverted-index self-join — the
     * newest heavy join previously absent from the bench — plus its
-    * certificate's planted-pair sweep. `embed_ann_sq8` and
-    * `decontaminate_bloom_cert` (added round 6) time the
-    * int8-quantized scan + exact rerank and the Bloom-filter
-    * decontamination scan + its exact-join certificate. */
+    * certificate's planted-pair sweep. Round 6 added FOUR rows:
+    * `embed_ann_sq8` (int8-quantized scan + exact rerank),
+    * `embed_ann_ivf_sq8` (cell-pruned quantized scan),
+    * `decontaminate_bloom_cert` (Bloom decontamination scan + its
+    * exact-join certificate) and `shuffle_order` (deterministic
+    * training-order permutation). Round 7 adds `dedup_paragraph`
+    * (span-level exact dedup), `dedup_semantic` (IVF-cell cosine sweep
+    * + planted-pair certificate — timing includes its brute-force
+    * exact leg, like the other checked variants), `media_features`
+    * (the real PNG/WAV/GIF decode pass) and `stream_near_dup` (the
+    * 4-micro-batch probe-then-admit streaming ingest drain). */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
     "q1_agg", "q3_join", "price_quantiles", "label_centroids",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_survivors",
+    "dedup_exact", "dedup_paragraph", "dedup_minhash_lsh",
+    "dedup_survivors", "dedup_semantic",
     "text_stats", "token_count", "chunk_documents", "fingerprint_rolling",
     "overlap_recall_cert", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
-    "embed_nearest_dup_lsh",
-    "window_tumbling", "distinct_users_approx",
+    "embed_nearest_dup_lsh", "media_features",
+    "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "asof_join", "range_join", "sample_split", "shuffle_order",
     "pack_sequences")
 

@@ -102,9 +102,10 @@ object ColUniverse {
         import spark.implicits._
         baseDims.unionByName(appended.toDF(SparseRel.COL))
       }
-    def contains(label: String): Boolean =
-      appended.contains(label) ||
-        !baseDims.filter(col(SparseRel.COL) === label).isEmpty
+    // contains IS missing on a one-label list: a single code path, so
+    // no future caller can loop contains() into a job-per-label scan
+    // when the batched anti-join exists (use missing() for lists)
+    def contains(label: String): Boolean = missing(Seq(label)).isEmpty
     def missing(names: Seq[String]): Seq[String] = {
       val spark = baseDims.sparkSession
       import spark.implicits._

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * scoring; exact re-ranking fetches full vectors for the few
   * candidates only ([[graft.operators.Similarity.sq8TopK]]).
   *
-  * Deterministic: round-half-up on the scaled magnitude (Math.round),
+  * Deterministic: rounding is Math.round's half-toward-+infinity
+  * (asymmetric for negatives: a scaled -63.5 codes to -63, not -64),
   * all-zero vectors quantize to all zeros, and a null OR NON-FINITE
   * element yields NULL for the row (the [[SortedJaccard]] contract —
   * parquet-read embeddings carry containsNull=true, and a NaN/Inf

@@ -630,6 +630,20 @@ object PipelineQueries {
              |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // STREAMING near-dup ingest made driver-visible: the probe-then-
+    // admit foreachBatch loop runs 4 real micro-batches (one parquet
+    // file per doc_id % 4 class) against a growing persisted index, in
+    // audit mode (admit-all) with direction-normalized output — so the
+    // emitted set is exactly the true pairs whose documents fall in
+    // different batches, independent of file processing order, and the
+    // exact-Jaccard oracle expresses it directly.
+    QueryDef("stream_near_dup",
+      (s, dir) => graft.streaming.EventStream.nearDupIngestDrained(
+        s, Tables.documents(s, dir), threshold = 0.8, files = 4),
+      Some(s"""WITH p AS (${jaccardOracle(3, "0.8")})
+              |SELECT doc_a AS doc_lo, doc_b AS doc_hi, jaccard FROM p
+              |WHERE (doc_a % 4) != (doc_b % 4)""".stripMargin)),
+
     QueryDef("window_sliding",
       (s, dir) => Windows.sliding(Tables.events(s, dir), "1 hour", "30 minutes"),
       Some("""WITH x AS (SELECT event_type,

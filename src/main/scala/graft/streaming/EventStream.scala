@@ -116,21 +116,92 @@ object EventStream {
     * failed batch retried by the engine re-probes before re-admitting,
     * so duplicate admission needs idempotent ids upstream. */
   def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String, threshold: Double = 0.8)(
+      indexPath: String, threshold: Double = 0.8,
+      admitMatched: Boolean = false)(
       onPairs: (DataFrame, Long) => Unit) = {
     import graft.operators.Dedup
+    // admitMatched = audit mode: matched documents are indexed anyway
+    // (the dedup decision is deferred downstream), so the index holds
+    // the full corpus and the emitted pairs are exactly the
+    // cross-batch true pairs — a deterministic set for a deterministic
+    // batch split, whatever order the engine processes batches in
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().localCheckpoint()
         val pairs = Dedup.incrementalNearDuplicates(b, idCol, textCol,
           indexPath, threshold).localCheckpoint()
-        val dups = pairs.select(col("doc_new").as(idCol)).distinct()
-        Dedup.appendToNearDupIndex(b.join(dups, Seq(idCol), "left_anti"),
-          idCol, textCol, indexPath)
+        val admit = if (admitMatched) b else {
+          val dups = pairs.select(col("doc_new").as(idCol)).distinct()
+          b.join(dups, Seq(idCol), "left_anti")
+        }
+        Dedup.appendToNearDupIndex(admit, idCol, textCol, indexPath)
         onPairs(pairs, batchId)
       }
       .start()
+  }
+
+  /** Driver-visible face of [[nearDupIngest]] (the `stream_near_dup`
+    * query): run documents through the REAL probe-then-admit streaming
+    * loop and return the found pairs as a batch DataFrame. Documents
+    * are staged as one parquet file per `doc_id % files` class and
+    * streamed with `maxFilesPerTrigger=1`, so the drain executes
+    * `files` genuine micro-batches against a growing persisted index.
+    * Audit mode (admit-all) + direction-normalized output make the
+    * result independent of the engine's file-processing order: a true
+    * pair is emitted iff its documents land in DIFFERENT batches
+    * (whichever arrives second reports the first), so the set is
+    * exactly {(lo, hi, j): j ≥ threshold, lo % files ≠ hi % files} —
+    * which the exact-Jaccard SQL oracle expresses directly. */
+  def nearDupIngestDrained(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.8, files: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val stage = new java.io.File(tmp, s"graft_neardup_stage_$id").getAbsolutePath
+    val idx = new java.io.File(tmp, s"graft_neardup_index_$id").getAbsolutePath
+    val src = docs.select(col("doc_id"), col("text"))
+    // one file per residue class: batch membership is doc_id % files,
+    // deterministic whatever order the source picks the files up in
+    (0 until files).foreach { i =>
+      src.filter(pmod(col("doc_id"), lit(files)) === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
+    }
+    Dedup.writeNearDupIndex(src.limit(0), "doc_id", "text", idx,
+      shingleN = 3, k = 128, bands = 32)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var primary: Throwable = null
+    try {
+      val q = nearDupIngest(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(stage),
+        "doc_id", "text", idx, threshold, admitMatched = true) { (pairs, _) =>
+        batches.synchronized { batches += pairs }   // already checkpointed
+      }
+      try q.processAllAvailable() finally q.stop()
+      val all = batches.synchronized { batches.toSeq }
+      all.reduceOption(_ unionByName _)
+        .map(_.select(
+          least(col("doc_new"), col("doc_indexed")).as("doc_lo"),
+          greatest(col("doc_new"), col("doc_indexed")).as("doc_hi"),
+          col("jaccard")))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_lo LONG, doc_hi LONG, jaccard DOUBLE")))
+    } catch {
+      case t: Throwable => primary = t; throw t
+    } finally {
+      try {
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      } catch {
+        case c: Throwable =>
+          if (primary != null) primary.addSuppressed(c) else throw c
+      }
+    }
   }
 
   private val drainCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -164,8 +235,11 @@ object EventStream {
     // not leak the staged parquet copy NOR the catalog-registered
     // memory table (repeated verify runs would accumulate both); the
     // view drop is a no-op when the failure preceded sink creation,
-    // and on success it runs after the result is checkpoint-detached
+    // and on success it runs after the result is checkpoint-detached.
+    // A cleanup failure must never REPLACE a streaming failure: it is
+    // attached as suppressed so the root cause propagates.
     val sinkName = s"graft_stream_drain_$id"
+    var primary: Throwable = null
     try {
       val stream = spark.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
@@ -182,11 +256,18 @@ object EventStream {
       // the checkpointed result detaches from the sink and is a few
       // thousand aggregate rows — bounded
       spark.table(sinkName).localCheckpoint()
+    } catch {
+      case t: Throwable => primary = t; throw t
     } finally {
-      spark.catalog.dropTempView(sinkName)
-      val fs = new org.apache.hadoop.fs.Path(stage)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      try {
+        spark.catalog.dropTempView(sinkName)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      } catch {
+        case c: Throwable =>
+          if (primary != null) primary.addSuppressed(c) else throw c
+      }
     }
   }
 

@@ -529,7 +529,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     def naive(v: Seq[Double]): Seq[Byte] = {
       val m = v.map(math.abs).foldLeft(0.0)(math.max)
       if (m == 0.0) v.map(_ => 0: Byte)
-      else v.map(x => Math.round(x * 127.0 / m).toByte)
+      else { val s = 127.0 / m; v.map(x => Math.round(x * s).toByte) }
     }
     rows.foreach { r =>
       assert(r.getAs[Array[Byte]](2).toSeq === naive(r.getSeq[Double](1)),

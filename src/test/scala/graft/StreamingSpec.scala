@@ -152,6 +152,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupIngestDrained: cross-batch pairs exactly, order-normalized") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 20).map(i => s"word$i").mkString(" ")
+    // 0 ≡ 4 (mod 4): same batch → NOT emitted; 1 vs 2, 1 vs 3: cross
+    val docs = Seq(
+      (0L, base), (4L, base),            // same residue class
+      (1L, other), (2L, other + " x"),   // different classes
+      (3L, other + " y")).toDF("doc_id", "text")
+    val got = graft.streaming.EventStream
+      .nearDupIngestDrained(spark, docs, threshold = 0.8, files = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((0L, 4L)), "same-batch pair must be invisible to the stream")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      s"cross-batch pairs missing: $got")
+  }
+
   test("mapGroupsWithState session accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
