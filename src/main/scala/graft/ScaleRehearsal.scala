@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Tables
+
+/** Scale rehearsal for the heavy self-join paths: replicate the input
+  * corpus `reps`× with shifted ids and run them at that scale,
+  * printing timings, output sizes, and DIRECT evidence of whether
+  * `nearestDupLsh`'s skew-guard salting branch engaged (the hot-bucket
+  * histogram, computed with the operator's own key derivation).
+  *
+  * NOT part of the bench: the replicated corpus is duplicate-dense by
+  * construction (every document/vector gains `reps − 1` near-copies),
+  * which concentrates LSH buckets and fingerprint postings far beyond
+  * a natural corpus — exactly the stress the skew guards exist for.
+  * Usage: `runMain graft.ScaleRehearsal [sfDir] [reps]`. */
+object ScaleRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[rehearsal] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    }
+
+    // Replicas keep near-dup structure without exact-text degeneracy:
+    // a per-replica suffix token shifts 3-gram Jaccard of cross-replica
+    // copies to ~0.9 (still ≥ the 0.8 threshold), so every document
+    // sits in a reps-sized near-dup cluster. Vectors replicate with an
+    // identical DIRECTION (cosine is scale-free), so all copies share
+    // every LSH bucket — the maximum-concentration stress case.
+    val docs0 = Tables.documents(spark, sfDir)
+    val docs = (0 until reps).map(r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" rep$r")).as("text")))
+      .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    val emb0 = Tables.embeddings(spark, sfDir)
+    val emb = (0 until reps).map(r =>
+        emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          Similarity.asDouble(col("embedding")).as("embedding")))
+      .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    println(s"[rehearsal] sfDir=$sfDir reps=$reps docs=${docs.count()} vecs=${emb.count()}")
+
+    timed("dedup_minhash_lsh (LSH path)") {
+      Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, k = 128, bands = 32, threshold = 0.8).count()
+    }
+    timed("overlap_pairs (winnow inverted index)") {
+      TextAnalysis.overlapPairs(docs, "doc_id", "text").count()
+    }
+    timed("nearest_dup_lsh (default maxBucket=4096)") {
+      Similarity.nearestDupLsh(emb, "vec_id", "embedding").count()
+    }
+    timed("nearest_dup_lsh (maxBucket=256, forced salt)") {
+      Similarity.nearestDupLsh(emb, "vec_id", "embedding",
+        maxBucket = 256).count()
+    }
+
+    // Skew-guard evidence: rebuild the probe-leg bucket histogram with
+    // the operator's own derivation (same plane-count formula, seeds
+    // and key kernel — nearestDupLsh lines above use exactly this),
+    // and report how many buckets exceed each salting threshold.
+    val n = emb.count()
+    val d = emb.select(size(col("embedding")).as("d")).filter(col("d") > 0)
+      .limit(1).collect().head.getInt(0)
+    val buckets = math.max(16L, n / 64)
+    val planes = math.min(20, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    val allPlanes = (0 until 8).map(t =>
+      Similarity.hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+    val hist = emb.select(col("vec_id"),
+        explode(Similarity.tableProbeKeys(col("embedding"), allPlanes, 2))
+          .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+      .agg(max(col("bc")).as("max_bc"),
+        sum(when(col("bc") > 4096, 1).otherwise(0)).as("hot_4096"),
+        sum(when(col("bc") > 256, 1).otherwise(0)).as("hot_256"),
+        count(lit(1)).as("n_buckets"))
+      .head()
+    println(s"[rehearsal] skew: n=$n planes=$planes tables=8 " +
+      s"buckets=${hist.getLong(3)} maxBucket=${hist.getLong(0)} " +
+      s"hot>4096=${hist.getLong(1)} hot>256=${hist.getLong(2)} " +
+      s"(noSalt would need n<=maxBucket: ${n <= 4096})")
+    spark.stop()
+  }
+}

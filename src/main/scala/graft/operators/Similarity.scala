@@ -122,7 +122,7 @@ object Similarity {
     * primitive pass per row ([[graft.functions.LshKeys]]); the
     * previous `when`-folded Column chain is kept as the reference
     * implementation in the equivalence spec. */
-  private def tableKeys(v: Column, allPlanes: Seq[Array[Array[Double]]]): Column =
+  private[graft] def tableKeys(v: Column, allPlanes: Seq[Array[Array[Double]]]): Column =
     graft.functions.LshKeys.keys(v, allPlanes, multiProbe = 0)
 
   /** Per-table base key PLUS the 1-bit-flip keys of the `multiProbe`
@@ -134,7 +134,7 @@ object Similarity {
     * small-norm planes. Native single pass: the interpreted
     * `array_sort(comparator)` HOF this replaces ran once per CORPUS
     * row on the nearestDupLsh probe leg. */
-  private def tableProbeKeys(v: Column, allPlanes: Seq[Array[Array[Double]]],
+  private[graft] def tableProbeKeys(v: Column, allPlanes: Seq[Array[Array[Double]]],
       multiProbe: Int): Column =
     graft.functions.LshKeys.keys(v, allPlanes, multiProbe)
 
