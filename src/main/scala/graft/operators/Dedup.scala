@@ -74,13 +74,18 @@ object Dedup {
     * (id, ordinal, 64-char digest) before the single hash-aggregate
     * shuffle on the digest; the count relation that joins back is one
     * row per DISTINCT duplicated span (tiny) and AQE handles a
-    * pathological hot span. */
+    * pathological hot span. The digest relation is STAGED
+    * (`localCheckpoint`, same contract as [[stagedSignatures]]):
+    * both join legs read the compact (id, ordinal, digest) rows —
+    * without it each leg re-scans and re-tokenizes the full corpus
+    * text, doubling the dominant cost. */
   def paragraphDuplicates(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 32): DataFrame = {
     val spans = TextAnalysis.chunkDocuments(docs, idCol, textCol,
         chunkSize, overlap = 0)
       .select(col(idCol), col("chunk_id"),
         sha2(col("chunk_text"), 256).as("span_sha"))
+      .localCheckpoint()
     val dupCounts = spans.groupBy(col("span_sha"))
       .agg(count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)

@@ -105,6 +105,32 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"corpus-side shuffle crept in:\n$p")
   }
 
+  test("paragraphDuplicates shuffles digests only — raw span text never enters an exchange") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val p = plan(Dedup.paragraphDuplicates(docs, "doc_id", "text", chunkSize = 32))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected a digest-keyed aggregate shuffle:\n$p")
+    assert(exchanges.forall(_.contains("span_sha")),
+      s"a shuffle not keyed on the digest crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the staged span relation is the only input: the corpus text is
+    // scanned/tokenized ONCE (at staging), not once per join leg
+    assert(!p.contains("FileScan"),
+      s"a join leg re-scans the corpus instead of the staged spans:\n$p")
+  }
+
+  test("semanticDuplicates meets candidates only inside an IVF cell — no cartesian") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p = plan(Similarity.semanticDuplicates(emb, "vec_id", "v", threshold = 0.95))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the within-cell sweep degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a cell-keyed equi join:\n$p")
+  }
+
   test("shuffleOrder enumerates via range-partitioned sort, never a global window") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf).select(col("doc_id"))
