@@ -321,6 +321,39 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Real image transcode: decode whatever `javax.imageio` sniffs from
+    * the bytes (PNG, GIF, JPEG, BMP — the JDK's standard plugins) and
+    * re-encode as `format`, inside the partition iterator. Non-image
+    * rows pass through unchanged. Lossy targets (JPEG) change pixel
+    * values within codec tolerance — the `media_transcode` query
+    * bounds that drift in-query rather than assuming exactness. */
+  def transcodeImages(spark: SparkSession, media: DataFrame,
+      format: String = "jpg"): DataFrame = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+          // JPEG writers reject images with alpha; normalize to RGB
+          val rgb =
+            if (src.getType == BufferedImage.TYPE_INT_RGB) src
+            else {
+              val d = new BufferedImage(src.getWidth, src.getHeight,
+                BufferedImage.TYPE_INT_RGB)
+              val g = d.createGraphics()
+              try g.drawImage(src, 0, 0, null) finally g.dispose()
+              d
+            }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(rgb, format, bos)
+          m.copy(bytes = bos.toByteArray)
+        }
+      }
+    }.toDF()
+  }
+
   /** Real frame sampling for video media: decode the animated GIF and
     * emit one row per `stride`-th frame — the iterator-to-iterator
     * *expanding* shape (flatMap within mapPartitions) real frame

@@ -596,6 +596,28 @@ object PipelineQueries {
              |  ELSE 0 END, 4) AS rms
              |FROM documents""".stripMargin)),
 
+    // transcode leg: PNG → JPEG → decode. Dims survive exactly (SQL
+    // side of the oracle); pixel drift is LOSSY-codec territory, so it
+    // is bounded in-query (solid-gray blocks are DC-only: observed
+    // drift ≤ 1 level, asserted ≤ 2) — jpeg_ok is the certificate
+    // column the oracle pins TRUE.
+    QueryDef("media_transcode",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+        val jpg = Multimodal.transcodeImages(s,
+          media.filter(col("kind") === "image"), "jpg")
+        Multimodal.extractFeatures(s, jpg, partitions = 4).toDF()
+          .select(col("media_id"), col("width_px"), col("height_px"),
+            (abs(col("mean_px") -
+              pmod(col("media_id") * 31, lit(256)).cast("double")) <= 2.0)
+              .as("jpeg_ok"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(16 + doc_id % 17 AS INT) AS width_px,
+             |CAST(16 + (doc_id * 7) % 17 AS INT) AS height_px,
+             |TRUE AS jpeg_ok
+             |FROM documents WHERE doc_id % 3 = 0""".stripMargin)),
+
     QueryDef("media_frames",
       (s, dir) => Multimodal.sampleFrames(s,
         Multimodal.syntheticMedia(Tables.documents(s, dir)), stride = 1),

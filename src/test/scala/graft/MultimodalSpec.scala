@@ -90,6 +90,28 @@ class MultimodalSpec extends SparkSpecBase {
       "bilinear resize of a solid image keeps its color")
   }
 
+  test("transcodeImages: PNG→JPEG keeps dims, bounds pixel drift; PNG→PNG exact") {
+    val jpg = Multimodal.transcodeImages(spark,
+      media.filter(col("kind") === "image"), "jpg").collect()
+    jpg.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      assert((bytes(0) & 0xFF) === 0xFF && (bytes(1) & 0xFF) === 0xD8,
+        "payload is not JPEG (SOI marker missing)")
+      val id = r.getAs[Long]("media_id")
+      val (w, h, mean, _) = Multimodal.decodeImage(bytes)
+      assert((w, h) === (Multimodal.imageW(id), Multimodal.imageH(id)))
+      assert(math.abs(mean - Multimodal.imageGray(id)) <= 2.0,
+        s"JPEG drift over tolerance: id=$id mean=$mean")
+    }
+    // a lossless target round-trips the pixels exactly
+    val png = Multimodal.transcodeImages(spark,
+      media.filter(col("kind") === "image").limit(5), "png").collect()
+    png.foreach { r =>
+      val (_, _, mean, _) = Multimodal.decodeImage(r.getAs[Array[Byte]]("bytes"))
+      assert(mean === Multimodal.imageGray(r.getAs[Long]("media_id")).toDouble)
+    }
+  }
+
   test("sampleFrames decodes real GIF frames; stride subsamples") {
     val frames = Multimodal.sampleFrames(spark, media, stride = 1)
     val perVideo = frames.groupBy("media_id").count()
