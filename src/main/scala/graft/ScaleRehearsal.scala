@@ -71,17 +71,17 @@ object ScaleRehearsal {
     }
 
     // Skew-guard evidence: rebuild the probe-leg bucket histogram with
-    // the operator's own derivation (same plane-count formula, seeds
-    // and key kernel — nearestDupLsh lines above use exactly this),
-    // and report how many buckets exceed each salting threshold.
+    // the operator's ACTUAL derivation (`Similarity.derivedPlanes` /
+    // `tableSeed` — the same definitions nearestDupLsh calls, so a
+    // retune of the operator can never silently diverge from what
+    // this histogram measures) and report how many buckets exceed
+    // each salting threshold.
     val n = emb.count()
     val d = emb.select(size(col("embedding")).as("d")).filter(col("d") > 0)
       .limit(1).collect().head.getInt(0)
-    val buckets = math.max(16L, n / 64)
-    val planes = math.min(20, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    val planes = Similarity.derivedPlanes(n)
     val allPlanes = (0 until 8).map(t =>
-      Similarity.hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+      Similarity.hyperplanes(planes, d, seed = Similarity.tableSeed(t)))
     val hist = emb.select(col("vec_id"),
         explode(Similarity.tableProbeKeys(col("embedding"), allPlanes, 2))
           .as("bucket"))

@@ -211,7 +211,9 @@ object Multimodal {
       while (i < n) {
         val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toDouble
         ss += v * v
-        windows(math.min(i * FeatureDim / n, FeatureDim - 1)) += v * v
+        // long arithmetic: i * FeatureDim wraps Int past ~134M samples
+        // (a ~50 min 44.1 kHz WAV) — the codec surface is general
+        windows(math.min((i.toLong * FeatureDim / n).toInt, FeatureDim - 1)) += v * v
         i += 1
       }
       var wI = 0

@@ -143,7 +143,7 @@ object Similarity {
       tables: Int = 8, dim: Int = -1, multiProbe: Int = 2): DataFrame = {
     val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
     val allPlanes = (0 until tables).map(t =>
-      hyperplanes(planes, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+      hyperplanes(planes, d, seed = tableSeed(t)))
     def keysOf(v: Column): Column = tableKeys(v, allPlanes)
     def probeKeysOf(v: Column): Column = tableProbeKeys(v, allPlanes, multiProbe)
     // keys are one native LshKeys pass per row: compute the
@@ -178,6 +178,19 @@ object Similarity {
     * probes on ONE join leg (see the asymmetric-probe note in the
     * body): default 2 lifts measured recall to 0.97-0.99 while the
     * corpus-side index explode stays at `tables` rows per vector. */
+  /** Corpus-size-derived plane count (~64 vectors per bucket, clamped
+    * to [4, 20] bits) and per-table hyperplane seed — THE definitions
+    * [[nearestDupLsh]] uses, exposed so diagnostics (ScaleRehearsal's
+    * skew histogram) measure the operator's actual key space instead
+    * of a copy that could drift. */
+  private[graft] def derivedPlanes(n: Long): Int = {
+    val buckets = math.max(16L, n / 64)
+    math.min(20, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  }
+  private[graft] def tableSeed(t: Int): Long =
+    0x9E3779B97F4A7C15L + t * 1000003L
+
   def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = -1, tables: Int = 8, dim: Int = -1,
       maxBucket: Int = 4096, multiProbe: Int = 2): DataFrame = {
@@ -195,15 +208,12 @@ object Similarity {
       val r = corpus.select(count(lit(1)).as("n"),
         first(size(col(vecCol)), ignoreNulls = true).as("d")).head()
       val derivedDim = if (r.isNullAt(1)) 1 else r.getInt(1)
-      val buckets = math.max(16L, r.getLong(0) / 64)
-      val derivedPlanes = math.min(20, math.max(4,
-        64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
       (if (dim > 0) dim else derivedDim,
-        if (planes > 0) planes else derivedPlanes,
+        if (planes > 0) planes else derivedPlanes(r.getLong(0)),
         r.getLong(0))
     }
     val allPlanes = (0 until tables).map(t =>
-      hyperplanes(p, d, seed = 0x9E3779B97F4A7C15L + t * 1000003L))
+      hyperplanes(p, d, seed = tableSeed(t)))
     def keysOf(v: Column): Column = tableKeys(v, allPlanes)
     // The heavy self-join shuffles ONLY (vec_id, bucket) longs — the
     // wide embedding arrays never ride through the explode. Candidate
@@ -585,8 +595,13 @@ object Similarity {
     * Scale shape: cells bound the quadratic term to ~(N/nlist)² per
     * cell — size nlist ~ √N at warehouse scale (the FAISS rule) and
     * raise it with the corpus; the assigned relation is staged once
-    * (`localCheckpoint`) so the two self-join legs read it instead of
-    * re-running assignment, and only (id, vector, cell) rows shuffle.
+    * (`localCheckpoint`) so the self-join legs and the vector fetch
+    * read it instead of re-running assignment. The self-join shuffles
+    * ONLY (vec_id, cell) — candidate pairs dedup across shared cells
+    * BEFORE the vectors are fetched back by id, so each pair's exact
+    * cosine is computed once (the [[nearestDupLsh]] discipline; with
+    * probes=2 a clustered pair co-assigned to both cells would
+    * otherwise be scored twice).
     * Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded 6. */
   def semanticDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, probes: Int = 2,
@@ -598,15 +613,18 @@ object Similarity {
       .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cells", graft.functions.IvfCells.cells(col("v"), cents, probes))
       .localCheckpoint()
-    val leg = assigned.select(col("vec_id"), col("v"),
-      explode(col("cells")).as("cell"))
-    leg.as("a")
+    val leg = assigned.select(col("vec_id"), explode(col("cells")).as("cell"))
+    val cand = leg.as("a")
       .join(leg.as("b"), col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("c0"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val base = assigned.select(col("vec_id"), col("v"))
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("c0"))
       .filter(col("c0") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("c0"), 6).as("cos"))
-      .distinct()
   }
 }

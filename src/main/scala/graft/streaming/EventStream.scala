@@ -160,7 +160,10 @@ object EventStream {
     val tmp = System.getProperty("java.io.tmpdir")
     val stage = new java.io.File(tmp, s"graft_neardup_stage_$id").getAbsolutePath
     val idx = new java.io.File(tmp, s"graft_neardup_index_$id").getAbsolutePath
-    val src = docs.select(col("doc_id"), col("text"))
+    // staged once: the residue-class loop below and the index seeding
+    // would otherwise re-evaluate whatever plan produced `docs` once
+    // per file (the paragraphDuplicates staging contract)
+    val src = docs.select(col("doc_id"), col("text")).localCheckpoint()
     // one file per residue class: batch membership is doc_id % files,
     // deterministic whatever order the source picks the files up in
     (0 until files).foreach { i =>
