@@ -65,6 +65,13 @@ object ScaleRehearsal {
     timed("nearest_dup_lsh (default maxBucket=4096)") {
       Similarity.nearestDupLsh(emb, "vec_id", "embedding").count()
     }
+    timed("semantic_duplicates (within-cell sweep)") {
+      // identical-direction replicas: every vector has reps−1 twins at
+      // cos 1.0, so the output is ~N·(reps−1)/2 planted pairs — the
+      // within-cell candidate volume, not the pair math, is the load
+      Similarity.semanticDuplicates(emb, "vec_id", "embedding",
+        threshold = 0.95).count()
+    }
     timed("nearest_dup_lsh (maxBucket=256, forced salt)") {
       Similarity.nearestDupLsh(emb, "vec_id", "embedding",
         maxBucket = 256).count()
