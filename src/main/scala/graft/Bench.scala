@@ -33,8 +33,10 @@ object Bench {
     * (span-level exact dedup), `dedup_semantic` (IVF-cell cosine sweep
     * + planted-pair certificate — timing includes its brute-force
     * exact leg, like the other checked variants), `media_features`
-    * (the real PNG/WAV/GIF decode pass) and `stream_near_dup` (the
-    * 4-micro-batch probe-then-admit streaming ingest drain). */
+    * (the real PNG/WAV/GIF decode pass), `stream_near_dup` (the
+    * 4-micro-batch probe-then-admit streaming ingest drain) and
+    * `stream_semantic_dup` (the same loop over a persisted IVF-celled
+    * vector index). */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
@@ -46,6 +48,7 @@ object Bench {
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
     "embed_nearest_dup_lsh", "media_features",
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
+    "stream_semantic_dup",
     "asof_join", "range_join", "sample_split", "shuffle_order",
     "pack_sequences")
 

@@ -666,6 +666,40 @@ object PipelineQueries {
               |SELECT doc_a AS doc_lo, doc_b AS doc_hi, jaccard FROM p
               |WHERE (doc_a % 4) != (doc_b % 4)""".stripMargin)),
 
+    // STREAMING semantic dedup made driver-visible: the embeddingIngest
+    // probe-then-admit loop (persisted IVF-celled vector index, frozen
+    // offline-trained centroids) drained through 4 real micro-batches.
+    // Planted near-dups use offset 1000001, so each planted pair's ids
+    // differ by 1 mod 4 — ALWAYS cross-batch, always visible to the
+    // stream; audit mode + direction normalization then make the
+    // result exactly the cosine-≥-0.95 pairs in different residue
+    // classes, which the exact-cosine oracle expresses directly.
+    QueryDef("stream_semantic_dup",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val planted = base.filter(col("vec_id") < 16)
+          .select((col("vec_id") + 1000001L).as("vec_id"),
+            transform(col("v"), (x, i) =>
+              x * (lit(1.0) + lit(0.02) *
+                when(pmod(i, lit(2)) === 0, lit(1.0))
+                  .otherwise(lit(-1.0)))).as("v"))
+        graft.streaming.EventStream.embeddingIngestDrained(s,
+          base.unionByName(planted), threshold = 0.95, files = 4)
+      },
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |planted AS (SELECT vec_id + 1000001 AS vec_id,
+             |  [v[i] * (1 + 0.02 * (CASE WHEN (i - 1) % 2 = 0 THEN 1 ELSE -1 END))
+             |    FOR i IN range(1, len(v) + 1)] AS v
+             |  FROM base WHERE vec_id < 16),
+             |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+             |SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
+             |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+             |AND (a.vec_id % 4) != (b.vec_id % 4)""".stripMargin)),
+
     QueryDef("window_sliding",
       (s, dir) => Windows.sliding(Tables.events(s, dir), "1 hour", "30 minutes"),
       Some("""WITH x AS (SELECT event_type,

@@ -207,6 +207,124 @@ object EventStream {
     }
   }
 
+  /** Streaming SEMANTIC (embedding-space) near-dup ingestion — the
+    * [[nearDupIngest]] loop for vectors: every micro-batch probes a
+    * PERSISTED vector index within shared IVF cells (asymmetric, the
+    * [[graft.operators.Similarity.nearestDupLsh]] discipline: the
+    * index stores ONE base cell per vector, the probe side explodes
+    * `probes` cells — cheap index, recall bought on the probe leg),
+    * exact-verifies candidate cosines, hands (vec_new, vec_indexed,
+    * cos) pairs to `onPairs`, and admits the batch into the index
+    * (survivors only, or everything in `admitMatched` audit mode).
+    * `centroids` are FROZEN, trained offline ([[graft.operators.Similarity.trainIvfCentroids]])
+    * — the FAISS steady-state contract: a quantizer retrain is a
+    * batch re-index, never a streaming side effect. Input batches
+    * need (idCol, vecCol: array<double>). */
+  def embeddingIngest(vecs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, centroids: Array[Array[Double]],
+      threshold: Double, probes: Int = 2,
+      admitMatched: Boolean = false)(
+      onPairs: (DataFrame, Long) => Unit) = {
+    import graft.operators.Similarity
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+          .select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
+          .localCheckpoint()
+        val spark = b.sparkSession
+        val idx = spark.read.parquet(indexPath)
+        val probeRel = b.select(col(idCol).as("vec_new"), col("__v").as("vn"),
+          explode(graft.functions.IvfCells.cells(col("__v"), centroids, probes))
+            .as("cell"))
+        // the index side stores exactly one cell per vector, so a
+        // candidate pair meets in at most one (probe-cell = base-cell)
+        // key — no post-join dedup needed, cosine computed once
+        val pairs = probeRel.join(idx, Seq("cell"))
+          .filter(col("vec_new") =!= col("vec_id"))
+          .select(col("vec_new"), col("vec_id").as("vec_indexed"),
+            Similarity.cosine(col("vn"), col("v")).as("__c"))
+          .filter(col("__c") >= threshold)
+          .select(col("vec_new"), col("vec_indexed"),
+            round(col("__c"), 6).as("cos"))
+          .localCheckpoint()
+        val admit = if (admitMatched) b else {
+          val dups = pairs.select(col("vec_new").as(idCol)).distinct()
+          b.join(dups, Seq(idCol), "left_anti")
+        }
+        admit.select(col(idCol).as("vec_id"), col("__v").as("v"),
+            element_at(
+              graft.functions.IvfCells.cells(col("__v"), centroids, 1), 1)
+              .as("cell"))
+          .write.mode("append").parquet(indexPath)
+        onPairs(pairs, batchId)
+      }
+      .start()
+  }
+
+  /** Driver-visible face of [[embeddingIngest]] (the
+    * `stream_semantic_dup` query): same residue-class staging and
+    * audit-mode/direction-normalization contract as
+    * [[nearDupIngestDrained]] — the emitted set is exactly the true
+    * cosine-≥-threshold pairs whose vectors land in DIFFERENT
+    * `vec_id % files` batches, independent of processing order, which
+    * the exact-cosine SQL oracle expresses directly. Input needs
+    * (vec_id, v: array<double>). */
+  def embeddingIngestDrained(spark: SparkSession, vecs: DataFrame,
+      threshold: Double, files: Int = 4, nlist: Int = 16,
+      probes: Int = 2): DataFrame = {
+    import graft.operators.Similarity
+    val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val stage = new java.io.File(tmp, s"graft_semdup_stage_$id").getAbsolutePath
+    val idx = new java.io.File(tmp, s"graft_semdup_index_$id").getAbsolutePath
+    val src = vecs.select(col("vec_id"), col("v")).localCheckpoint()
+    (0 until files).foreach { i =>
+      src.filter(pmod(col("vec_id"), lit(files)) === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
+    }
+    // quantizer trained once on the full corpus (deterministic sample),
+    // frozen for every batch — the offline-training contract
+    val cents = Similarity.trainIvfCentroids(src, "vec_id", "v", nlist)
+    // seed an empty index with the right schema
+    src.limit(0).select(col("vec_id"), col("v"), lit(0).as("cell"))
+      .write.mode("overwrite").parquet(idx)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var primary: Throwable = null
+    try {
+      val q = embeddingIngest(
+        spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1").parquet(stage),
+        "vec_id", "v", idx, cents, threshold, probes,
+        admitMatched = true) { (pairs, _) =>
+        batches.synchronized { batches += pairs }   // already checkpointed
+      }
+      try q.processAllAvailable() finally q.stop()
+      val all = batches.synchronized { batches.toSeq }
+      all.reduceOption(_ unionByName _)
+        .map(_.select(
+          least(col("vec_new"), col("vec_indexed")).as("vec_lo"),
+          greatest(col("vec_new"), col("vec_indexed")).as("vec_hi"),
+          col("cos")))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_lo LONG, vec_hi LONG, cos DOUBLE")))
+    } catch {
+      case t: Throwable => primary = t; throw t
+    } finally {
+      try {
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      } catch {
+        case c: Throwable =>
+          if (primary != null) primary.addSuppressed(c) else throw c
+      }
+    }
+  }
+
   private val drainCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The driver-visible face of the streaming layer: run the SAME

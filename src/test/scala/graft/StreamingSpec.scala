@@ -169,6 +169,28 @@ class StreamingSpec extends SparkSpecBase {
       s"cross-batch pairs missing: $got")
   }
 
+  test("embeddingIngestDrained: cross-batch twins found, same-batch invisible") {
+    import spark.implicits._
+    // unit vectors along distinct axes; 0 ≡ 4 (mod 4) share a batch,
+    // 1/2/3 are identical vectors in different batches
+    def axis(d: Int, scale: Double = 1.0) =
+      Seq.tabulate(8)(j => if (j == d) scale else 0.0)
+    val vecs = Seq(
+      (0L, axis(0)), (4L, axis(0, 2.0)),       // same residue: invisible
+      (1L, axis(1)), (2L, axis(1, 3.0)),       // cross-batch twins
+      (3L, axis(1, 0.5)),
+      (7L, axis(5))).toDF("vec_id", "v")       // isolated direction
+    val got = graft.streaming.EventStream
+      .embeddingIngestDrained(spark, vecs, threshold = 0.99, files = 4,
+        nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((0L, 4L)), "same-batch pair must be invisible")
+    assert(got((1L, 2L)) && got((1L, 3L)) && got((2L, 3L)),
+      s"cross-batch cosine-1.0 twins missing: $got")
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L),
+      "isolated vector must not pair")
+  }
+
   test("mapGroupsWithState session accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
