@@ -115,9 +115,16 @@ object PipelineQueries {
         Dedup.writeNearDupIndex(docs, "doc_id", "text",
           idx, shingleN = 3, k = 128, bands = 32)
         // self-matches are already excluded by the operator's
-        // candidate filter (doc_new =!= indexed doc)
-        Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx,
-          threshold = 0.8)
+        // candidate filter (doc_new =!= indexed doc). The probe result
+        // is CHECKPOINTED so the on-disk index can be deleted here —
+        // returning the lazy frame instead leaked one index dir per
+        // (dir, pid) into the tmpdir on every driver run
+        val pairs = Dedup.incrementalNearDuplicates(docs, "doc_id", "text",
+          idx, threshold = 0.8).localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        pairs
       },
       Some(s"""WITH p AS (${jaccardOracle(3, "0.8")})
               |SELECT doc_a AS doc_new, doc_b AS doc_indexed, jaccard FROM p
