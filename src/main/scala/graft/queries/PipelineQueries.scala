@@ -39,6 +39,34 @@ object PipelineQueries {
        |WHERE CAST(i AS DOUBLE) / (ca.nn + cb.nn - i) >= $threshold""".stripMargin
   }
 
+  /** Planted near-duplicate vectors for the semantic-dedup gates: each
+    * base vector with vec_id < 16 re-emitted under vec_id + `offset`
+    * with a ±2% alternating-sign perturbation (cos ≈ 0.9998 — far
+    * above the 0.95 gates, while no natural pair exceeds ~0.51). ONE
+    * definition with a matching SQL twin below: the closed form must
+    * stay bit-identical across the Scala side and every oracle, and
+    * across the batch (offset 1e6) and streaming (offset 1000001 —
+    * ids differing by 1 mod 4 are always cross-batch) variants. */
+  private def plantedNearDups(base: org.apache.spark.sql.DataFrame,
+      offset: Long): org.apache.spark.sql.DataFrame =
+    base.filter(col("vec_id") < 16)
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) *
+            when(pmod(i, lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0)))).as("v"))
+
+  /** SQL twin of [[plantedNearDups]]: CTEs `base` (cast embeddings)
+    * and `c` (base ∪ planted), for oracle queries to build on. */
+  private def plantedCorpusSql(offset: Long): String =
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |planted AS (SELECT vec_id + $offset AS vec_id,
+       |  [v[i] * (1 + 0.02 * (CASE WHEN (i - 1) % 2 = 0 THEN 1 ELSE -1 END))
+       |    FOR i IN range(1, len(v) + 1)] AS v
+       |  FROM base WHERE vec_id < 16),
+       |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------- deduplication ----------------
@@ -118,13 +146,16 @@ object PipelineQueries {
         // candidate filter (doc_new =!= indexed doc). The probe result
         // is CHECKPOINTED so the on-disk index can be deleted here —
         // returning the lazy frame instead leaked one index dir per
-        // (dir, pid) into the tmpdir on every driver run
-        val pairs = Dedup.incrementalNearDuplicates(docs, "doc_id", "text",
-          idx, threshold = 0.8).localCheckpoint()
-        val fs = new org.apache.hadoop.fs.Path(idx)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-        pairs
+        // (dir, pid) into the tmpdir on every driver run. Deletion in
+        // a finally: a failed probe job must not leak the dir either.
+        try
+          Dedup.incrementalNearDuplicates(docs, "doc_id", "text",
+            idx, threshold = 0.8).localCheckpoint()
+        finally {
+          val fs = new org.apache.hadoop.fs.Path(idx)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        }
       },
       Some(s"""WITH p AS (${jaccardOracle(3, "0.8")})
               |SELECT doc_a AS doc_new, doc_b AS doc_indexed, jaccard FROM p
@@ -147,13 +178,8 @@ object PipelineQueries {
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-        val planted = base.filter(col("vec_id") < 16)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("v"), (x, i) =>
-              x * (lit(1.0) + lit(0.02) *
-                when(pmod(i, lit(2)) === 0, lit(1.0))
-                  .otherwise(lit(-1.0)))).as("v"))
-        val corpus = base.unionByName(planted).localCheckpoint()
+        val corpus = base.unionByName(plantedNearDups(base, 1000000L))
+          .localCheckpoint()
         val exact = corpus.as("a").join(corpus.as("b"),
             col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -174,17 +200,11 @@ object PipelineQueries {
             col("hits") >= col("tot") * 0.8).as("sem_ok"))
         exact.crossJoin(ok)
       },
-      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |planted AS (SELECT vec_id + 1000000 AS vec_id,
-             |  [v[i] * (1 + 0.02 * (CASE WHEN (i - 1) % 2 = 0 THEN 1 ELSE -1 END))
-             |    FOR i IN range(1, len(v) + 1)] AS v
-             |  FROM base WHERE vec_id < 16),
-             |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos, TRUE AS sem_ok
-             |FROM c a JOIN c b ON a.vec_id < b.vec_id
-             |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin)),
+      Some(s"""WITH ${plantedCorpusSql(1000000L)}
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos, TRUE AS sem_ok
+              |FROM c a JOIN c b ON a.vec_id < b.vec_id
+              |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin)),
 
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -685,27 +705,16 @@ object PipelineQueries {
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-        val planted = base.filter(col("vec_id") < 16)
-          .select((col("vec_id") + 1000001L).as("vec_id"),
-            transform(col("v"), (x, i) =>
-              x * (lit(1.0) + lit(0.02) *
-                when(pmod(i, lit(2)) === 0, lit(1.0))
-                  .otherwise(lit(-1.0)))).as("v"))
         graft.streaming.EventStream.embeddingIngestDrained(s,
-          base.unionByName(planted), threshold = 0.95, files = 4)
+          base.unionByName(plantedNearDups(base, 1000001L)),
+          threshold = 0.95, files = 4)
       },
-      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |planted AS (SELECT vec_id + 1000001 AS vec_id,
-             |  [v[i] * (1 + 0.02 * (CASE WHEN (i - 1) % 2 = 0 THEN 1 ELSE -1 END))
-             |    FOR i IN range(1, len(v) + 1)] AS v
-             |  FROM base WHERE vec_id < 16),
-             |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-             |SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
-             |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-             |FROM c a JOIN c b ON a.vec_id < b.vec_id
-             |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
-             |AND (a.vec_id % 4) != (b.vec_id % 4)""".stripMargin)),
+      Some(s"""WITH ${plantedCorpusSql(1000001L)}
+              |SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
+              |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |FROM c a JOIN c b ON a.vec_id < b.vec_id
+              |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+              |AND (a.vec_id % 4) != (b.vec_id % 4)""".stripMargin)),
 
     QueryDef("window_sliding",
       (s, dir) => Windows.sliding(Tables.events(s, dir), "1 hour", "30 minutes"),

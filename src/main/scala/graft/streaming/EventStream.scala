@@ -156,42 +156,61 @@ object EventStream {
   def nearDupIngestDrained(spark: SparkSession, docs: DataFrame,
       threshold: Double = 0.8, files: Int = 4): DataFrame = {
     import graft.operators.Dedup
+    drainIngest(spark, docs.select(col("doc_id"), col("text")), "doc_id",
+      files, "neardup", "doc_lo LONG, doc_hi LONG, jaccard DOUBLE")(
+      prepare = (src, idx) =>
+        Dedup.writeNearDupIndex(src.limit(0), "doc_id", "text", idx,
+          shingleN = 3, k = 128, bands = 32))(
+      start = (stage, idx, collect) => nearDupIngest(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(stage),
+        "doc_id", "text", idx, threshold, admitMatched = true)(collect))(
+      normalize = _.select(
+        least(col("doc_new"), col("doc_indexed")).as("doc_lo"),
+        greatest(col("doc_new"), col("doc_indexed")).as("doc_hi"),
+        col("jaccard")))
+  }
+
+  /** Shared scaffold of the drained ingest queries: stage `src` as one
+    * parquet file per `keyCol % files` residue class (batch membership
+    * is then a pure key property, deterministic whatever order the
+    * file source picks the files up in), `prepare` an index from the
+    * STAGED relation, run the `start`ed probe-then-admit query to
+    * completion, union the per-batch pair frames (each already
+    * checkpointed by the ingest loop) and direction-`normalize`.
+    * The staging write, index preparation and drain all run INSIDE the
+    * try owning cleanup — a failure anywhere (including `prepare`'s
+    * driver jobs) still deletes both temp dirs, and a cleanup failure
+    * is suppressed onto the primary instead of replacing it. */
+  private def drainIngest(spark: SparkSession, src0: DataFrame,
+      keyCol: String, files: Int, tag: String, emptyDdl: String)(
+      prepare: (DataFrame, String) => Unit)(
+      start: (String, String, (DataFrame, Long) => Unit) =>
+        org.apache.spark.sql.streaming.StreamingQuery)(
+      normalize: DataFrame => DataFrame): DataFrame = {
     val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
     val tmp = System.getProperty("java.io.tmpdir")
-    val stage = new java.io.File(tmp, s"graft_neardup_stage_$id").getAbsolutePath
-    val idx = new java.io.File(tmp, s"graft_neardup_index_$id").getAbsolutePath
-    // staged once: the residue-class loop below and the index seeding
-    // would otherwise re-evaluate whatever plan produced `docs` once
-    // per file (the paragraphDuplicates staging contract)
-    val src = docs.select(col("doc_id"), col("text")).localCheckpoint()
-    // one file per residue class: batch membership is doc_id % files,
-    // deterministic whatever order the source picks the files up in
-    (0 until files).foreach { i =>
-      src.filter(pmod(col("doc_id"), lit(files)) === i).coalesce(1)
-        .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
-    }
-    Dedup.writeNearDupIndex(src.limit(0), "doc_id", "text", idx,
-      shingleN = 3, k = 128, bands = 32)
+    val stage = new java.io.File(tmp, s"graft_${tag}_stage_$id").getAbsolutePath
+    val idx = new java.io.File(tmp, s"graft_${tag}_index_$id").getAbsolutePath
     val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var primary: Throwable = null
     try {
-      val q = nearDupIngest(
-        spark.readStream.schema("doc_id LONG, text STRING")
-          .option("maxFilesPerTrigger", "1").parquet(stage),
-        "doc_id", "text", idx, threshold, admitMatched = true) { (pairs, _) =>
-        batches.synchronized { batches += pairs }   // already checkpointed
+      // staged once: the residue loop and prepare() would otherwise
+      // re-evaluate whatever plan produced src per use
+      val src = src0.localCheckpoint()
+      (0 until files).foreach { i =>
+        src.filter(pmod(col(keyCol), lit(files)) === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
       }
+      prepare(src, idx)
+      val q = start(stage, idx,
+        (pairs, _) => batches.synchronized { batches += pairs })
       try q.processAllAvailable() finally q.stop()
       val all = batches.synchronized { batches.toSeq }
-      all.reduceOption(_ unionByName _)
-        .map(_.select(
-          least(col("doc_new"), col("doc_indexed")).as("doc_lo"),
-          greatest(col("doc_new"), col("doc_indexed")).as("doc_hi"),
-          col("jaccard")))
+      all.reduceOption(_ unionByName _).map(normalize)
         .getOrElse(spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_lo LONG, doc_hi LONG, jaccard DOUBLE")))
+          org.apache.spark.sql.types.StructType.fromDDL(emptyDdl)))
     } catch {
       case t: Throwable => primary = t; throw t
     } finally {
@@ -209,17 +228,28 @@ object EventStream {
 
   /** Streaming SEMANTIC (embedding-space) near-dup ingestion — the
     * [[nearDupIngest]] loop for vectors: every micro-batch probes a
-    * PERSISTED vector index within shared IVF cells (asymmetric, the
-    * [[graft.operators.Similarity.nearestDupLsh]] discipline: the
-    * index stores ONE base cell per vector, the probe side explodes
-    * `probes` cells — cheap index, recall bought on the probe leg),
-    * exact-verifies candidate cosines, hands (vec_new, vec_indexed,
-    * cos) pairs to `onPairs`, and admits the batch into the index
-    * (survivors only, or everything in `admitMatched` audit mode).
-    * `centroids` are FROZEN, trained offline ([[graft.operators.Similarity.trainIvfCentroids]])
-    * — the FAISS steady-state contract: a quantizer retrain is a
-    * batch re-index, never a streaming side effect. Input batches
-    * need (idCol, vecCol: array<double>). */
+    * PERSISTED vector index within shared IVF cells, exact-verifies
+    * candidate cosines, hands (vec_new, vec_indexed, cos) pairs to
+    * `onPairs`, and admits the batch into the index (survivors only,
+    * or everything in `admitMatched` audit mode).
+    *
+    * The probe is SYMMETRIC: both the index rows and the incoming
+    * vectors carry their `probes` nearest cells, and a candidate pair
+    * forms when the cell SETS intersect. Symmetry is what makes the
+    * emitted pair set independent of arrival order — under an
+    * asymmetric probe (index keeps one base cell, probe explodes
+    * `probes`) a pair whose top cells overlap only one way would be
+    * found or missed depending on which side streamed in first, so the
+    * same corpus could yield different outputs run to run. Candidate
+    * ids are deduped across shared cells BEFORE vectors are fetched —
+    * each pair's exact cosine is computed once (the
+    * [[graft.operators.Similarity.semanticDuplicates]] discipline).
+    * `centroids` are FROZEN, trained offline
+    * ([[graft.operators.Similarity.trainIvfCentroids]]) — the FAISS
+    * steady-state contract: a quantizer retrain is a batch re-index,
+    * never a streaming side effect. Input batches need
+    * (idCol, vecCol: array<double>); index rows are
+    * (vec_id, v, cells: array<int>). */
   def embeddingIngest(vecs: DataFrame, idCol: String, vecCol: String,
       indexPath: String, centroids: Array[Array[Double]],
       threshold: Double, probes: Int = 2,
@@ -230,19 +260,27 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
-          .select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
+          .select(col(idCol),
+            Similarity.asDouble(col(vecCol)).as("__v"),
+            graft.functions.IvfCells.cells(
+              Similarity.asDouble(col(vecCol)), centroids, probes)
+              .as("__cells"))
           .localCheckpoint()
         val spark = b.sparkSession
         val idx = spark.read.parquet(indexPath)
-        val probeRel = b.select(col(idCol).as("vec_new"), col("__v").as("vn"),
-          explode(graft.functions.IvfCells.cells(col("__v"), centroids, probes))
-            .as("cell"))
-        // the index side stores exactly one cell per vector, so a
-        // candidate pair meets in at most one (probe-cell = base-cell)
-        // key — no post-join dedup needed, cosine computed once
-        val pairs = probeRel.join(idx, Seq("cell"))
+        val probeLeg = b.select(col(idCol).as("vec_new"),
+          explode(col("__cells")).as("cell"))
+        val idxLeg = idx.select(col("vec_id"), explode(col("cells")).as("cell"))
+        val cand = probeLeg.join(idxLeg, Seq("cell"))
           .filter(col("vec_new") =!= col("vec_id"))
-          .select(col("vec_new"), col("vec_id").as("vec_indexed"),
+          .select(col("vec_new"), col("vec_id").as("vec_indexed"))
+          .distinct()
+        val pairs = cand
+          .join(b.select(col(idCol).as("vec_new"), col("__v").as("vn")),
+            Seq("vec_new"))
+          .join(idx.select(col("vec_id").as("vec_indexed"), col("v")),
+            Seq("vec_indexed"))
+          .select(col("vec_new"), col("vec_indexed"),
             Similarity.cosine(col("vn"), col("v")).as("__c"))
           .filter(col("__c") >= threshold)
           .select(col("vec_new"), col("vec_indexed"),
@@ -253,9 +291,7 @@ object EventStream {
           b.join(dups, Seq(idCol), "left_anti")
         }
         admit.select(col(idCol).as("vec_id"), col("__v").as("v"),
-            element_at(
-              graft.functions.IvfCells.cells(col("__v"), centroids, 1), 1)
-              .as("cell"))
+            col("__cells").as("cells"))
           .write.mode("append").parquet(indexPath)
         onPairs(pairs, batchId)
       }
@@ -265,64 +301,39 @@ object EventStream {
   /** Driver-visible face of [[embeddingIngest]] (the
     * `stream_semantic_dup` query): same residue-class staging and
     * audit-mode/direction-normalization contract as
-    * [[nearDupIngestDrained]] — the emitted set is exactly the true
+    * [[nearDupIngestDrained]] — the emitted set is the true
     * cosine-≥-threshold pairs whose vectors land in DIFFERENT
-    * `vec_id % files` batches, independent of processing order, which
-    * the exact-cosine SQL oracle expresses directly. Input needs
+    * `vec_id % files` batches and share a probed cell; the symmetric
+    * probe makes that set a pure property of the corpus, which the
+    * exact-cosine SQL oracle expresses directly. Input needs
     * (vec_id, v: array<double>). */
   def embeddingIngestDrained(spark: SparkSession, vecs: DataFrame,
       threshold: Double, files: Int = 4, nlist: Int = 16,
       probes: Int = 2): DataFrame = {
     import graft.operators.Similarity
-    val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
-    val tmp = System.getProperty("java.io.tmpdir")
-    val stage = new java.io.File(tmp, s"graft_semdup_stage_$id").getAbsolutePath
-    val idx = new java.io.File(tmp, s"graft_semdup_index_$id").getAbsolutePath
-    val src = vecs.select(col("vec_id"), col("v")).localCheckpoint()
-    (0 until files).foreach { i =>
-      src.filter(pmod(col("vec_id"), lit(files)) === i).coalesce(1)
-        .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
-    }
-    // quantizer trained once on the full corpus (deterministic sample),
-    // frozen for every batch — the offline-training contract
-    val cents = Similarity.trainIvfCentroids(src, "vec_id", "v", nlist)
-    // seed an empty index with the right schema
-    src.limit(0).select(col("vec_id"), col("v"), lit(0).as("cell"))
-      .write.mode("overwrite").parquet(idx)
-    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var primary: Throwable = null
-    try {
-      val q = embeddingIngest(
-        spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
-          .option("maxFilesPerTrigger", "1").parquet(stage),
-        "vec_id", "v", idx, cents, threshold, probes,
-        admitMatched = true) { (pairs, _) =>
-        batches.synchronized { batches += pairs }   // already checkpointed
-      }
-      try q.processAllAvailable() finally q.stop()
-      val all = batches.synchronized { batches.toSeq }
-      all.reduceOption(_ unionByName _)
-        .map(_.select(
-          least(col("vec_new"), col("vec_indexed")).as("vec_lo"),
-          greatest(col("vec_new"), col("vec_indexed")).as("vec_hi"),
-          col("cos")))
-        .getOrElse(spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "vec_lo LONG, vec_hi LONG, cos DOUBLE")))
-    } catch {
-      case t: Throwable => primary = t; throw t
-    } finally {
-      try {
-        val fs = new org.apache.hadoop.fs.Path(stage)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      } catch {
-        case c: Throwable =>
-          if (primary != null) primary.addSuppressed(c) else throw c
-      }
-    }
+    drainIngest(spark, vecs.select(col("vec_id"), col("v")), "vec_id",
+      files, "semdup", "vec_lo LONG, vec_hi LONG, cos DOUBLE")(
+      prepare = (src, idx) =>
+        // seed an empty index with the right schema; centroids are
+        // trained below from the SAME staged relation
+        src.limit(0)
+          .select(col("vec_id"), col("v"), array().cast("array<int>").as("cells"))
+          .write.mode("overwrite").parquet(idx))(
+      start = (stage, idx, collect) => {
+        // quantizer trained once on the staged corpus (deterministic
+        // sample), frozen for every batch — the offline contract
+        val cents = Similarity.trainIvfCentroids(
+          spark.read.parquet(stage), "vec_id", "v", nlist)
+        embeddingIngest(
+          spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1").parquet(stage),
+          "vec_id", "v", idx, cents, threshold, probes,
+          admitMatched = true)(collect)
+      })(
+      normalize = _.select(
+        least(col("vec_new"), col("vec_indexed")).as("vec_lo"),
+        greatest(col("vec_new"), col("vec_indexed")).as("vec_hi"),
+        col("cos")))
   }
 
   private val drainCounter = new java.util.concurrent.atomic.AtomicInteger(0)

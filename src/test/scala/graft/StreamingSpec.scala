@@ -169,6 +169,45 @@ class StreamingSpec extends SparkSpecBase {
       s"cross-batch pairs missing: $got")
   }
 
+  test("embeddingIngest default mode: matched vectors are NOT admitted to the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    def axis(d: Int, scale: Double = 1.0) =
+      Seq.tabulate(8)(j => if (j == d) scale else 0.0)
+    val idx = "target/test_stream_embed_index"
+    val seed = Seq((1L, axis(0))).toDF("vec_id", "v")
+    val cents = Similarity.trainIvfCentroids(seed, "vec_id", "v", nlist = 4)
+    // seed the index with vector 1
+    seed.select(col("vec_id"), col("v"),
+        graft.functions.IvfCells.cells(col("v"), cents, 2).as("cells"))
+      .write.mode("overwrite").parquet(idx)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = graft.streaming.EventStream.embeddingIngest(
+        input.toDF().toDF("vec_id", "v"), "vec_id", "v", idx, cents,
+        threshold = 0.99) { (pairs, _) =>
+      found ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      // batch 1: vec 2 duplicates the seed (NOT admitted); vec 3 is new
+      input.addData((2L, axis(0, 2.0)), (3L, axis(5)))
+      q.processAllAvailable()
+      assert(found.contains((2L, 1L)), s"seed dup not found: $found")
+      // batch 2: vec 4 duplicates vec 3 — findable only if 3 was
+      // admitted; vec 5 duplicates the REJECTED vec 2's direction and
+      // must match the surviving representative 1, not 2
+      input.addData((4L, axis(5, 3.0)), (5L, axis(0, 0.5)))
+      q.processAllAvailable()
+      assert(found.contains((4L, 3L)), s"cross-batch dup not found: $found")
+      assert(found.contains((5L, 1L)) && !found.contains((5L, 2L)),
+        s"rejected duplicate leaked into the index: $found")
+      val indexed = spark.read.parquet(idx)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(indexed === Set(1L, 3L), s"index contents: $indexed")
+    } finally q.stop()
+  }
+
   test("embeddingIngestDrained: cross-batch twins found, same-batch invisible") {
     import spark.implicits._
     // unit vectors along distinct axes; 0 ≡ 4 (mod 4) share a batch,
