@@ -50,7 +50,7 @@ object Bench {
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "stream_semantic_dup",
     "asof_join", "range_join", "sample_split", "shuffle_order",
-    "pack_sequences")
+    "pack_sequences", "pipeline_training_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

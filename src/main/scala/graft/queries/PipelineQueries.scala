@@ -833,6 +833,57 @@ object PipelineQueries {
     // Spark and DuckDB render identically — so even "random" sampling
     // is oracle-checkable, and re-runs/repartitions can't change splits
 
+    // TRAINING-MIX capstone (complements pipeline_end2end's
+    // per-language rollup): exact-dedup survivors → quality GATE →
+    // deterministic split assignment → per-split document/token
+    // budgets — the numbers a training run actually consumes — each
+    // stage the already-proven operator, composed in ONE query with a
+    // composed oracle (the dedup_exact / text_quality / sample_split /
+    // token_count oracles chained as CTEs). The quality threshold 0.451117 is tie-free:
+    // no document's rounded score equals it at any checked scale
+    // factor, so the gate can never flake on a boundary comparison.
+    QueryDef("pipeline_training_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val survivors = docs.join(
+          Dedup.exactDuplicates(docs, "doc_id", "text").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val good = survivors.join(
+          TextAnalysis.qualityScore(survivors, "doc_id", "text")
+            .filter(col("quality") >= 0.451117).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val split = Sampling.assignSplits(good, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        split.join(TextAnalysis.tokenCount(good, "doc_id", "text"),
+            Seq("doc_id"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("ws_tokens"),
+            sum(col("bpe_tokens")).as("bpe_tokens"))
+      },
+      Some(s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
+              |  GROUP BY text),
+              |kept AS (SELECT d.* FROM documents d
+              |  JOIN surv s ON d.doc_id = s.doc_id),
+              |good AS (SELECT * FROM kept WHERE
+              |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |      / len(string_split(text, ' '))
+              |    * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              |        x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+              |      / len(string_split(text, ' '))), 6) >= 0.451117),
+              |sp AS (SELECT doc_id, text,
+              |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |         < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+              |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |         < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM good)
+              |SELECT split, COUNT(*) AS n_docs,
+              |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+              |CAST(SUM(len(regexp_extract_all(text,
+              |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
+              |FROM sp GROUP BY split""".stripMargin)),
+
     QueryDef("sample_split",
       (s, dir) => Sampling.assignSplits(Tables.documents(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -378,6 +378,11 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got === want)
     // a corpus with no pairs above threshold yields an empty result
     assert(Similarity.semanticDuplicates(base, "vec_id", "v", 0.95).isEmpty)
+    // retention: every planted copy (the higher id of its pair) drops,
+    // every base vector and every singleton survives
+    val survivors = Similarity.semanticSurvivors(corpus, "vec_id", "v", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === base.collect().map(_.getLong(0)).toSet)
   }
 
   test("IVF ANN recall vs brute force") {
