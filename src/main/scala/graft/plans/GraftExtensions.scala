@@ -106,7 +106,68 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "quantized_cosine(a, b)")
         QuantizedCosine(args.head, args(1))
+      }),
+    // The hyperplane/centroid configs are CONSTANT nested-array
+    // literals from SQL (e.g. array(array(1.0d, 0.0d), ...)): the
+    // builder folds them driver-side exactly like the Column API
+    // passes Scala arrays, so the same codegen'd kernel runs.
+    // (bloom_long_hits is deliberately NOT SQL-injectable: its Bloom
+    // filter is a driver-built sketch object with no literal form —
+    // use TextAnalysis.decontaminate / BloomLongHits.hits.)
+    ("lsh_keys",
+      new ExpressionInfo(classOf[graft.functions.LshKeys].getName, null, "lsh_keys",
+        "_FUNC_(v, planes, multi_probe) - per-table LSH bucket keys of " +
+          "array<double> v under constant array<array<array<double>>> " +
+          "planes (one matrix per table); multi_probe > 0 appends the " +
+          "smallest-margin 1-bit-flip probe keys per table.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "lsh_keys(v, planes, multi_probe)")
+        graft.functions.LshKeys(args.head,
+          tensorArg(args(1), "planes"),
+          intArg(args(2), "multi_probe"))
+      }),
+    ("ivf_cells",
+      new ExpressionInfo(classOf[graft.functions.IvfCells].getName, null, "ivf_cells",
+        "_FUNC_(v, centroids, n) - 0-based centroid ids of the n " +
+          "nearest IVF cells of array<double> v under constant " +
+          "array<array<double>> centroids, by dot product.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "ivf_cells(v, centroids, n)")
+        graft.functions.IvfCells(args.head,
+          matrixArg(args(1), "centroids"),
+          intArg(args(2), "n"))
       }))
+
+  private def matrixArg(e: Expression, what: String): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if e.foldable =>
+        val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3089",
+        messageParameters = Map("msg" ->
+          s"$what must be a constant array<array<double>>"))
+    }
+  }
+
+  private def tensorArg(e: Expression, what: String): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) if e.foldable =>
+        val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(ad.numElements()) { i =>
+          val m = ad.getArray(i)
+          Array.tabulate(m.numElements())(j => m.getArray(j).toDoubleArray())
+        }
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3089",
+        messageParameters = Map("msg" ->
+          s"$what must be a constant array<array<array<double>>>"))
+    }
+  }
 
   /** Register every function on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

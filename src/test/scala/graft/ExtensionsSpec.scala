@@ -57,4 +57,32 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(qRow.getAs[Array[Byte]](0).toSeq === Seq[Byte](64, -127, 32))
     assert(qRow.getDouble(1) === 1.0)
   }
+
+  test("lsh_keys and ivf_cells are SQL-callable with constant configs") {
+    GraftExtensions.registerAll(spark)
+    // ivf_cells: nearest of two axis centroids by dot product
+    val cellRow = spark.sql(
+      """SELECT ivf_cells(array(0.9D, 0.1D),
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 2) AS cells
+        |""".stripMargin).head()
+    assert(cellRow.getSeq[Int](0) === Seq(0, 1))
+    // lsh_keys: SQL path must agree with the Column-API path bit for bit
+    val planes = Seq(graft.operators.Similarity.hyperplanes(3, 2, seed = 5L))
+    val planesSql = planes.map(_.map(_.mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"SELECT lsh_keys(array(0.3D, -0.7D), $planesSql, 1) AS k").head()
+      .getSeq[Long](0)
+    import spark.implicits._
+    val viaApi = Seq(Tuple1(Seq(0.3, -0.7))).toDF("v")
+      .select(graft.functions.LshKeys.keys(
+        org.apache.spark.sql.functions.col("v").cast("array<double>"),
+        planes, 1).as("k"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaApi)
+    // non-constant config is rejected at analysis, not at runtime
+    val err = intercept[Exception](spark.sql(
+      """SELECT ivf_cells(array(1.0D), array(array(rand())), 1)""").head())
+    assert(err.getMessage.contains("constant"))
+  }
 }
