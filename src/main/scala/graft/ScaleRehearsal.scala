@@ -37,6 +37,11 @@ object ScaleRehearsal {
       println(f"[rehearsal] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
     }
 
+    // Replica offset 10000001 (≢ 0 mod 4): the drained-stream rows
+    // batch by id % 4, and a multiple-of-4 offset would put every
+    // replica clone in the SAME residue class — all planted pairs
+    // same-batch, invisible to the stream by contract (observed: the
+    // semantic drain returned 0 rows under a 10M offset).
     // Replicas keep near-dup structure without exact-text degeneracy:
     // a per-replica suffix token shifts 3-gram Jaccard of cross-replica
     // copies to ~0.9 (still ≥ the 0.8 threshold), so every document
@@ -45,12 +50,12 @@ object ScaleRehearsal {
     // every LSH bucket — the maximum-concentration stress case.
     val docs0 = Tables.documents(spark, sfDir)
     val docs = (0 until reps).map(r =>
-        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        docs0.select((col("doc_id") + lit(r * 10000001L)).as("doc_id"),
           concat(col("text"), lit(s" rep$r")).as("text")))
       .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     val emb0 = Tables.embeddings(spark, sfDir)
     val emb = (0 until reps).map(r =>
-        emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        emb0.select((col("vec_id") + lit(r * 10000001L)).as("vec_id"),
           Similarity.asDouble(col("embedding")).as("embedding")))
       .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     println(s"[rehearsal] sfDir=$sfDir reps=$reps docs=${docs.count()} vecs=${emb.count()}")
@@ -75,6 +80,20 @@ object ScaleRehearsal {
     timed("nearest_dup_lsh (maxBucket=256, forced salt)") {
       Similarity.nearestDupLsh(emb, "vec_id", "embedding",
         maxBucket = 256).count()
+    }
+    // the streaming drains at 10×: per-batch index probe + append must
+    // scale with batch size, not corpus size — each of the 4 batches
+    // probes an index holding ≤ the previously-admitted corpus
+    timed("stream_near_dup drain (4 batches)") {
+      graft.streaming.EventStream
+        .nearDupIngestDrained(spark, docs, threshold = 0.8, files = 4)
+        .count()
+    }
+    timed("stream_semantic_dup drain (4 batches)") {
+      graft.streaming.EventStream.embeddingIngestDrained(spark,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          threshold = 0.95, files = 4)
+        .count()
     }
 
     // Skew-guard evidence: rebuild the probe-leg bucket histogram with
