@@ -227,21 +227,94 @@ object Multimodal {
   }
 
   /** Decode an animated-GIF payload into per-frame stats:
-    * (frameIdx, width, height, mean luminance) per frame. */
+    * (frameIdx, width, height, mean luminance) per frame.
+    *
+    * Frames are COMPOSITED onto a persistent logical-screen canvas
+    * honoring each frame's offset and disposal method (GIF89a:
+    * `doNotDispose` keeps the canvas, `restoreToBackgroundColor`
+    * clears the frame's rect to transparent — the browser convention —
+    * and `restoreToPrevious` rolls the canvas back), so delta-encoded
+    * GIFs decode to what a player shows, not to the raw sub-rect
+    * patches `reader.read(i)` returns. Full-frame GIFs (every frame
+    * covering the whole screen, e.g. [[syntheticMedia]]'s) are
+    * unchanged by compositing. Reported w/h are the logical screen's;
+    * cleared (transparent) pixels count as luminance 0. */
   private[graft] def decodeVideoFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Double)] = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
-      (0 until n).map { i =>
-        val (w, h, mean, _) = statsOf(reader.read(i))
-        (i, w, h, mean)
-      }
+      val first = reader.read(0)
+      val (cw, ch) = gifScreenSize(reader).getOrElse((first.getWidth, first.getHeight))
+      val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
+      val g = canvas.createGraphics()
+      try {
+        (0 until n).map { i =>
+          val raw = if (i == 0) first else reader.read(i)
+          val (left, top, disposal) = gifFrameMeta(reader, i)
+          val prev =
+            if (disposal == "restoreToPrevious") copyOf(canvas) else null
+          g.setComposite(java.awt.AlphaComposite.SrcOver)
+          g.drawImage(raw, left, top, null)
+          val (_, _, mean, _) = statsOf(canvas)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(left, top, raw.getWidth, raw.getHeight)
+            case "restoreToPrevious" =>
+              g.setComposite(java.awt.AlphaComposite.Src)
+              g.drawImage(prev, 0, 0, null)
+            case _ => () // none / doNotDispose: canvas persists
+          }
+          (i, cw, ch, mean)
+        }
+      } finally g.dispose()
     } finally {
       reader.dispose()
       iis.close()
     }
+  }
+
+  /** Logical screen size from the GIF stream header, if declared. */
+  private def gifScreenSize(reader: javax.imageio.ImageReader): Option[(Int, Int)] = {
+    val tree = reader.getStreamMetadata
+      .getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[org.w3c.dom.Element]
+    val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+    if (lsd.getLength == 0) None
+    else {
+      val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+      val w = e.getAttribute("logicalScreenWidth")
+      val h = e.getAttribute("logicalScreenHeight")
+      if (w.isEmpty || h.isEmpty) None else Some((w.toInt, h.toInt))
+    }
+  }
+
+  /** Per-frame (leftOffset, topOffset, disposalMethod) from the GIF
+    * image metadata; defaults (0, 0, "none") when absent. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) = {
+    val tree = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+    def elem(tag: String): Option[org.w3c.dom.Element] = {
+      val nl = tree.getElementsByTagName(tag)
+      if (nl.getLength == 0) None
+      else Some(nl.item(0).asInstanceOf[org.w3c.dom.Element])
+    }
+    def intAttr(e: Option[org.w3c.dom.Element], a: String): Int =
+      e.map(_.getAttribute(a)).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+    val desc = elem("ImageDescriptor")
+    val gce = elem("GraphicControlExtension")
+    val disposal = gce.map(_.getAttribute("disposalMethod"))
+      .filter(_.nonEmpty).getOrElse("none")
+    (intAttr(desc, "imageLeftPosition"), intAttr(desc, "imageTopPosition"), disposal)
+  }
+
+  private def copyOf(img: BufferedImage): BufferedImage = {
+    val c = new BufferedImage(img.getWidth, img.getHeight, img.getType)
+    val g = c.createGraphics()
+    try { g.setComposite(java.awt.AlphaComposite.Src); g.drawImage(img, 0, 0, null) }
+    finally g.dispose()
+    c
   }
 
   /** Full decode of one media row — dispatches on `kind`, parses the

@@ -33,6 +33,88 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.forall(f => f._2 == 8 && f._3 == 8))
   }
 
+  // deterministic ScalaCheck driver (scalatestplus isn't resolvable
+  // offline — same idiom as AlgebraPropertiesSpec); codec properties
+  // are pure JVM so the sample count can be generous
+  private def forAllSeeded[A](gen: org.scalacheck.Gen[A], n: Int = 24)(
+      body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  test("property: PNG round-trips arbitrary dims + gray exactly (incl. 1×1)") {
+    import org.scalacheck.Gen
+    val cases = for {
+      w <- Gen.choose(1, 64); h <- Gen.choose(1, 64); g <- Gen.choose(0, 255)
+    } yield (w, h, g)
+    val edges = Seq((1, 1, 0), (1, 1, 255), (1, 64, 128), (64, 1, 7))
+    (edges ++ Nil).foreach { case (w, h, g) => checkPng(w, h, g) }
+    forAllSeeded(cases) { case (w, h, g) => checkPng(w, h, g) }
+  }
+
+  private def checkPng(w: Int, h: Int, gray: Int): Unit = {
+    val (dw, dh, mean, hist) = Multimodal.decodeImage(Multimodal.encodePng(w, h, gray))
+    assert((dw, dh, mean) === (w, h, gray.toDouble), s"png $w×$h gray=$gray")
+    assert(hist(gray * Multimodal.FeatureDim / 256) === w.toLong * h)
+  }
+
+  test("property: WAV round-trips arbitrary length/amp/rate (incl. 0 samples)") {
+    import org.scalacheck.Gen
+    val cases = for {
+      n <- Gen.choose(0, 4096); amp <- Gen.choose(0, 32767)
+      sr <- Gen.oneOf(8000, 16000, 44100)
+    } yield (n, amp, sr)
+    val edges = Seq((0, 1000, 8000), (1, 32767, 44100), (16, 0, 16000))
+    edges.foreach { case (n, amp, sr) => checkWav(n, amp, sr) }
+    forAllSeeded(cases) { case (n, amp, sr) => checkWav(n, amp, sr) }
+  }
+
+  private def checkWav(n: Int, amp: Int, sr: Int): Unit = {
+    val (dsr, dn, rms, _) = Multimodal.decodeAudio(Multimodal.encodeWav(n, amp, sr))
+    assert((dsr, dn) === (sr, n.toLong), s"wav n=$n amp=$amp sr=$sr")
+    assert(rms === (if (n == 0) 0.0 else amp.toDouble),
+      s"square-wave RMS must equal amp exactly: n=$n amp=$amp")
+  }
+
+  test("property: GIF round-trips arbitrary dims + per-frame grays exactly") {
+    import org.scalacheck.Gen
+    val cases = for {
+      w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
+      grays <- Gen.listOfN(6, Gen.choose(0, 255)).flatMap(l =>
+        Gen.choose(1, 6).map(l.take))
+    } yield (w, h, grays)
+    forAllSeeded(cases, n = 16) { case (w, h, grays) =>
+      val frames = Multimodal.decodeVideoFrames(
+        Multimodal.encodeGif(w, h, grays.toArray))
+      assert(frames.map(_._4) === grays.map(_.toDouble), s"gif $w×$h $grays")
+      assert(frames.forall(f => f._2 == w && f._3 == h))
+    }
+  }
+
+  test("property: PNG→JPEG transcode bounds solid-gray drift at any dims") {
+    import org.scalacheck.Gen
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val cases = for {
+      w <- Gen.choose(1, 64); h <- Gen.choose(1, 64); g <- Gen.choose(0, 255)
+    } yield (w, h, g)
+    forAllSeeded(cases, n = 16) { case (w, h, g) =>
+      // same decode→RGB-normalize→re-encode path as transcodeImages
+      val src = ImageIO.read(new ByteArrayInputStream(Multimodal.encodePng(w, h, g)))
+      val rgb = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g2 = rgb.createGraphics()
+      try g2.drawImage(src, 0, 0, null) finally g2.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(rgb, "jpg", bos)
+      val (dw, dh, mean, _) = Multimodal.decodeImage(bos.toByteArray)
+      assert((dw, dh) === (w, h))
+      assert(math.abs(mean - g) <= 2.0,
+        s"JPEG drift over tolerance at $w×$h gray=$g: mean=$mean")
+    }
+  }
+
   test("synthetic media has real encoded bytes + typed metadata per kind") {
     val kinds = media.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -110,6 +192,81 @@ class MultimodalSpec extends SparkSpecBase {
       val (_, _, mean, _) = Multimodal.decodeImage(r.getAs[Array[Byte]]("bytes"))
       assert(mean === Multimodal.imageGray(r.getAs[Long]("media_id")).toDouble)
     }
+  }
+
+  test("decodeVideoFrames composites delta frames honoring offsets + disposal") {
+    // 8×8 screen; solid gray patches (lum of gray g is exactly g):
+    //   f0 full 100 (doNotDispose)                     → mean 100
+    //   f1 4×4 200 @(0,0) (doNotDispose)               → (16·200+48·100)/64 = 125
+    //   f2 4×4  40 @(4,4) (restoreToBackgroundColor)   → (16·40+16·200+32·100)/64 = 110
+    //      → then its rect clears to transparent (lum 0)
+    //   f3 2×2 255 @(0,0) (restoreToPrevious)          → (4·255+12·200+32·100+16·0)/64 = 103.4375
+    //      → then the canvas rolls back to the pre-f3 state
+    //   f4 1×1  10 @(7,7) (none) lands in the cleared  → (16·200+32·100+10)/64 = 100.15625
+    //      rect — visible only if f2's clear AND f3's rollback both happened
+    val gif = encodeDeltaGif(Seq(
+      (8, 8, 100, 0, 0, "doNotDispose"),
+      (4, 4, 200, 0, 0, "doNotDispose"),
+      (4, 4, 40, 4, 4, "restoreToBackgroundColor"),
+      (2, 2, 255, 0, 0, "restoreToPrevious"),
+      (1, 1, 10, 7, 7, "none")))
+    val frames = Multimodal.decodeVideoFrames(gif)
+    assert(frames.map(_._1) === Seq(0, 1, 2, 3, 4))
+    assert(frames.forall(f => f._2 == 8 && f._3 == 8),
+      "delta frames must report the logical screen dims, not the patch's")
+    assert(frames.map(_._4) === Seq(100.0, 125.0, 110.0, 103.4375, 100.15625))
+  }
+
+  /** Test-side encoder for delta GIFs: each frame is a solid-gray
+    * patch placed at (left, top) with an explicit GIF89a disposal
+    * method — the shapes [[Multimodal.decodeVideoFrames]]'s canvas
+    * compositing must handle. (w, h, gray, left, top, disposal). */
+  private def encodeDeltaGif(
+      frames: Seq[(Int, Int, Int, Int, Int, String)]): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (w, h, gray, left, top, disposal) =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(gray, gray, gray))
+        g2.fillRect(0, 0, w, h)
+        g2.dispose()
+        val md = writer.getDefaultImageMetadata(
+          ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = md.getNativeMetadataFormatName
+        val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def node(tag: String): IIOMetadataNode = {
+          val nl = tree.getElementsByTagName(tag)
+          if (nl.getLength > 0) nl.item(0).asInstanceOf[IIOMetadataNode]
+          else { val n = new IIOMetadataNode(tag); tree.appendChild(n); n }
+        }
+        val desc = node("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new IIOImage(img, null, md),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
   }
 
   test("sampleFrames decodes real GIF frames; stride subsamples") {
