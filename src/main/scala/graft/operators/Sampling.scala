@@ -103,10 +103,14 @@ object Sampling {
     // cannot be pushed below the sort — the sort needs the column — so
     // row order is preserved into the RDD, and the per-row payload
     // through the Row conversion stays the caller's columns only)
+    // localCheckpoint: zipWithIndex runs a count job before the map
+    // job, and without staging here both jobs would re-run the full
+    // sort+shuffle; checkpointing the sorted frame pays the sort once
     val keyed = df
       .withColumn("__draw", md5(concat(lit(seed), col(keyCol).cast("string"))))
       .orderBy(col("__draw"), col(keyCol))
       .drop("__draw")
+      .localCheckpoint()
     val schema = keyed.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType)
     df.sparkSession.createDataFrame(
       keyed.rdd.zipWithIndex().map { case (r, i) =>

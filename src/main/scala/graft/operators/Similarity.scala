@@ -579,6 +579,21 @@ object Similarity {
     rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
   }
 
+  /** The deduplicated corpus under [[semanticDuplicates]]: clusters
+    * the pair graph with [[Dedup.duplicateClusters]]' pointer-jumping
+    * label propagation and keeps the min-id representative of every
+    * semantic cluster plus all singletons — the SemDeDup "keep one per
+    * cluster" retention step as a single call. */
+  def semanticSurvivors(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, probes: Int = 2,
+      sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null): DataFrame = {
+    val pairs = semanticDuplicates(corpus, idCol, vecCol, threshold,
+        nlist, probes, sampleSize, centroids)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dedupSurvivors(corpus, idCol, pairs)
+  }
+
   /** SemDeDup-style semantic dedup: all pairs of corpus vectors with
     * exact cosine ≥ `threshold`, found by a WITHIN-CELL sweep — each
     * vector is assigned to its `probes` nearest IVF centroids (trained
@@ -603,21 +618,6 @@ object Similarity {
     * probes=2 a clustered pair co-assigned to both cells would
     * otherwise be scored twice).
     * Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded 6. */
-  /** The deduplicated corpus under [[semanticDuplicates]]: clusters
-    * the pair graph with [[Dedup.duplicateClusters]]' pointer-jumping
-    * label propagation and keeps the min-id representative of every
-    * semantic cluster plus all singletons — the SemDeDup "keep one per
-    * cluster" retention step as a single call. */
-  def semanticSurvivors(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, probes: Int = 2,
-      sampleSize: Int = 10000,
-      centroids: Array[Array[Double]] = null): DataFrame = {
-    val pairs = semanticDuplicates(corpus, idCol, vecCol, threshold,
-        nlist, probes, sampleSize, centroids)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Dedup.dedupSurvivors(corpus, idCol, pairs)
-  }
-
   def semanticDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, probes: Int = 2,
       sampleSize: Int = 10000,

@@ -143,20 +143,24 @@ object GraftExtensions {
   private def matrixArg(e: Expression, what: String): Array[Array[Double]] = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     e.dataType match {
-      case ArrayType(ArrayType(DoubleType, _), _) if e.foldable =>
+      // null-check eval(): a foldable NULL of the right type (e.g.
+      // CAST(NULL AS ARRAY<ARRAY<DOUBLE>>)) passes the type/foldable
+      // guard but must raise the same clean error, not an NPE
+      case ArrayType(ArrayType(DoubleType, _), _) if e.foldable && e.eval() != null =>
         val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3089",
         messageParameters = Map("msg" ->
-          s"$what must be a constant array<array<double>>"))
+          s"$what must be a constant non-null array<array<double>>"))
     }
   }
 
   private def tensorArg(e: Expression, what: String): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     e.dataType match {
-      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) if e.foldable =>
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)
+          if e.foldable && e.eval() != null =>
         val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         Array.tabulate(ad.numElements()) { i =>
           val m = ad.getArray(i)
@@ -165,7 +169,7 @@ object GraftExtensions {
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3089",
         messageParameters = Map("msg" ->
-          s"$what must be a constant array<array<array<double>>>"))
+          s"$what must be a constant non-null array<array<array<double>>>"))
     }
   }
 

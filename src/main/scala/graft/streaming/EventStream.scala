@@ -306,10 +306,19 @@ object EventStream {
     * `vec_id % files` batches and share a probed cell; the symmetric
     * probe makes that set a pure property of the corpus, which the
     * exact-cosine SQL oracle expresses directly. Input needs
-    * (vec_id, v: array<double>). */
+    * (vec_id, v: array<double>).
+    *
+    * `probes` defaults HIGHER than the operator's (3 of `nlist` cells
+    * vs 2): the oracle is the exact cross-batch pair set, so the gate
+    * implicitly demands 100% recall over the planted twins — a twin
+    * pair is missed only if its probed cell sets are disjoint, which
+    * at probes=3 requires the near-identical twins (cos ≈ 0.9998) to
+    * disagree on ALL THREE nearest centroids. probes=2 left that
+    * margin at two boundary flips; one extra probe buys the headroom
+    * a centroid retune or new SF could otherwise erode. */
   def embeddingIngestDrained(spark: SparkSession, vecs: DataFrame,
       threshold: Double, files: Int = 4, nlist: Int = 16,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 3): DataFrame = {
     import graft.operators.Similarity
     drainIngest(spark, vecs.select(col("vec_id"), col("v")), "vec_id",
       files, "semdup", "vec_lo LONG, vec_hi LONG, cos DOUBLE")(

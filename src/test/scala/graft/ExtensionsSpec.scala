@@ -84,5 +84,15 @@ class ExtensionsSpec extends SparkSpecBase {
     val err = intercept[Exception](spark.sql(
       """SELECT ivf_cells(array(1.0D), array(array(rand())), 1)""").head())
     assert(err.getMessage.contains("constant"))
+    // a foldable NULL of the right type gets the same clean analysis
+    // error, not an NPE from eval() returning null
+    val nullMat = intercept[Exception](spark.sql(
+      """SELECT ivf_cells(array(1.0D),
+        |  CAST(NULL AS ARRAY<ARRAY<DOUBLE>>), 1)""".stripMargin).head())
+    assert(nullMat.getMessage.contains("constant"), nullMat.getMessage)
+    val nullTen = intercept[Exception](spark.sql(
+      """SELECT lsh_keys(array(1.0D),
+        |  CAST(NULL AS ARRAY<ARRAY<ARRAY<DOUBLE>>>), 0)""".stripMargin).head())
+    assert(nullTen.getMessage.contains("constant"), nullTen.getMessage)
   }
 }
