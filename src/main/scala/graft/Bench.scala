@@ -36,17 +36,23 @@ object Bench {
     * (the real PNG/WAV/GIF decode pass), `stream_near_dup` (the
     * 4-micro-batch probe-then-admit streaming ingest drain) and
     * `stream_semantic_dup` (the same loop over a persisted IVF-celled
-    * vector index). */
+    * vector index). Round 8 adds `media_transcode` (watches the JPEG
+    * writer constant: real decode→RGB→JPEG re-encode per image) and
+    * `dedup_incremental` (index-probe throughput: build a persisted
+    * minhash index once, probe the corpus against it); round 8 also
+    * BOUNDED `dedup_semantic`'s exact-certificate leg (all-pairs BNLJ →
+    * constant-size subset sweep), so its timing drops vs round 7 by
+    * design. */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
     "q1_agg", "q3_join", "price_quantiles", "label_centroids",
     "dedup_exact", "dedup_paragraph", "dedup_minhash_lsh",
-    "dedup_survivors", "dedup_semantic",
+    "dedup_survivors", "dedup_semantic", "dedup_incremental",
     "text_stats", "token_count", "chunk_documents", "fingerprint_rolling",
     "overlap_recall_cert", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
-    "embed_nearest_dup_lsh", "media_features",
+    "embed_nearest_dup_lsh", "media_features", "media_transcode",
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "stream_semantic_dup",
     "asof_join", "range_join", "sample_split", "shuffle_order",
@@ -102,6 +108,17 @@ object Bench {
     }.max(1)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Inflation forensics (stderr only — the stdout JSON line is the
+    // driver contract): driver-run benches have twice come in 1.2-1.4×
+    // above clean back-to-back runs, concentrated in the streaming
+    // rows. Per-rep times + GC delta + 1-min load average let a reader
+    // attribute any future inflation to ambient load (high loadavg,
+    // flat GC, all reps uniformly slow) vs a real regression (loadavg
+    // quiet, one query's floor moved).
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     names.foreach { name =>
       try {
         // GC-settle OUTSIDE the timed region: in a single-JVM bench a
@@ -110,12 +127,19 @@ object Bench {
         // single-pass right after the heaviest query vs 0.19-0.21 s
         // steady-state in isolation)
         System.gc()
-        val best = (0 until reps).map { _ =>
+        val gc0 = gcMs
+        val load = osBean.getSystemLoadAverage
+        val times = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        }.min
-        timings(name) = best
+        }
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] %-28s reps=%s gc=%dms load=%.1f", name,
+          times.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+            .mkString(","),
+          Long.box(gcMs - gc0), Double.box(load)))
+        timings(name) = times.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.queries.Tables
 
 /** Scale rehearsal for the heavy self-join paths: replicate the input
@@ -93,6 +93,28 @@ object ScaleRehearsal {
       graft.streaming.EventStream.embeddingIngestDrained(spark,
           emb.select(col("vec_id"), col("embedding").as("v")),
           threshold = 0.95, files = 4)
+        .count()
+    }
+    // the four-stage capstone composition (exact dedup → quality gate →
+    // split → token budgets) — every stage is linear-or-one-shuffle, so
+    // 10× input should cost ~10× the sf-scale row, not worse: the
+    // rehearsal pins the composition's shape, not just each operator's
+    timed("pipeline_training_mix (4-stage capstone)") {
+      val survivors = docs.join(
+        Dedup.exactDuplicates(docs, "doc_id", "text").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val good = survivors.join(
+        TextAnalysis.qualityScore(survivors, "doc_id", "text")
+          .filter(col("quality") >= 0.451117).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val split = Sampling.assignSplits(good, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      split.join(TextAnalysis.tokenCount(good, "doc_id", "text"),
+          Seq("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
         .count()
     }
 
