@@ -47,6 +47,14 @@ object PipelineQueries {
     * stay bit-identical across the Scala side and every oracle, and
     * across the batch (offset 1e6) and streaming (offset 1000001 —
     * ids differing by 1 mod 4 are always cross-batch) variants. */
+  /** Planted-twin id offsets, hoisted so the plant, the sweep, the
+    * subset filter and the oracle SQL can never disagree. Batch =
+    * 1e6; streaming = 1000001, coprime to the `files`=4 batch classes
+    * so every twin pair is cross-batch (a multiple-of-4 offset would
+    * make all planted pairs same-batch and stream-invisible). */
+  private[graft] val twinOffsetBatch = 1000000L
+  private[graft] val twinOffsetStream = 1000001L
+
   private def plantedNearDups(base: org.apache.spark.sql.DataFrame,
       offset: Long): org.apache.spark.sql.DataFrame =
     base.filter(col("vec_id") < 16)
@@ -73,16 +81,21 @@ object PipelineQueries {
     * corpus size; and because every twin pair's members are both in
     * the subset (bases < 16 < stratum, twins ≥ offset) while no
     * natural pair approaches the threshold, the emitted rows equal the
-    * full sweep's. The self-join is keyed on a derived constant bucket
-    * (shiftright 40 — ids stay < 2^40) purely so Catalyst plans an
-    * EQUI join (sort-merge / hash), never a nested-loop: the real
-    * scale bound is the subset filter, the key keeps the plan
-    * assertable (PlanSpec pins no BNLJ/cartesian). */
+    * full sweep's (pinned by PipelineCertSpec's full-vs-bounded sweep
+    * equality at the smallest SF). The self-join is keyed on a derived
+    * constant bucket (vec_id % 1 ≡ 0 for EVERY long — unlike the
+    * former shiftright-40 key it cannot split if a fixture ever emits
+    * ids ≥ 2^40) purely so Catalyst plans an EQUI join (sort-merge /
+    * hash), never a nested-loop: the real scale bound is the subset
+    * filter, the key keeps the plan assertable (PlanSpec pins
+    * no-BNLJ/cartesian). One task by construction — fine, the subset
+    * is fixture-constant (~528 rows at any SF); do not "parallelize"
+    * the key without re-checking the PlanSpec pin. */
   private[graft] def certExactPairs(corpus: org.apache.spark.sql.DataFrame,
       threshold: Double, offset: Long): org.apache.spark.sql.DataFrame = {
     val sub = corpus
       .filter(col("vec_id") < certStratum || col("vec_id") >= offset)
-      .withColumn("bk", shiftright(col("vec_id"), 40))
+      .withColumn("bk", pmod(col("vec_id"), lit(1L)))
     sub.as("a").join(sub.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -218,9 +231,9 @@ object PipelineQueries {
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-        val corpus = base.unionByName(plantedNearDups(base, 1000000L))
+        val corpus = base.unionByName(plantedNearDups(base, twinOffsetBatch))
           .localCheckpoint()
-        val exact = certExactPairs(corpus, 0.95, 1000000L).localCheckpoint()
+        val exact = certExactPairs(corpus, 0.95, twinOffsetBatch).localCheckpoint()
         val approx = Similarity
           .semanticDuplicates(corpus, "vec_id", "v", threshold = 0.95)
           .select(col("vec_a"), col("vec_b")).localCheckpoint()
@@ -230,7 +243,7 @@ object PipelineQueries {
         // construction (semanticDuplicates computes every candidate's
         // cosine on the full vectors before thresholding).
         val inSub = (c: org.apache.spark.sql.Column) =>
-          c < certStratum || c >= 1000000L
+          c < certStratum || c >= twinOffsetBatch
         val extras = approx.filter(inSub(col("vec_a")) && inSub(col("vec_b")))
           .join(exact, Seq("vec_a", "vec_b"), "left_anti")
           .agg(count(lit(1)).as("n_extra"))
@@ -242,9 +255,9 @@ object PipelineQueries {
             col("hits") >= col("tot") * 0.8).as("sem_ok"))
         exact.crossJoin(ok)
       },
-      Some(s"""WITH ${plantedCorpusSql(1000000L)},
+      Some(s"""WITH ${plantedCorpusSql(twinOffsetBatch)},
               |s AS (SELECT * FROM c
-              |  WHERE vec_id < $certStratum OR vec_id >= 1000000)
+              |  WHERE vec_id < $certStratum OR vec_id >= $twinOffsetBatch)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos, TRUE AS sem_ok
               |FROM s a JOIN s b ON a.vec_id < b.vec_id
@@ -750,10 +763,10 @@ object PipelineQueries {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
         graft.streaming.EventStream.embeddingIngestDrained(s,
-          base.unionByName(plantedNearDups(base, 1000001L)),
+          base.unionByName(plantedNearDups(base, twinOffsetStream)),
           threshold = 0.95, files = 4)
       },
-      Some(s"""WITH ${plantedCorpusSql(1000001L)}
+      Some(s"""WITH ${plantedCorpusSql(twinOffsetStream)}
               |SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
               |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
               |FROM c a JOIN c b ON a.vec_id < b.vec_id

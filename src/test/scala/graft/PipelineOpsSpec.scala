@@ -385,6 +385,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(survivors === base.collect().map(_.getLong(0)).toSet)
   }
 
+  test("certExactPairs bounded sweep equals the full all-pairs sweep (smallest SF)") {
+    import graft.queries.PipelineQueries
+    // The dedup_semantic certificate assumes no qualifying pair lies
+    // entirely outside {vec_id < certStratum} ∪ {planted twins}. Pin
+    // that fixture assumption: at the smallest SF, the FULL O(N²)
+    // sweep (affordable only here) must emit exactly the bounded
+    // sweep's rows.
+    val base = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val off = PipelineQueries.twinOffsetBatch
+    val planted = base.filter(col("vec_id") < 16)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("v"), (x, i) => x * (lit(1.0) + lit(0.02) *
+          when(pmod(i, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))).as("v"))
+    val corpus = base.unionByName(planted).localCheckpoint()
+    val bounded = PipelineQueries.certExactPairs(corpus, 0.95, off)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = corpus.as("a").join(corpus.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= 0.95)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded === full,
+      s"bounded sweep diverged: onlyBounded=${bounded -- full} onlyFull=${full -- bounded}")
+    assert(full.nonEmpty, "fixture should contain planted twins")
+  }
+
   test("IVF ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
