@@ -758,17 +758,27 @@ object PipelineQueries {
     // stream; audit mode + direction normalization then make the
     // result exactly the cosine-≥-0.95 pairs in different residue
     // classes, which the exact-cosine oracle expresses directly.
+    // The oracle implicitly demands 100% stream recall on the planted
+    // twins, so the query ALSO carries the in-query cell-overlap
+    // certificate: cell_ok asserts every planted pair shares ≥1
+    // probed IVF cell under the trained quantizer — a recall miss at
+    // a new SF or centroid retune trips that one targeted boolean
+    // (with the margin visible) instead of hash-mismatching the row.
     QueryDef("stream_semantic_dup",
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val planted = base.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("pair_lo"),
+            (col("vec_id") + twinOffsetStream).as("pair_hi"))
         graft.streaming.EventStream.embeddingIngestDrained(s,
           base.unionByName(plantedNearDups(base, twinOffsetStream)),
-          threshold = 0.95, files = 4)
+          threshold = 0.95, files = 4, certPairs = Some(planted))
       },
       Some(s"""WITH ${plantedCorpusSql(twinOffsetStream)}
               |SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
-              |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+              |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos,
+              |TRUE AS cell_ok
               |FROM c a JOIN c b ON a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
               |AND (a.vec_id % 4) != (b.vec_id % 4)""".stripMargin)),

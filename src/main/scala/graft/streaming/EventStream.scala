@@ -315,12 +315,25 @@ object EventStream {
     * at probes=3 requires the near-identical twins (cos ≈ 0.9998) to
     * disagree on ALL THREE nearest centroids. probes=2 left that
     * margin at two boundary flips; one extra probe buys the headroom
-    * a centroid retune or new SF could otherwise erode. */
+    * a centroid retune or new SF could otherwise erode.
+    *
+    * `certPairs` (pair_lo, pair_hi) is the cell-overlap CERTIFICATE:
+    * pairs the caller asserts MUST be reachable through the probe —
+    * i.e. both members present in `vecs` and their `probes`-cell sets
+    * intersecting under the trained quantizer. The result then carries
+    * a constant `cell_ok` boolean column (the sem_ok/lsh_ok pattern):
+    * a planted pair whose cells drift apart at a new SF or centroid
+    * retune trips `cell_ok` — one targeted red flag — instead of
+    * silently missing a row and hash-mismatching the whole result. */
   def embeddingIngestDrained(spark: SparkSession, vecs: DataFrame,
       threshold: Double, files: Int = 4, nlist: Int = 16,
-      probes: Int = 3): DataFrame = {
+      probes: Int = 3, certPairs: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Similarity
-    drainIngest(spark, vecs.select(col("vec_id"), col("v")), "vec_id",
+    // set inside start (the quantizer is trained on the staged
+    // relation); drainIngest runs start synchronously, so this is
+    // assigned by the time the drained frame returns
+    var cents: Array[Array[Double]] = null
+    val out = drainIngest(spark, vecs.select(col("vec_id"), col("v")), "vec_id",
       files, "semdup", "vec_lo LONG, vec_hi LONG, cos DOUBLE")(
       prepare = (src, idx) =>
         // seed an empty index with the right schema; centroids are
@@ -331,7 +344,7 @@ object EventStream {
       start = (stage, idx, collect) => {
         // quantizer trained once on the staged corpus (deterministic
         // sample), frozen for every batch — the offline contract
-        val cents = Similarity.trainIvfCentroids(
+        cents = Similarity.trainIvfCentroids(
           spark.read.parquet(stage), "vec_id", "v", nlist)
         embeddingIngest(
           spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
@@ -343,6 +356,28 @@ object EventStream {
         least(col("vec_new"), col("vec_indexed")).as("vec_lo"),
         greatest(col("vec_new"), col("vec_indexed")).as("vec_hi"),
         col("cos")))
+    certPairs match {
+      case None => out
+      case Some(cp) =>
+        // same frozen quantizer, same probe depth as the drained run;
+        // a pair fails if either member is absent OR the cell sets
+        // are disjoint (n_join counts presence, n_ov counts overlap)
+        val withCells = vecs.select(col("vec_id"),
+          graft.functions.IvfCells.cells(
+            Similarity.asDouble(col("v")), cents, probes).as("cells"))
+        val joined = cp
+          .join(withCells.select(col("vec_id").as("pair_lo"),
+            col("cells").as("cl")), Seq("pair_lo"))
+          .join(withCells.select(col("vec_id").as("pair_hi"),
+            col("cells").as("ch")), Seq("pair_hi"))
+        val cert = cp.agg(count(lit(1)).as("tot")).crossJoin(
+          joined.agg(count(lit(1)).as("n_join"),
+            coalesce(sum(when(arrays_overlap(col("cl"), col("ch")), 1L)
+              .otherwise(0L)), lit(0L)).as("n_ov")))
+          .select((col("n_join") === col("tot") &&
+            col("n_ov") === col("tot")).as("cell_ok"))
+        out.crossJoin(cert)
+    }
   }
 
   private val drainCounter = new java.util.concurrent.atomic.AtomicInteger(0)

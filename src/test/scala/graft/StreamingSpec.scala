@@ -230,6 +230,42 @@ class StreamingSpec extends SparkSpecBase {
       "isolated vector must not pair")
   }
 
+  test("embeddingIngestDrained cell-overlap certificate: disjoint cells trip cell_ok only") {
+    import spark.implicits._
+    def axis(d: Int, scale: Double = 1.0) =
+      Seq.tabulate(8)(j => if (j == d) scale else 0.0)
+    val neg = Seq.tabulate(8)(j => if (j == 0) -1.0 else 0.0)
+    // two opposite clusters (±e0) plus an isolated direction; with
+    // probes=1 a cross-cluster pair can never share its single
+    // nearest centroid, while same-direction twins always do
+    val vecs = Seq(
+      (1L, axis(0)), (2L, axis(0, 2.0)),       // cross-batch twins, +e0
+      (3L, neg), (6L, neg.map(_ * 2.0)),       // cross-batch twins, -e0
+      (5L, axis(3))).toDF("vec_id", "v")
+    def run(pairs: Seq[(Long, Long)]) = graft.streaming.EventStream
+      .embeddingIngestDrained(spark, vecs, threshold = 0.99, files = 4,
+        nlist = 4, probes = 1,
+        certPairs = Some(pairs.toDF("pair_lo", "pair_hi")))
+      .collect()
+    // positive: both twin pairs share their probed cell → cert green
+    val ok = run(Seq((1L, 2L), (3L, 6L)))
+    assert(ok.nonEmpty && ok.forall(_.getBoolean(3)),
+      s"overlapping planted pairs must certify green: ${ok.mkString(",")}")
+    // negative: a cross-cluster pair has disjoint cells → cert trips,
+    // but the emitted pair set itself is unchanged
+    val bad = run(Seq((1L, 3L)))
+    assert(bad.nonEmpty && bad.forall(!_.getBoolean(3)),
+      s"disjoint-cell pair must trip the certificate: ${bad.mkString(",")}")
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      bad.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "certificate must not alter the emitted pair rows")
+    // a pair member absent from the corpus also trips (presence is
+    // part of the claim, n_join < tot)
+    val missing = run(Seq((1L, 999L)))
+    assert(missing.nonEmpty && missing.forall(!_.getBoolean(3)),
+      "absent pair member must trip the certificate")
+  }
+
   test("mapGroupsWithState session accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
