@@ -60,6 +60,38 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Raised by the strict codec operators when a payload fails to
+    * decode: names the row, so a task-failure log on a 100 TB crawl
+    * points at the offending record, not just a codec stack trace. */
+  final class MediaDecodeException(val mediaId: Long, val kind: String,
+      cause: Throwable)
+    extends RuntimeException(
+      s"media_id=$mediaId kind=$kind: undecodable payload" +
+        s" (${cause.getClass.getSimpleName}: ${cause.getMessage})", cause)
+
+  /** badRecord policy of the codec operators — a web-scale crawl WILL
+    * contain truncated and corrupt media, so the failure mode is
+    * defined, not incidental:
+    *  - `onError = "fail"` (strict, the default): the task aborts
+    *    with a [[MediaDecodeException]] naming the media_id —
+    *    corruption is loud and attributable;
+    *  - `onError = "skip"`: undecodable rows are dropped;
+    *  - [[extractFeaturesChecked]]: every row survives — features
+    *    zeroed, the failure carried in an `error` column (the
+    *    PERMISSIVE/badRecords shape).
+    * Only `Exception` is caught: an `Error` (e.g. OOM from a
+    * decompression bomb) still aborts the task — resource exhaustion
+    * is not a bad record. */
+  private def guard[T](m: MediaFile, onError: String)(body: => T): Option[T] =
+    try Some(body) catch {
+      case _: Exception if onError == "skip" => None
+      case e: Exception => throw new MediaDecodeException(m.media_id, m.kind, e)
+    }
+
+  private def checkPolicy(onError: String): Unit =
+    require(onError == "fail" || onError == "skip",
+      s"onError must be 'fail' or 'skip', got '$onError'")
+
   // ---- synthesis parameters: closed-form in media_id, mirrored
   //      verbatim by the media_features / media_frames DuckDB oracles ----
   private[graft] def imageW(id: Long): Int = (16 + id % 17).toInt
@@ -170,8 +202,19 @@ object Multimodal {
     * FeatureDim-bin luminance histogram counts). Luminance = the
     * ITU-R 601 integer approximation (77R + 150G + 29B) >> 8. */
   private[graft] def decodeImage(bytes: Array[Byte]): (Int, Int, Double, Array[Long]) = {
+    statsOf(readImageStrict(bytes))
+  }
+
+  /** `ImageIO.read` returns null (rather than throwing) when no
+    * registered reader claims the bytes; downstream AWT calls then
+    * either NPE or silently no-op (`Graphics.drawImage(null, …)`
+    * "succeeds", yielding a black frame). Turn null into a real,
+    * catchable decode error at the read site. */
+  private def readImageStrict(bytes: Array[Byte]): BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    statsOf(img)
+    if (img == null)
+      throw new javax.imageio.IIOException("no registered reader claims the payload")
+    img
   }
 
   private def statsOf(img: BufferedImage): (Int, Int, Double, Array[Long]) = {
@@ -356,31 +399,62 @@ object Multimodal {
     * amortizes across the partition. Repartitions by media_id range so
     * decode work spreads evenly regardless of upstream file layout. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
-      partitions: Int = 0): Dataset[MediaFeatures] = {
+      partitions: Int = 0, onError: String = "fail"): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    checkPolicy(onError)
+    val parted = typedMedia(media, partitions)
+    parted.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap(m => guard(m, onError)(decode(m)))
+    }
+  }
+
+  /** [[extractFeatures]] under the keep-everything badRecord policy:
+    * same feature columns, plus an `error` string column — null for
+    * rows that decoded, the codec failure otherwise (features zeroed).
+    * No row can abort the job; downstream filters on `error IS NULL`
+    * (or routes bad rows to a quarantine sink). */
+  def extractFeaturesChecked(spark: SparkSession, media: DataFrame,
+      partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    typedMedia(media, partitions).mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { m =>
+        try (decode(m), null: String)
+        catch {
+          case e: Exception =>
+            (MediaFeatures(m.media_id, m.kind,
+              if (m.bytes == null) 0L else m.bytes.length.toLong,
+              0, 0, 0, 0, 0L, 0.0, 0.0, Array.empty[Float]),
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }.toDF("f", "error").select(col("f.*"), col("error"))
+  }
+
+  private def typedMedia(media: DataFrame, partitions: Int): Dataset[MediaFile] = {
+    val spark = media.sparkSession
     import spark.implicits._
     val typed = media.select(col("media_id"), col("kind"), col("bytes"),
         col("width"), col("height"), col("sample_rate"), col("duration_ms"))
       .as[MediaFile]
-    val parted =
-      if (partitions > 0) typed.repartitionByRange(partitions, col("media_id"))
-      else typed
-    parted.mapPartitions { it =>
-      ImageIO.setUseCache(false)
-      it.map(decode)
-    }
+    if (partitions > 0) typed.repartitionByRange(partitions, col("media_id"))
+    else typed
   }
 
   /** Real image resize: decode → bilinear-scale to (w, h) → re-encode
     * PNG, inside the partition iterator. Non-image rows pass through
     * unchanged. */
-  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int,
+      onError: String = "fail"): DataFrame = {
     import spark.implicits._
+    checkPolicy(onError)
     media.as[MediaFile].mapPartitions { it =>
       ImageIO.setUseCache(false)
-      it.map { m =>
-        if (m.kind != "image") m
-        else {
-          val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+      it.flatMap { m =>
+        if (m.kind != "image") Some(m)
+        else guard(m, onError) {
+          val src = readImageStrict(m.bytes)
           val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
           try {
@@ -403,14 +477,15 @@ object Multimodal {
     * values within codec tolerance — the `media_transcode` query
     * bounds that drift in-query rather than assuming exactness. */
   def transcodeImages(spark: SparkSession, media: DataFrame,
-      format: String = "jpg"): DataFrame = {
+      format: String = "jpg", onError: String = "fail"): DataFrame = {
     import spark.implicits._
+    checkPolicy(onError)
     media.as[MediaFile].mapPartitions { it =>
       ImageIO.setUseCache(false)
-      it.map { m =>
-        if (m.kind != "image") m
-        else {
-          val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+      it.flatMap { m =>
+        if (m.kind != "image") Some(m)
+        else guard(m, onError) {
+          val src = readImageStrict(m.bytes)
           // JPEG writers reject images with alpha; normalize to RGB
           val rgb =
             if (src.getType == BufferedImage.TYPE_INT_RGB) src
@@ -435,14 +510,16 @@ object Multimodal {
     * extraction uses. Columns: (media_id, frame_idx, width, height,
     * mean_px rounded to 4). */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-      stride: Int = 1): DataFrame = {
+      stride: Int = 1, onError: String = "fail"): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
     import spark.implicits._
+    checkPolicy(onError)
     media.as[MediaFile].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.flatMap { m =>
         if (m.kind != "video") Iterator.empty
-        else decodeVideoFrames(m.bytes).iterator
+        else guard(m, onError)(decodeVideoFrames(m.bytes))
+          .getOrElse(Seq.empty).iterator
           .filter(_._1 % stride == 0)
           .map { case (i, w, h, mean) =>
             (m.media_id, i, w, h,

@@ -715,6 +715,31 @@ object PipelineQueries {
              |ROUND(CAST((doc_id * 13 + i * 40) % 256 AS DOUBLE), 4) AS mean_px
              |FROM f""".stripMargin)),
 
+    // hostile payloads: every 7th media object truncated to 5 bytes —
+    // a dead header in all three modalities. The keep-everything
+    // badRecord policy must turn each into a clean per-row `error`
+    // (features zeroed) while untouched rows still decode for real;
+    // no payload may abort the job. width_px pins both halves: the
+    // closed-form dims for clean rows, 0 for corrupt ones.
+    QueryDef("media_bad_records",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+        val hostile = media.withColumn("bytes",
+          when(pmod(col("media_id"), lit(7)) === 0,
+            substring(col("bytes"), 1, 5)).otherwise(col("bytes")))
+        Multimodal.extractFeaturesChecked(s, hostile, partitions = 4)
+          .select(col("media_id"), col("kind"),
+            col("error").isNotNull.as("bad"), col("width_px"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |(doc_id % 7 = 0) AS bad,
+             |CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+             |  WHEN doc_id % 3 = 0 THEN 16 + doc_id % 17
+             |  WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS INT) AS width_px
+             |FROM documents""".stripMargin)),
+
     // ---------------- windows & sketches ----------------
 
     QueryDef("window_tumbling",

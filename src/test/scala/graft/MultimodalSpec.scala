@@ -269,6 +269,92 @@ class MultimodalSpec extends SparkSpecBase {
     bos.toByteArray
   }
 
+  test("hostile payloads: checked nulls out per row, strict names the row, skip drops") {
+    import spark.implicits._
+    import Multimodal.MediaFile
+    val png = Multimodal.encodePng(20, 12, 137)
+    val wav = Multimodal.encodeWav(1024, 1250, 8000)
+    val gif = Multimodal.encodeGif(8, 8, Array(10, 200))
+    val rows = Seq(
+      MediaFile(0L, "image", png, 20, 12, 0, 0),
+      MediaFile(1L, "audio", wav, 0, 0, 8000, 128),
+      MediaFile(2L, "video", gif, 8, 8, 0, 2000),
+      // dead 5-byte headers in every modality + garbage that sniffs
+      // as nothing at all
+      MediaFile(10L, "image", png.take(5), 0, 0, 0, 0),
+      MediaFile(11L, "audio", wav.take(5), 0, 0, 0, 0),
+      MediaFile(12L, "video", gif.take(5), 0, 0, 0, 0),
+      MediaFile(13L, "image", Array.fill[Byte](64)(0x5A), 0, 0, 0, 0))
+    val df = rows.toDF()
+    // keep-everything: one output row per input row, bad rows carry
+    // the error with zeroed features, clean rows decode for real
+    val checked = Multimodal.extractFeaturesChecked(spark, df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(checked.size === rows.size)
+    val badIds = Set(10L, 11L, 12L, 13L)
+    badIds.foreach { id =>
+      val r = checked(id)
+      assert(!r.isNullAt(r.fieldIndex("error")), s"row $id should carry an error")
+      assert(r.getInt(r.fieldIndex("width_px")) === 0 &&
+        r.getDouble(r.fieldIndex("mean_px")) === 0.0, s"row $id features not zeroed")
+    }
+    (rows.map(_.media_id).toSet -- badIds).foreach { id =>
+      assert(checked(id).isNullAt(checked(id).fieldIndex("error")),
+        s"clean row $id flagged bad")
+    }
+    assert(checked(0L).getInt(checked(0L).fieldIndex("width_px")) === 20)
+    // strict: the task aborts and the failure names the record
+    val e = intercept[Throwable] {
+      Multimodal.extractFeatures(spark, df).collect()
+    }
+    val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    val mde = causes.collectFirst { case m: Multimodal.MediaDecodeException => m }
+    assert(mde.isDefined, s"expected MediaDecodeException in: $causes")
+    assert(badIds.contains(mde.get.mediaId))
+    // skip: exactly the clean rows survive
+    val skipped = Multimodal.extractFeatures(spark, df, onError = "skip")
+      .collect().map(_.media_id).toSet
+    assert(skipped === Set(0L, 1L, 2L))
+    // the policy arg itself is validated
+    intercept[IllegalArgumentException] {
+      Multimodal.extractFeatures(spark, df, onError = "drop")
+    }
+  }
+
+  test("hostile payloads: resize/transcode/sampleFrames fail loud or skip clean") {
+    import spark.implicits._
+    import Multimodal.MediaFile
+    val png = Multimodal.encodePng(20, 12, 137)
+    val gif = Multimodal.encodeGif(8, 8, Array(10, 200))
+    val df = Seq(
+      MediaFile(0L, "image", png, 20, 12, 0, 0),
+      MediaFile(1L, "image", png.take(5), 0, 0, 0, 0),
+      MediaFile(2L, "video", gif, 8, 8, 0, 2000),
+      MediaFile(3L, "video", gif.take(5), 0, 0, 0, 0)).toDF()
+    // skip: the corrupt image drops, the clean one transforms, the
+    // non-image rows pass through untouched
+    val resized = Multimodal.resizeImages(spark, df, 4, 4, onError = "skip")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(resized === Set(0L, 2L, 3L))
+    val transcoded = Multimodal.transcodeImages(spark, df, "jpg", onError = "skip")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(transcoded === Set(0L, 2L, 3L))
+    val frames = Multimodal.sampleFrames(spark, df, stride = 1, onError = "skip")
+    assert(frames.select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // strict: each aborts, naming the corrupt record
+    Seq(
+      () => Multimodal.resizeImages(spark, df, 4, 4).collect(),
+      () => Multimodal.transcodeImages(spark, df, "jpg").collect(),
+      () => Multimodal.sampleFrames(spark, df, stride = 1).collect()
+    ).foreach { run =>
+      val e = intercept[Throwable](run())
+      val named = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[Multimodal.MediaDecodeException])
+      assert(named, s"expected MediaDecodeException, got: $e")
+    }
+  }
+
   test("sampleFrames decodes real GIF frames; stride subsamples") {
     val frames = Multimodal.sampleFrames(spark, media, stride = 1)
     val perVideo = frames.groupBy("media_id").count()
