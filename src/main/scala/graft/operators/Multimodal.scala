@@ -423,9 +423,12 @@ object Multimodal {
         try (decode(m), null: String)
         catch {
           case e: Exception =>
+            // zeroed FeatureDim-length vector, not length 0: the
+            // feature column keeps a uniform shape so per-element ops
+            // downstream never see a dimension mismatch on bad rows
             (MediaFeatures(m.media_id, m.kind,
               if (m.bytes == null) 0L else m.bytes.length.toLong,
-              0, 0, 0, 0, 0L, 0.0, 0.0, Array.empty[Float]),
+              0, 0, 0, 0, 0L, 0.0, 0.0, new Array[Float](FeatureDim)),
               s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }

@@ -55,7 +55,7 @@ object PipelineQueries {
   private[graft] val twinOffsetBatch = 1000000L
   private[graft] val twinOffsetStream = 1000001L
 
-  private def plantedNearDups(base: org.apache.spark.sql.DataFrame,
+  private[graft] def plantedNearDups(base: org.apache.spark.sql.DataFrame,
       offset: Long): org.apache.spark.sql.DataFrame =
     base.filter(col("vec_id") < 16)
       .select((col("vec_id") + offset).as("vec_id"),
@@ -81,7 +81,7 @@ object PipelineQueries {
     * corpus size; and because every twin pair's members are both in
     * the subset (bases < 16 < stratum, twins ≥ offset) while no
     * natural pair approaches the threshold, the emitted rows equal the
-    * full sweep's (pinned by PipelineCertSpec's full-vs-bounded sweep
+    * full sweep's (pinned by PipelineOpsSpec's full-vs-bounded sweep
     * equality at the smallest SF). The self-join is keyed on a derived
     * constant bucket (vec_id % 1 ≡ 0 for EVERY long — unlike the
     * former shiftright-40 key it cannot split if a fixture ever emits

@@ -361,10 +361,22 @@ object EventStream {
       case Some(cp) =>
         // same frozen quantizer, same probe depth as the drained run;
         // a pair fails if either member is absent OR the cell sets
-        // are disjoint (n_join counts presence, n_ov counts overlap)
-        val withCells = vecs.select(col("vec_id"),
-          graft.functions.IvfCells.cells(
-            Similarity.asDouble(col("v")), cents, probes).as("cells"))
+        // are disjoint (n_join counts presence, n_ov counts overlap).
+        // Semi-join to the pair members FIRST: the certificate is
+        // constant-size, so the corpus is scanned once (for the semi
+        // join) and the IvfCells expression runs only on the members;
+        // the checkpoint keeps the two pair-joins below from
+        // re-evaluating the corpus plan per leg. NOTE the certificate
+        // rides the emitted rows: a TOTAL recall loss (zero emitted
+        // pairs) surfaces as the row-count mismatch itself, not as a
+        // cell_ok=false row — the flag targets the partial-miss case.
+        val members = cp.select(col("pair_lo").as("vec_id"))
+          .unionByName(cp.select(col("pair_hi").as("vec_id"))).distinct()
+        val withCells = vecs.join(members, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"),
+            graft.functions.IvfCells.cells(
+              Similarity.asDouble(col("v")), cents, probes).as("cells"))
+          .localCheckpoint()
         val joined = cp
           .join(withCells.select(col("vec_id").as("pair_lo"),
             col("cells").as("cl")), Seq("pair_lo"))

@@ -297,6 +297,10 @@ class MultimodalSpec extends SparkSpecBase {
       assert(!r.isNullAt(r.fieldIndex("error")), s"row $id should carry an error")
       assert(r.getInt(r.fieldIndex("width_px")) === 0 &&
         r.getDouble(r.fieldIndex("mean_px")) === 0.0, s"row $id features not zeroed")
+      // zeroed but SHAPE-uniform: per-element ops downstream must
+      // never see a dimension mismatch on bad rows
+      assert(r.getSeq[Float](r.fieldIndex("feature")).length === Multimodal.FeatureDim,
+        s"row $id feature vector not FeatureDim-length")
     }
     (rows.map(_.media_id).toSet -- badIds).foreach { id =>
       assert(checked(id).isNullAt(checked(id).fieldIndex("error")),

@@ -389,16 +389,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     import graft.queries.PipelineQueries
     // The dedup_semantic certificate assumes no qualifying pair lies
     // entirely outside {vec_id < certStratum} ∪ {planted twins}. Pin
-    // that fixture assumption: at the smallest SF, the FULL O(N²)
-    // sweep (affordable only here) must emit exactly the bounded
-    // sweep's rows.
+    // that fixture assumption: the FULL O(N²) sweep (affordable only
+    // at this SF) must emit exactly the bounded sweep's rows. The
+    // plant comes from the SAME plantedNearDups the query uses, so
+    // the two can never silently disagree. At sf0.001 every natural
+    // vec_id sits below the 512 stratum, which would make the subset
+    // filter a no-op and the equality vacuous — so the corpus also
+    // carries NEGATED copies of every base vector under ids ≥ 600:
+    // outside the subset, with every cosine against the rest in
+    // [-1, ~0.51] (negation flips sign), so they legitimately add no
+    // qualifying pair — but if the subset filter ever dropped a
+    // qualifying region, the full sweep would now expose it.
     val base = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
     val off = PipelineQueries.twinOffsetBatch
-    val planted = base.filter(col("vec_id") < 16)
-      .select((col("vec_id") + off).as("vec_id"),
-        transform(col("v"), (x, i) => x * (lit(1.0) + lit(0.02) *
-          when(pmod(i, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))).as("v"))
-    val corpus = base.unionByName(planted).localCheckpoint()
+    val negated = base.select((col("vec_id") + 600L).as("vec_id"),
+      transform(col("v"), x => -x).as("v"))
+    val corpus = base
+      .unionByName(PipelineQueries.plantedNearDups(base, off))
+      .unionByName(negated)
+      .localCheckpoint()
+    val outsideSubset = corpus
+      .filter(col("vec_id") >= 512L && col("vec_id") < off).count()
+    assert(outsideSubset >= 500,
+      s"test corpus must straddle the stratum (got $outsideSubset rows outside)")
     val bounded = PipelineQueries.certExactPairs(corpus, 0.95, off)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val full = corpus.as("a").join(corpus.as("b"),
