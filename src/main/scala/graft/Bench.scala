@@ -52,6 +52,7 @@ object Bench {
     "text_stats", "token_count", "chunk_documents", "fingerprint_rolling",
     "overlap_recall_cert", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
+    "embed_ann_pq",
     "embed_nearest_dup_lsh", "media_features", "media_transcode",
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "stream_semantic_dup",

@@ -579,6 +579,171 @@ object Similarity {
     rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
   }
 
+  /** Product-quantization codebooks: `m` per-subspace codebooks of up
+    * to `ksub` centroids each (`[m][ksub][dim/m]`), trained with
+    * per-subspace Euclidean k-means (k-means++ seeding, deterministic
+    * splitmix64 stream — the [[trainIvfCentroids]] discipline) on the
+    * SAME hash-ordered ≤`sampleSize` sample, L2-normalized so that
+    * Σ_j ⟨q_j, c_{j,code_j}⟩ approximates full cosine. `dim` must
+    * split evenly into `m` subspaces (the FAISS constraint). A sample
+    * smaller than `ksub` trains that many centroids — codes stay
+    * valid, the codebook is just smaller. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 256, sampleSize: Int = 10000,
+      iters: Int = 10, seed: Long = 0x9E3779B97F4A7C15L,
+      dim: Int = -1): Array[Array[Array[Double]]] = {
+    require(m >= 1, "m must be >= 1")
+    val sample = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val d = sample.headOption.map(_.length)
+      .getOrElse(if (dim > 0) dim else deriveDim(corpus, vecCol))
+    require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    // unit-normalize (direction is what cosine scores); drop zero-norm
+    val pts = sample.flatMap { v =>
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      if (ss == 0.0) None
+      else { val inv = 1.0 / math.sqrt(ss); Some(v.map(_ * inv)) }
+    }
+    if (pts.isEmpty)
+      return Array.fill(m)(Array(new Array[Double](dsub)))
+    var state = seed
+    def nextUnit(): Double = {
+      state += 0x9E3779B97F4A7C15L
+      (graft.functions.HashExprs.mix64(state) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def d2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val df = a(aOff + i) - b(i); s += df * df; i += 1 }
+      s
+    }
+    Array.tabulate(m) { j =>
+      val off = j * dsub
+      val k = math.min(ksub, pts.length)
+      // k-means++ D² seeding per subspace, same deterministic stream
+      val cents = new Array[Array[Double]](k)
+      cents(0) = java.util.Arrays.copyOfRange(pts((nextUnit() * pts.length).toInt
+        .min(pts.length - 1)), off, off + dsub)
+      val bestD = pts.map(p => d2(p, off, cents(0)))
+      var c = 1
+      while (c < k) {
+        val total = bestD.sum
+        var r = nextUnit() * total
+        var pick = 0
+        while (pick < pts.length - 1 && r > bestD(pick)) { r -= bestD(pick); pick += 1 }
+        cents(c) = java.util.Arrays.copyOfRange(pts(pick), off, off + dsub)
+        var i = 0
+        while (i < pts.length) {
+          val dd = d2(pts(i), off, cents(c))
+          if (dd < bestD(i)) bestD(i) = dd
+          i += 1
+        }
+        c += 1
+      }
+      // Lloyd in the subspace; an emptied cell keeps its centroid
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        var i = 0
+        while (i < pts.length) {
+          var best = 0; var bestS = d2(pts(i), off, cents(0)); var cc = 1
+          while (cc < k) {
+            val s = d2(pts(i), off, cents(cc))
+            if (s < bestS) { bestS = s; best = cc }
+            cc += 1
+          }
+          val acc = sums(best)
+          var t = 0
+          while (t < dsub) { acc(t) += pts(i)(off + t); t += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var cc = 0
+        while (cc < k) {
+          if (counts(cc) > 0) {
+            val mean = sums(cc)
+            var t = 0
+            while (t < dsub) { mean(t) /= counts(cc); t += 1 }
+            cents(cc) = mean
+          }
+          cc += 1
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** The PQ code relation of a vector column: (vec_id, m-byte binary
+    * blob). THIS is the 100 TB hot relation — at m=8, d=32 the
+    * persisted index is 4× smaller than SQ8's codes and 32× smaller
+    * than the float64 vectors; the floats stay cold and are fetched
+    * per shortlisted candidate only. */
+  def quantizePq(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol).as("vec_id"),
+      graft.functions.Pq.codes(asDouble(col(vecCol)), codebooks).as("pq_codes"))
+
+  /** Persist the PQ code relation — the one-time encode pass. */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    quantizePq(corpus, idCol, vecCol, codebooks)
+      .write.mode("overwrite").parquet(path)
+
+  /** PQ + exact-rerank top-k (FAISS ADC search): the corpus streams
+    * only m-byte codes; each query carries a precomputed m·ksub ADC
+    * lookup table (built once per query row on the broadcast side by
+    * [[graft.functions.PqAdcTable]]), so scoring a (corpus, query)
+    * pair is m table lookups — no float vector is touched until the
+    * exact rerank fetches the `k · refine` shortlist by id
+    * ([[rerankTopK]], the [[sq8TopK]] discipline: output ranked by
+    * the same rounded-cosine/id order as [[bruteForceTopK]]).
+    * `refine` defaults higher than SQ8's (8 vs 4): PQ's per-subspace
+    * residual error is coarser than per-dimension rounding, so the
+    * shortlist needs more slack for the same recall. Deterministic:
+    * deterministic codebooks, argmin ties keep the lower centroid
+    * index, id tie-breaks in the shortlist and rerank. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 256,
+      refine: Int = 8, sampleSize: Int = 10000,
+      codebooks: Array[Array[Array[Double]]] = null): DataFrame = {
+    val books = if (codebooks != null) codebooks
+      else trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize)
+    pqSearch(quantizePq(corpus, idCol, vecCol, books),
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      queries, books, k, refine)
+  }
+
+  /** [[pqTopK]] against a pre-built [[writePqIndex]] index: the scan
+    * reads the m-byte code parquet; `corpus` is touched only by the
+    * per-candidate rerank join. Identical output to [[pqTopK]] over
+    * the same corpus and codebooks (encoding is deterministic). */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, codebooks: Array[Array[Array[Double]]],
+      k: Int, refine: Int = 8): DataFrame =
+    pqSearch(spark.read.parquet(path),
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      queries, codebooks, k, refine)
+
+  private def pqSearch(codes: DataFrame, base: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int, refine: Int): DataFrame = {
+    val qTables = queries.select(col("qid"),
+      graft.functions.Pq.adcTable(col("qv"), books).as("qtable"))
+    val cand = codes.crossJoin(broadcast(qTables))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.Pq.adcScore(col("pq_codes"), col("qtable")).as("qcos"))
+    rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
+  }
+
   /** The deduplicated corpus under [[semanticDuplicates]]: clusters
     * the pair graph with [[Dedup.duplicateClusters]]' pointer-jumping
     * label propagation and keeps the min-id representative of every

@@ -358,6 +358,23 @@ object PipelineQueries {
       },
       None),
 
+    QueryDef("embed_ann_pq",
+      (s, dir) => {
+        // product quantization + ADC + exact rerank — the FAISS-PQ
+        // memory shape: the scan streams m=8 BYTES per vector (4×
+        // less than SQ8, 32× less than float64 at d=32); each query
+        // carries a precomputed m·ksub lookup table so scoring is m
+        // array reads per pair. Codebook-dependent rows → no SQL
+        // oracle; recall floored by embed_ann_recall (observed
+        // 0.93–1.0 across SFs at refine=8).
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      None),
+
     QueryDef("embed_nearest_dup",
       (s, dir) => {
         // embedding-cosine near-dup: every vector's single nearest
@@ -449,12 +466,17 @@ object PipelineQueries {
           .unionByName(recallOk("ivf_sq8",
             Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10,
               centroids = cents), 0.6))
+          // PQ: observed 0.93-1.0 across sf0.001-0.1 at the default
+          // m=8/ksub=256/refine=8 — floor 0.7 keeps >=30% margin
+          .unionByName(recallOk("pq",
+            Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10), 0.7))
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok
              |UNION ALL SELECT 'ivf', TRUE
              |UNION ALL SELECT 'sq8', TRUE
              |UNION ALL SELECT 'ivf_sq8', TRUE
+             |UNION ALL SELECT 'pq', TRUE
              |UNION ALL SELECT 'nearest_dup_lsh', TRUE""".stripMargin)),
 
     QueryDef("label_centroids",

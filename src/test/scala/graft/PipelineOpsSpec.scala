@@ -424,6 +424,59 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(full.nonEmpty, "fixture should contain planted twins")
   }
 
+  test("PQ ANN: recall floor, ADC accuracy, code shape, determinism, index ≡ direct") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding")
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", queries, 10,
+        codebooks = books)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.7, s"PQ recall $recall below floor")
+    // codes are m-byte blobs, deterministic under repartitioning
+    val codes = Similarity.quantizePq(emb, "vec_id", "embedding", books)
+    assert(codes.select(length(col("pq_codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(8))
+    val again = Similarity.quantizePq(emb.repartition(7), "vec_id", "embedding", books)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(codes.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+      .forall { case (id, c) => again(id) == c })
+    // ADC score ≈ true cosine: per-subspace 256-centroid residuals on
+    // unit vectors are small; bound the mean absolute error
+    val scored = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(queries.limit(2)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        graft.functions.Pq.adcScore(
+          graft.functions.Pq.codes(col("v"), books),
+          graft.functions.Pq.adcTable(col("qv"), books)).as("adc"),
+        Similarity.cosine(col("v"), col("qv")).as("cos"))
+      .agg(avg(abs(col("adc") - col("cos")))).collect().head.getDouble(0)
+    assert(scored < 0.05, s"ADC mean |error| $scored too large")
+    // persisted index searches identically to the direct path
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    try {
+      Similarity.writePqIndex(emb, "vec_id", "embedding", books, dir)
+      val fromIdx = Similarity.pqTopKFromIndex(spark, dir, emb, "vec_id",
+          "embedding", queries, books, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromIdx === pq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    // null contracts: a zero-norm vector has no direction — null code
+    val z = Seq((1L, Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+        (2L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val zbooks = Similarity.trainPqCodebooks(z, "vec_id", "v", m = 2)
+    val zc = Similarity.quantizePq(z, "vec_id", "v", zbooks)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toMap
+    assert(zc(1L) && !zc(2L), "zero-norm vector must code to null")
+  }
+
   test("IVF ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
