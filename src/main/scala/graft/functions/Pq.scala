@@ -77,6 +77,11 @@ case class PqCodes(child: Expression,
     codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
+  // a code is ONE byte: more than 256 centroids per subspace would
+  // silently wrap best.toByte into a wrong (and valid-looking) code
+  require(codebooks.forall(_.length <= 256),
+    s"pq codebooks exceed 256 centroids per subspace (max ${codebooks.map(_.length).max})")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -213,7 +218,12 @@ case class PqAdcScore(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  def compute(codes: Array[Byte], table: ArrayData): Any = {
+  // returns a primitive double (never null — null INPUTS are handled
+  // by nullSafeEval/nullSafeCodeGen): Janino needs the declared Java
+  // return type to be `double` for the generated assignment to compile
+  // (an Object-returning compute would fail codegen and silently drop
+  // the whole stage to interpreted mode)
+  def compute(codes: Array[Byte], table: ArrayData): Double = {
     val m = codes.length
     val n = table.numElements()
     if (m == 0 || n % m != 0)
@@ -235,7 +245,7 @@ case class PqAdcScore(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqAdcScoreExpr", this, classOf[PqAdcScore].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      ${ev.value} = (double) $ref.compute($a, $b);
+      ${ev.value} = $ref.compute($a, $b);
     """)
   }
 

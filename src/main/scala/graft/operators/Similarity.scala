@@ -332,16 +332,33 @@ object Similarity {
     * Falls back to [[hyperplanes]] directions when the corpus has
     * fewer than `nlist` usable vectors (`dim`, when > 0, fixes that
     * fallback's dimension without a deriveDim job). */
-  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, sampleSize: Int = 10000, iters: Int = 10,
-      seed: Long = 0x9E3779B97F4A7C15L, dim: Int = -1): Array[Array[Double]] = {
-    val sample = corpus
+  /** The shared trainer sample: ≤`sampleSize` non-empty vectors in
+    * xxhash64(id) order — a deterministic, partitioning-independent
+    * pseudo-random draw both quantizer trainers use. */
+  private def hashOrderedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, sampleSize: Int): Array[Array[Double]] =
+    corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Deterministic uniform-[0,1) stream (splitmix64), shared by the
+    * k-means++ seeding of both quantizer trainers. */
+  private def splitmixUnit(seed: Long): () => Double = {
+    var state = seed
+    () => {
+      state += 0x9E3779B97F4A7C15L
+      (graft.functions.HashExprs.mix64(state) >>> 11).toDouble / (1L << 53).toDouble
+    }
+  }
+
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, sampleSize: Int = 10000, iters: Int = 10,
+      seed: Long = 0x9E3779B97F4A7C15L, dim: Int = -1): Array[Array[Double]] = {
+    val sample = hashOrderedSample(corpus, idCol, vecCol, sampleSize)
     def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -361,11 +378,7 @@ object Similarity {
     }
     // k-means++ seeding on cosine distance (1 - dot of unit vectors):
     // D² sampling with a deterministic splitmix64 stream
-    var state = seed
-    def nextUnit(): Double = {
-      state += 0x9E3779B97F4A7C15L
-      (graft.functions.HashExprs.mix64(state) >>> 11).toDouble / (1L << 53).toDouble
-    }
+    val nextUnit = splitmixUnit(seed)
     val cents = new Array[Array[Double]](nlist)
     cents(0) = pts((nextUnit() * pts.length).toInt.min(pts.length - 1))
     val bestD = pts.map(p => 1.0 - dotL(p, cents(0)))
@@ -585,23 +598,29 @@ object Similarity {
     * splitmix64 stream — the [[trainIvfCentroids]] discipline) on the
     * SAME hash-ordered ≤`sampleSize` sample, L2-normalized so that
     * Σ_j ⟨q_j, c_{j,code_j}⟩ approximates full cosine. `dim` must
-    * split evenly into `m` subspaces (the FAISS constraint). A sample
-    * smaller than `ksub` trains that many centroids — codes stay
-    * valid, the codebook is just smaller. */
+    * split evenly into `m` subspaces (the FAISS constraint; checked
+    * only against a real sampled dimension — an empty corpus returns
+    * degenerate books and the caller's joins produce the empty result,
+    * the [[deriveDim]] discipline). A sample smaller than `ksub`
+    * trains that many centroids — codes stay valid, the codebook is
+    * just smaller. `ksub` is capped at 256: a PQ code is one byte. */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 256, sampleSize: Int = 10000,
       iters: Int = 10, seed: Long = 0x9E3779B97F4A7C15L,
       dim: Int = -1): Array[Array[Array[Double]]] = {
     require(m >= 1, "m must be >= 1")
-    val sample = corpus
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull && size(col("v")) > 0)
-      .orderBy(xxhash64(col("id")), col("id"))
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
-    val d = sample.headOption.map(_.length)
-      .getOrElse(if (dim > 0) dim else deriveDim(corpus, vecCol))
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] (a PQ code is one byte), got $ksub")
+    val sample = hashOrderedSample(corpus, idCol, vecCol, sampleSize)
+    if (sample.isEmpty) {
+      // empty/all-null corpus: no real dimension exists to check the
+      // divisibility against — return degenerate one-centroid books
+      // (never evaluated: the encode expression only runs on rows)
+      val d0 = if (dim > 0) dim else deriveDim(corpus, vecCol)
+      val dsub0 = if (d0 % m == 0) d0 / m else 1
+      return Array.fill(m)(Array(new Array[Double](dsub0)))
+    }
+    val d = sample.head.length
     require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
     val dsub = d / m
     // unit-normalize (direction is what cosine scores); drop zero-norm
@@ -613,11 +632,7 @@ object Similarity {
     }
     if (pts.isEmpty)
       return Array.fill(m)(Array(new Array[Double](dsub)))
-    var state = seed
-    def nextUnit(): Double = {
-      state += 0x9E3779B97F4A7C15L
-      (graft.functions.HashExprs.mix64(state) >>> 11).toDouble / (1L << 53).toDouble
-    }
+    val nextUnit = splitmixUnit(seed)
     def d2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < b.length) { val df = a(aOff + i) - b(i); s += df * df; i += 1 }

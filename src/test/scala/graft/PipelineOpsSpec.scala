@@ -475,6 +475,17 @@ class PipelineOpsSpec extends SparkSpecBase {
     val zc = Similarity.quantizePq(z, "vec_id", "v", zbooks)
       .collect().map(r => (r.getLong(0), r.isNullAt(1))).toMap
     assert(zc(1L) && !zc(2L), "zero-norm vector must code to null")
+    // a PQ code is one byte: >256 centroids per subspace must be
+    // rejected, never silently wrapped
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(z, "vec_id", "v", m = 2, ksub = 512)
+    }
+    // empty corpus (and hence empty query draw): the whole search
+    // degrades to an empty result (the deriveDim discipline), not a
+    // trainer crash on the dim-divisibility check
+    val none = z.filter(col("vec_id") < 0)
+    assert(Similarity.pqTopK(none, "vec_id", "v",
+      none.select(col("vec_id").as("qid"), col("v").as("qv")), 10).isEmpty)
   }
 
   test("IVF ANN recall vs brute force") {
