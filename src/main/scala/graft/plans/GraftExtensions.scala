@@ -138,6 +138,40 @@ object GraftExtensions {
         graft.functions.IvfCells(args.head,
           matrixArg(args(1), "centroids"),
           intArg(args(2), "n"))
+      }),
+    ("pq_codes",
+      new ExpressionInfo(classOf[graft.functions.PqCodes].getName, null, "pq_codes",
+        "_FUNC_(v, codebooks) - m-byte product-quantization code blob " +
+          "of array<double> v under constant " +
+          "array<array<array<double>>> codebooks (one <=256-centroid " +
+          "codebook per subspace); v is unit-normalized first, a " +
+          "zero-norm or non-finite vector yields NULL.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "pq_codes(v, codebooks)")
+        graft.functions.PqCodes(args.head, tensorArg(args(1), "codebooks"))
+      }),
+    ("pq_adc_table",
+      new ExpressionInfo(classOf[graft.functions.PqAdcTable].getName, null,
+        "pq_adc_table",
+        "_FUNC_(qv, codebooks) - per-query ADC lookup table " +
+          "(m*ksub doubles) of array<double> qv under constant " +
+          "array<array<array<double>>> codebooks; entry j*ksub + c is " +
+          "the dot of query subvector j with centroid c.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "pq_adc_table(qv, codebooks)")
+        graft.functions.PqAdcTable(args.head, tensorArg(args(1), "codebooks"))
+      }),
+    ("pq_adc_score",
+      new ExpressionInfo(classOf[graft.functions.PqAdcScore].getName, null,
+        "pq_adc_score",
+        "_FUNC_(codes, table) - approximate cosine of a pq_codes blob " +
+          "against a pq_adc_table: sum of m table lookups.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "pq_adc_score(codes, table)")
+        graft.functions.PqAdcScore(args.head, args(1))
       }))
 
   private def matrixArg(e: Expression, what: String): Array[Array[Double]] = {

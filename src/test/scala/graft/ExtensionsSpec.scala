@@ -95,4 +95,33 @@ class ExtensionsSpec extends SparkSpecBase {
         |  CAST(NULL AS ARRAY<ARRAY<ARRAY<DOUBLE>>>), 0)""".stripMargin).head())
     assert(nullTen.getMessage.contains("constant"), nullTen.getMessage)
   }
+
+  test("pq functions are SQL-callable and agree with the Column API") {
+    GraftExtensions.registerAll(spark)
+    // two subspaces of one dim each, two centroids per book; the unit
+    // vector (0.6, 0.8) codes to the nearest centroid per subspace and
+    // the ADC score is the sum of the two table lookups
+    val books = "array(array(array(0.6D), array(-1.0D))," +
+      " array(array(0.8D), array(0.1D)))"
+    val row = spark.sql(
+      s"""SELECT pq_adc_score(pq_codes(array(0.6D, 0.8D), $books),
+         |  pq_adc_table(array(0.6D, 0.8D), $books)) AS s""".stripMargin).head()
+    // unit(v) = (0.6, 0.8): subspace dots are 0.36 and 0.64 -> 1.0
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+    import spark.implicits._
+    val booksApi = Array(Array(Array(0.6), Array(-1.0)),
+      Array(Array(0.8), Array(0.1)))
+    val viaApi = Seq(Tuple1(Seq(0.6, 0.8))).toDF("v")
+      .select(graft.functions.Pq.adcScore(
+        graft.functions.Pq.codes(
+          org.apache.spark.sql.functions.col("v").cast("array<double>"), booksApi),
+        graft.functions.Pq.adcTable(
+          org.apache.spark.sql.functions.col("v").cast("array<double>"), booksApi))
+        .as("s")).head().getDouble(0)
+    assert(math.abs(row.getDouble(0) - viaApi) < 1e-12)
+    // non-constant codebooks rejected at analysis
+    val err = intercept[Exception](spark.sql(
+      """SELECT pq_codes(array(1.0D), array(array(array(rand()))))""").head())
+    assert(err.getMessage.contains("constant"))
+  }
 }
