@@ -334,12 +334,18 @@ object Similarity {
     * fallback's dimension without a deriveDim job). */
   /** The shared trainer sample: ≤`sampleSize` non-empty vectors in
     * xxhash64(id) order — a deterministic, partitioning-independent
-    * pseudo-random draw both quantizer trainers use. */
+    * pseudo-random draw both quantizer trainers use. Vectors with a
+    * null or non-finite element are excluded: the ENCODE expressions
+    * null such rows out per their contract, but a driver-side
+    * `getSeq[Double].toArray` would throw unboxing a null slot — a
+    * single corrupt vector must not crash quantizer training. */
   private def hashOrderedSample(corpus: DataFrame, idCol: String,
       vecCol: String, sampleSize: Int): Array[Array[Double]] =
     corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .filter(col("v").isNotNull && size(col("v")) > 0 &&
+        forall(col("v"), x =>
+          x.isNotNull && !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity)))
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleSize)
       .collect()

@@ -488,6 +488,28 @@ class PipelineOpsSpec extends SparkSpecBase {
       none.select(col("vec_id").as("qid"), col("v").as("qv")), 10).isEmpty)
   }
 
+  test("quantizer trainers skip vectors with null/NaN elements instead of crashing") {
+    import spark.implicits._
+    // a single corrupt vector in the sample draw must not NPE the
+    // driver-side collect in either trainer (the encode expressions
+    // null such rows per contract; training just excludes them)
+    val dirty = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq[java.lang.Double](0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq[java.lang.Double](0.0, null, 0.0, 1.0)),
+      (4L, Seq[java.lang.Double](Double.NaN, 0.0, 0.0, 0.0)),
+      (5L, Seq[java.lang.Double](Double.PositiveInfinity, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.trainIvfCentroids(dirty, "vec_id", "v", nlist = 2)
+    assert(cents.forall(_.forall(java.lang.Double.isFinite)))
+    val books = Similarity.trainPqCodebooks(dirty, "vec_id", "v", m = 2)
+    assert(books.forall(_.forall(_.forall(java.lang.Double.isFinite))))
+    // and the corrupt rows still code to null downstream
+    val codes = Similarity.quantizePq(dirty, "vec_id", "v", books)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toMap
+    assert(!codes(1L) && !codes(2L) && codes(3L) && codes(4L) && codes(5L))
+  }
+
   test("IVF ANN recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
