@@ -95,6 +95,15 @@ object ScaleRehearsal {
           threshold = 0.95, files = 4)
         .count()
     }
+    // PQ at 10×: codebook training is a fixed driver-side constant
+    // (≤10k sample regardless of corpus size); the ADC scan streams
+    // m=8 bytes/vector against broadcast per-query tables, so scan
+    // cost tracks corpus size × queries with no shuffle of the codes
+    timed("embed_ann_pq (train + ADC scan + rerank)") {
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10).count()
+    }
     // the four-stage capstone composition (exact dedup → quality gate →
     // split → token budgets) — every stage is linear-or-one-shuffle, so
     // 10× input should cost ~10× the sf-scale row, not worse: the
