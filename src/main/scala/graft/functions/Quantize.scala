@@ -139,6 +139,47 @@ case class QuantizedCosine(left: Expression, right: Expression)
   override def prettyName: String = "quantized_cosine"
 }
 
+/** TRUE iff every element of an array<double> is non-null and finite
+  * — the usable-vector predicate of the quantizer trainers' sample
+  * scans (a corpus-sized path: an interpreted `forall(...)` lambda
+  * here would break the scan's whole-stage-codegen span). One
+  * primitive pass; NULL input handled by the null-safe wrapper. */
+case class AllFinite(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+
+  def compute(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || !java.lang.Double.isFinite(v.getDouble(i)))
+        return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("allFiniteExpr", this, classOf[AllFinite].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AllFinite =
+    copy(child = newChild)
+
+  override def prettyName: String = "all_finite"
+}
+
 object Quantize {
   /** Column API: int8 code blob (binary) of an array<double> vector. */
   def int8(v: Column): Column =
@@ -148,4 +189,8 @@ object Quantize {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCosine(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: every element non-null and finite. */
+  def allFinite(v: Column): Column =
+    ColumnBridge.column(AllFinite(ColumnBridge.expression(v)))
 }

@@ -344,8 +344,7 @@ object Similarity {
     corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0 &&
-        forall(col("v"), x =>
-          x.isNotNull && !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity)))
+        graft.functions.Quantize.allFinite(col("v")))
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleSize)
       .collect()
@@ -619,10 +618,15 @@ object Similarity {
       s"ksub must be in [1, 256] (a PQ code is one byte), got $ksub")
     val sample = hashOrderedSample(corpus, idCol, vecCol, sampleSize)
     if (sample.isEmpty) {
-      // empty/all-null corpus: no real dimension exists to check the
-      // divisibility against — return degenerate one-centroid books
-      // (never evaluated: the encode expression only runs on rows)
+      // empty/all-null/all-corrupt sample: derive the dimension to
+      // keep the divisibility contract honest. deriveDim returns 1
+      // for a truly empty corpus — only THEN are degenerate books
+      // safe (the encode expression never runs on zero rows); a real
+      // non-divisible dimension (e.g. every row corrupt but d known)
+      // must still fail loud on the driver, not per-row on executors.
       val d0 = if (dim > 0) dim else deriveDim(corpus, vecCol)
+      require(d0 % m == 0 || d0 == 1,
+        s"dim $d0 must be divisible by m=$m subspaces")
       val dsub0 = if (d0 % m == 0) d0 / m else 1
       return Array.fill(m)(Array(new Array[Double](dsub0)))
     }

@@ -172,6 +172,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "pq_adc_score(codes, table)")
         graft.functions.PqAdcScore(args.head, args(1))
+      }),
+    ("all_finite",
+      new ExpressionInfo(classOf[graft.functions.AllFinite].getName, null,
+        "all_finite",
+        "_FUNC_(v) - TRUE iff every element of array<double> v is " +
+          "non-null and finite; NULL for a NULL array.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "all_finite(v)")
+        graft.functions.AllFinite(args.head)
       }))
 
   private def matrixArg(e: Expression, what: String): Array[Array[Double]] = {
@@ -196,10 +206,19 @@ object GraftExtensions {
       case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)
           if e.foldable && e.eval() != null =>
         val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        Array.tabulate(ad.numElements()) { i =>
+        val t = Array.tabulate(ad.numElements()) { i =>
           val m = ad.getArray(i)
           Array.tabulate(m.numElements())(j => m.getArray(j).toDoubleArray())
         }
+        // empty shapes would surface as raw collection errors from the
+        // expression's field initializers (empty.max / head on empty)
+        // — keep the SQL surface's clean-analysis-error guarantee
+        if (t.isEmpty || t.exists(m => m.isEmpty || m.exists(_.isEmpty)))
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3089",
+            messageParameters = Map("msg" ->
+              s"$what must be a non-empty constant tensor (no empty matrices or rows)"))
+        t
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3089",
         messageParameters = Map("msg" ->

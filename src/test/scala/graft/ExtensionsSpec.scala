@@ -123,5 +123,21 @@ class ExtensionsSpec extends SparkSpecBase {
     val err = intercept[Exception](spark.sql(
       """SELECT pq_codes(array(1.0D), array(array(array(rand()))))""").head())
     assert(err.getMessage.contains("constant"))
+    // empty tensor shapes get the clean analysis error too, not a raw
+    // empty.max / head-on-empty from the expression's initializers
+    val empty = intercept[Exception](spark.sql(
+      """SELECT pq_adc_table(array(1.0D),
+        |  CAST(array() AS ARRAY<ARRAY<ARRAY<DOUBLE>>>))""".stripMargin).head())
+    assert(empty.getMessage.contains("non-empty"), empty.getMessage)
+    val emptyBook = intercept[Exception](spark.sql(
+      """SELECT pq_codes(array(1.0D),
+        |  array(CAST(array() AS ARRAY<ARRAY<DOUBLE>>)))""".stripMargin).head())
+    assert(emptyBook.getMessage.contains("non-empty"), emptyBook.getMessage)
+    // all_finite: the trainers' sample predicate is SQL-visible too
+    val fin = spark.sql(
+      """SELECT all_finite(array(1.0D, 2.0D)) AS a,
+        |  all_finite(array(1.0D, CAST('NaN' AS DOUBLE))) AS b,
+        |  all_finite(CAST(NULL AS ARRAY<DOUBLE>)) AS c""".stripMargin).head()
+    assert(fin.getBoolean(0) && !fin.getBoolean(1) && fin.isNullAt(2))
   }
 }
