@@ -63,6 +63,92 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
         .cast("long").as("bpe_tokens"))
 
+  /** Train a BPE merge list (Sennrich et al. 2016) on a bounded,
+    * deterministic sample of the corpus — the quantizer-trainer
+    * discipline ([[Similarity.trainIvfCentroids]]): train small on
+    * the driver, FREEZE the model, apply distributed via the native
+    * [[graft.functions.BpeTokens]] expression. Word frequencies come
+    * from ≤`sampleSize` docs in xxhash64(id) order (partitioning- and
+    * layout-independent); each round merges the most frequent
+    * adjacent symbol pair (ties broken lexicographically, so training
+    * is fully deterministic) and stops early when no pair repeats.
+    * At 100 TB the sample stays the same size — training cost is a
+    * constant, and a production run would persist the merges next to
+    * the corpus the way [[Similarity.writePqIndex]] persists codes. */
+  def trainBpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 200, sampleSize: Int = 2000): Array[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val sample = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull)
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getString(1))
+    // word -> frequency, word as symbol sequence (code points + </w>)
+    val freq = new java.util.HashMap[String, Long]()
+    sample.foreach { t =>
+      t.split("\\s+").foreach { w =>
+        if (w.nonEmpty) freq.merge(w, 1L, (a, b) => a + b)
+      }
+    }
+    var vocab: Map[Vector[String], Long] = {
+      import scala.jdk.CollectionConverters._
+      freq.asScala.map { case (w, n) =>
+        (w.codePoints().toArray.map(cp =>
+          new String(Character.toChars(cp))).toVector :+ "</w>") -> n
+      }.toMap
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val candidates = counts.asScala.filter(_._2 >= 2)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        // max count; ties broken by the lexicographically smallest
+        // pair — training is fully deterministic
+        val top = candidates.values.max
+        val best = candidates.collect { case (p, n) if n == top => p }.min
+        merges += best
+        vocab = vocab.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += (best._1 + best._2); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> n
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        round += 1
+      }
+    }
+    merges.result().toArray
+  }
+
+  /** BPE token relation under frozen merges: (id, n_words, n_tokens,
+    * tokens). The real-token-budget upgrade of [[tokenCount]]'s regex
+    * proxy; one narrow map stage, no shuffle. */
+  def bpeTokens(docs: DataFrame, idCol: String, textCol: String,
+      merges: Array[(String, String)]): DataFrame = {
+    val toks = graft.functions.Bpe.tokens(col(textCol), merges)
+    docs.select(col(idCol),
+      size(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+        .cast("long").as("n_words"),
+      size(toks).cast("long").as("n_tokens"),
+      toks.as("tokens"))
+  }
+
   /** Marker-based language scores: for every language, the count of
     * marker-stopword hits; prediction = argmax (ties broken by
     * language order, 'und' when nothing matches). The distributed

@@ -540,6 +540,41 @@ object PipelineQueries {
              |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
              |FROM documents""".stripMargin)),
 
+    // REAL trained-BPE tokenization (vs token_count's regex proxy):
+    // merges trained on a deterministic ≤2000-doc sample (driver-side,
+    // frozen — the quantizer-trainer discipline), applied corpus-wide
+    // by the native BpeTokens expression. The merge list is
+    // data-dependent, so per-doc token COUNTS have no SQL oracle; the
+    // graded row carries n_words (oracle-recomputed) plus two
+    // certificates computed from the expression's OUTPUT by
+    // independent built-ins: roundtrip_ok (concatenated tokens with
+    // </w> markers restored to spaces == whitespace-normalized text —
+    // lossless tokenization) and compression_ok (every word ≥1 token,
+    // never more tokens than characters + word markers).
+    QueryDef("token_count_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text")
+        val norm = array_join(
+          filter(split(col("text"), "\\s+"), x => x =!= ""), " ")
+        val toks = graft.functions.Bpe.tokens(col("text"), merges)
+        docs.select(col("doc_id"), col("text"), norm.as("norm"), toks.as("toks"))
+          .select(col("doc_id"),
+            size(filter(split(col("norm"), " "), x => x =!= ""))
+              .cast("long").as("n_words"),
+            (trim(regexp_replace(array_join(col("toks"), ""), "</w>", " "))
+              === col("norm")).as("roundtrip_ok"),
+            (size(col("toks")) >= size(filter(split(col("norm"), " "), x => x =!= "")) &&
+              size(col("toks")) <= length(regexp_replace(col("norm"), " ", "")) +
+                size(filter(split(col("norm"), " "), x => x =!= "")))
+              .as("compression_ok"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |  x -> x != '')) AS BIGINT) AS n_words,
+             |TRUE AS roundtrip_ok, TRUE AS compression_ok
+             |FROM documents""".stripMargin)),
+
     QueryDef("lang_id",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text"),
       Some {
