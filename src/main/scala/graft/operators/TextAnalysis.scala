@@ -88,7 +88,9 @@ object TextAnalysis {
     // word -> frequency, word as symbol sequence (code points + </w>)
     val freq = new java.util.HashMap[String, Long]()
     sample.foreach { t =>
-      t.split("\\s+").foreach { w =>
+      // the SAME ASCII whitespace class as the apply kernel and the
+      // oracle — Java \s and RE2 \s disagree on U+000B etc.
+      t.split(graft.functions.Bpe.WsClass).foreach { w =>
         if (w.nonEmpty) freq.merge(w, 1L, (a, b) => a + b)
       }
     }
@@ -143,7 +145,7 @@ object TextAnalysis {
       merges: Array[(String, String)]): DataFrame = {
     val toks = graft.functions.Bpe.tokens(col(textCol), merges)
     docs.select(col(idCol),
-      size(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+      size(filter(split(col(textCol), graft.functions.Bpe.WsClass), x => x =!= ""))
         .cast("long").as("n_words"),
       size(toks).cast("long").as("n_tokens"),
       toks.as("tokens"))

@@ -555,22 +555,28 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text")
-        val norm = array_join(
-          filter(split(col("text"), "\\s+"), x => x =!= ""), " ")
-        val toks = graft.functions.Bpe.tokens(col("text"), merges)
-        docs.select(col("doc_id"), col("text"), norm.as("norm"), toks.as("toks"))
+        // NULL-safe text; whitespace = the kernel's exact ASCII class
+        // (Java \s and RE2 \s disagree on U+000B — the tokenizer must
+        // split exactly like its verifier)
+        val txt = coalesce(col("text"), lit(""))
+        val words = filter(split(txt, graft.functions.Bpe.WsClass), x => x =!= "")
+        val toks = graft.functions.Bpe.tokens(txt, merges)
+        // expected concatenation built FROM the words (each word +
+        // its </w> marker) — no replace step, so text containing a
+        // literal "</w>" cannot confuse the certificate
+        docs.select(col("doc_id"), words.as("w"), toks.as("toks"))
           .select(col("doc_id"),
-            size(filter(split(col("norm"), " "), x => x =!= ""))
-              .cast("long").as("n_words"),
-            (trim(regexp_replace(array_join(col("toks"), ""), "</w>", " "))
-              === col("norm")).as("roundtrip_ok"),
-            (size(col("toks")) >= size(filter(split(col("norm"), " "), x => x =!= "")) &&
-              size(col("toks")) <= length(regexp_replace(col("norm"), " ", "")) +
-                size(filter(split(col("norm"), " "), x => x =!= "")))
+            size(col("w")).cast("long").as("n_words"),
+            (array_join(col("toks"), "") ===
+              array_join(transform(col("w"), x => concat(x, lit("</w>"))), ""))
+              .as("roundtrip_ok"),
+            (size(col("toks")) >= size(col("w")) &&
+              size(col("toks")) <= length(array_join(col("w"), "")) + size(col("w")))
               .as("compression_ok"))
       },
       Some("""SELECT doc_id,
-             |CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |CAST(len(list_filter(regexp_split_to_array(
+             |  coalesce(text, ''), '[ \t\n\f\r]+'),
              |  x -> x != '')) AS BIGINT) AS n_words,
              |TRUE AS roundtrip_ok, TRUE AS compression_ok
              |FROM documents""".stripMargin)),

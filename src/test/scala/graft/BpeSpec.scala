@@ -39,7 +39,11 @@ class BpeSpec extends SparkSpecBase {
     val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text",
       numMerges = 120)
     def sequential(word: String): Seq[String] = {
-      var syms = word.map(_.toString).toVector :+ "</w>"
+      // code points, not UTF-16 chars — the kernel and trainer both
+      // split on code points, and this oracle must match them on
+      // supplementary characters
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector :+ "</w>"
       merges.foreach { case (a, b) =>
         val out = Vector.newBuilder[String]
         var i = 0
@@ -71,21 +75,52 @@ class BpeSpec extends SparkSpecBase {
     // is hash-ordered, not layout-ordered)
     val again = TextAnalysis.trainBpeMerges(docs.repartition(7), "doc_id", "text")
     assert(merges.toSeq === again.toSeq)
-    // every fixture doc reconstructs exactly (whitespace-normalized)
+    // every fixture doc reconstructs exactly: the expected
+    // concatenation is built FROM the split words (word + </w> each),
+    // the same construction the token_count_bpe certificate uses
+    val ws = graft.functions.Bpe.WsClass
     val t = TextAnalysis.bpeTokens(docs, "doc_id", "text", merges)
       .join(docs.select(col("doc_id"),
-        array_join(filter(split(col("text"), "\\s+"), x => x =!= ""), " ")
-          .as("norm")), Seq("doc_id"))
-    val bad = t.filter(
-      trim(regexp_replace(array_join(col("tokens"), ""), "</w>", " "))
-        =!= col("norm"))
+        filter(split(col("text"), ws), x => x =!= "").as("w")), Seq("doc_id"))
+    val bad = t.filter(array_join(col("tokens"), "") =!=
+        array_join(transform(col("w"), x => concat(x, lit("</w>"))), ""))
       .count()
     assert(bad === 0, s"$bad docs failed the BPE round trip")
     // and compression: at least one token per word, never more tokens
     // than characters + per-word markers
     val badBounds = t.filter(col("n_tokens") < col("n_words") ||
-        col("n_tokens") > length(regexp_replace(col("norm"), " ", "")) + col("n_words"))
+        col("n_tokens") > length(array_join(col("w"), "")) + col("n_words"))
       .count()
     assert(badBounds === 0)
+  }
+
+  test("BPE certificates survive hostile text: literal </w>, Unicode whitespace, NULL") {
+    import spark.implicits._
+    val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", numMerges = 50)
+    val ws = graft.functions.Bpe.WsClass
+    // a</w>b: the marker substring inside a WORD must not confuse the
+    // round-trip check (no replace step anywhere); U+2028 is NOT in
+    // the ASCII whitespace class, so kernel and verifier both keep it
+    // inside the word; NULL text behaves as empty
+    val hostile = Seq(
+      (1L, "plain words here"),
+      (2L, "contains a</w>b marker"),
+      (3L, "uni codesep"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val txt = coalesce(col("text"), lit(""))
+    val words = filter(split(txt, ws), x => x =!= "")
+    val toks = graft.functions.Bpe.tokens(txt, merges)
+    val rows = hostile.select(col("doc_id"), words.as("w"), toks.as("toks"))
+      .select(col("doc_id"),
+        (array_join(col("toks"), "") ===
+          array_join(transform(col("w"), x => concat(x, lit("</w>"))), ""))
+          .as("rt"),
+        size(col("w")).as("nw"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+    assert(rows(1L)._1 && rows(2L)._1 && rows(3L)._1 && rows(4L)._1,
+      s"round trip must hold on hostile text: $rows")
+    assert(rows(3L)._2 === 1, "U+2028/U+000B must NOT split words")
+    assert(rows(4L)._2 === 0, "NULL text behaves as empty")
   }
 }
