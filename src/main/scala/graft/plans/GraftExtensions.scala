@@ -182,7 +182,42 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "all_finite(v)")
         graft.functions.AllFinite(args.head)
+      }),
+    ("bpe_tokens",
+      new ExpressionInfo(classOf[graft.functions.BpeTokens].getName, null,
+        "bpe_tokens",
+        "_FUNC_(text, merges) - BPE tokens of text under a constant " +
+          "merge list (array of 2-element array<string> pairs, in " +
+          "training order); words split on the ASCII class " +
+          "[ \\t\\n\\f\\r]+, each word ends in a </w> marker symbol.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "bpe_tokens(text, merges)")
+        graft.functions.BpeTokens(args.head, mergesArg(args(1), "merges"))
       }))
+
+  /** Constant BPE merge list from SQL: a foldable
+    * array<array<string>> of exact pairs. */
+  private def mergesArg(e: Expression, what: String): Array[(String, String)] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def bad(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3089",
+        messageParameters = Map("msg" -> s"$what $msg"))
+    e.dataType match {
+      case ArrayType(ArrayType(StringType, _), _)
+          if e.foldable && e.eval() != null =>
+        val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(ad.numElements()) { i =>
+          val p = ad.getArray(i)
+          if (p == null || p.numElements() != 2 ||
+              p.isNullAt(0) || p.isNullAt(1))
+            bad("pairs must be non-null 2-element array<string> entries")
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+      case _ => bad("must be a constant non-null array<array<string>> of merge pairs")
+    }
+  }
 
   private def matrixArg(e: Expression, what: String): Array[Array[Double]] = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}

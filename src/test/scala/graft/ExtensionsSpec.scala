@@ -140,4 +140,23 @@ class ExtensionsSpec extends SparkSpecBase {
         |  all_finite(CAST(NULL AS ARRAY<DOUBLE>)) AS c""".stripMargin).head()
     assert(fin.getBoolean(0) && !fin.getBoolean(1) && fin.isNullAt(2))
   }
+
+  test("bpe_tokens is SQL-callable with a constant merge list") {
+    GraftExtensions.registerAll(spark)
+    // the hand-computed classic merges tokenize 'low newest' the same
+    // through SQL as through the Column API (BpeSpec's fixture)
+    val toks = spark.sql(
+      """SELECT bpe_tokens('low newest',
+        |  array(array('e','s'), array('es','t'), array('est','</w>'),
+        |        array('l','o'), array('lo','w'))) AS t""".stripMargin)
+      .head().getSeq[String](0)
+    assert(toks === Seq("low", "</w>", "n", "e", "w", "est</w>"))
+    // malformed pair shapes get the clean analysis error
+    val err = intercept[Exception](spark.sql(
+      """SELECT bpe_tokens('x', array(array('a')))""").head())
+    assert(err.getMessage.contains("2-element"), err.getMessage)
+    val nonConst = intercept[Exception](spark.sql(
+      """SELECT bpe_tokens('x', array(array(uuid(), 'b')))""").head())
+    assert(nonConst.getMessage.contains("constant"), nonConst.getMessage)
+  }
 }
