@@ -104,6 +104,14 @@ object ScaleRehearsal {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10).count()
     }
+    // BPE at 10×: training reads a fixed ≤2000-doc sample (constant
+    // in corpus size); the apply side is one narrow map stage, so
+    // cost tracks the corpus linearly with no shuffle at all
+    timed("token_count_bpe (train + tokenize corpus)") {
+      val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text")
+      TextAnalysis.bpeTokens(docs, "doc_id", "text", merges)
+        .agg(sum(col("n_tokens"))).count()
+    }
     // the four-stage capstone composition (exact dedup → quality gate →
     // split → token budgets) — every stage is linear-or-one-shuffle, so
     // 10× input should cost ~10× the sf-scale row, not worse: the
