@@ -151,6 +151,17 @@ class PlanSpec extends SparkSpecBase {
       s"subset filter must bound both sweep legs (found $subsetPred):\n$p")
   }
 
+  test("BPE tokenization is one narrow map stage — no shuffle, no UDF") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text",
+      numMerges = 20)
+    val p = plan(TextAnalysis.bpeTokens(docs, "doc_id", "text", merges))
+    assert(!p.contains("Exchange"), s"BPE apply must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
+      s"BPE apply must be a native expression, not a UDF:\n$p")
+  }
+
   test("shuffleOrder enumerates via range-partitioned sort, never a global window") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf).select(col("doc_id"))
