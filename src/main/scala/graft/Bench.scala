@@ -88,8 +88,16 @@ object Bench {
         .map(_.toString)
         .getOrElse(sfDir)
     }
+    // Force = the noop datasource sink, NOT .count(): an Aggregate
+    // count(1) on top lets Catalyst prune every unreferenced computed
+    // column, so a pure-projection query (text_stats, token_count,
+    // fingerprint_rolling, token_count_bpe, sample_split) would time
+    // a bare row-count scan while its actual kernel never runs. The
+    // noop write materializes every output column and discards them.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     names.foreach { name =>
-      try queries(name)(spark, warmDir).count()
+      try force(queries(name)(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
@@ -133,7 +141,7 @@ object Bench {
         val load = osBean.getSystemLoadAverage
         val times = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
-          queries(name)(spark, sfDir).count()
+          force(queries(name)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
         System.err.println(String.format(java.util.Locale.ROOT,

@@ -107,10 +107,13 @@ object ScaleRehearsal {
     // BPE at 10×: training reads a fixed ≤2000-doc sample (constant
     // in corpus size); the apply side is one narrow map stage, so
     // cost tracks the corpus linearly with no shuffle at all
-    timed("token_count_bpe (train + tokenize corpus)") {
+    timed("token_count_bpe (train + tokenize corpus; rows=total tokens)") {
       val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text")
+      // head() on the referenced sum FORCES the tokenize pass —
+      // .count() here would let Catalyst prune the sum and its whole
+      // child projection, timing only the driver-side training
       TextAnalysis.bpeTokens(docs, "doc_id", "text", merges)
-        .agg(sum(col("n_tokens"))).count()
+        .agg(sum(col("n_tokens")).as("t")).head().getLong(0)
     }
     // the four-stage capstone composition (exact dedup → quality gate →
     // split → token budgets) — every stage is linear-or-one-shuffle, so

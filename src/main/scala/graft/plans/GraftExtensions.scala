@@ -227,7 +227,15 @@ object GraftExtensions {
       // guard but must raise the same clean error, not an NPE
       case ArrayType(ArrayType(DoubleType, _), _) if e.foldable && e.eval() != null =>
         val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+        Array.tabulate(ad.numElements()) { i =>
+          val r = ad.getArray(i)
+          if (r == null)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3089",
+              messageParameters = Map("msg" ->
+                s"$what must not contain NULL rows"))
+          r.toDoubleArray()
+        }
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3089",
         messageParameters = Map("msg" ->
@@ -243,7 +251,22 @@ object GraftExtensions {
         val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val t = Array.tabulate(ad.numElements()) { i =>
           val m = ad.getArray(i)
-          Array.tabulate(m.numElements())(j => m.getArray(j).toDoubleArray())
+          // a NULL inner matrix/row would NPE below, escaping the
+          // clean-analysis-error guarantee — reject it here
+          if (m == null)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3089",
+              messageParameters = Map("msg" ->
+                s"$what must not contain NULL matrices"))
+          Array.tabulate(m.numElements()) { j =>
+            val r = m.getArray(j)
+            if (r == null)
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "_LEGACY_ERROR_TEMP_3089",
+                messageParameters = Map("msg" ->
+                  s"$what must not contain NULL rows"))
+            r.toDoubleArray()
+          }
         }
         // empty shapes would surface as raw collection errors from the
         // expression's field initializers (empty.max / head on empty)

@@ -133,6 +133,17 @@ class ExtensionsSpec extends SparkSpecBase {
       """SELECT pq_codes(array(1.0D),
         |  array(CAST(array() AS ARRAY<ARRAY<DOUBLE>>)))""".stripMargin).head())
     assert(emptyBook.getMessage.contains("non-empty"), emptyBook.getMessage)
+    // NULL nested inside an otherwise-valid constant: still the clean
+    // error, not an NPE from the materialization loop
+    val nullInner = intercept[Exception](spark.sql(
+      """SELECT pq_codes(array(1.0D),
+        |  array(array(array(1.0D)),
+        |        CAST(NULL AS ARRAY<ARRAY<DOUBLE>>)))""".stripMargin).head())
+    assert(nullInner.getMessage.contains("NULL matrices"), nullInner.getMessage)
+    val nullRow = intercept[Exception](spark.sql(
+      """SELECT ivf_cells(array(1.0D),
+        |  array(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)), 1)""".stripMargin).head())
+    assert(nullRow.getMessage.contains("NULL rows"), nullRow.getMessage)
     // all_finite: the trainers' sample predicate is SQL-visible too
     val fin = spark.sql(
       """SELECT all_finite(array(1.0D, 2.0D)) AS a,
