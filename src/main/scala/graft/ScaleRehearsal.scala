@@ -31,6 +31,13 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Force = the plan AS WRITTEN: .count() on a DataFrame lets
+    // Catalyst prune computed columns an outer count(1) ignores (the
+    // r9 bench-force bug); toRdd executes the physical plan with every
+    // output column materialized and returns its row count
+    def forceCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -61,39 +68,37 @@ object ScaleRehearsal {
     println(s"[rehearsal] sfDir=$sfDir reps=$reps docs=${docs.count()} vecs=${emb.count()}")
 
     timed("dedup_minhash_lsh (LSH path)") {
-      Dedup.nearDuplicates(docs, "doc_id", "text",
-        shingleN = 3, k = 128, bands = 32, threshold = 0.8).count()
+      forceCount(Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, k = 128, bands = 32, threshold = 0.8))
     }
     timed("overlap_pairs (winnow inverted index)") {
-      TextAnalysis.overlapPairs(docs, "doc_id", "text").count()
+      forceCount(TextAnalysis.overlapPairs(docs, "doc_id", "text"))
     }
     timed("nearest_dup_lsh (default maxBucket=4096)") {
-      Similarity.nearestDupLsh(emb, "vec_id", "embedding").count()
+      forceCount(Similarity.nearestDupLsh(emb, "vec_id", "embedding"))
     }
     timed("semantic_duplicates (within-cell sweep)") {
       // identical-direction replicas: every vector has reps−1 twins at
       // cos 1.0, so the output is ~N·(reps−1)/2 planted pairs — the
       // within-cell candidate volume, not the pair math, is the load
-      Similarity.semanticDuplicates(emb, "vec_id", "embedding",
-        threshold = 0.95).count()
+      forceCount(Similarity.semanticDuplicates(emb, "vec_id", "embedding",
+        threshold = 0.95))
     }
     timed("nearest_dup_lsh (maxBucket=256, forced salt)") {
-      Similarity.nearestDupLsh(emb, "vec_id", "embedding",
-        maxBucket = 256).count()
+      forceCount(Similarity.nearestDupLsh(emb, "vec_id", "embedding",
+        maxBucket = 256))
     }
     // the streaming drains at 10×: per-batch index probe + append must
     // scale with batch size, not corpus size — each of the 4 batches
     // probes an index holding ≤ the previously-admitted corpus
     timed("stream_near_dup drain (4 batches)") {
-      graft.streaming.EventStream
-        .nearDupIngestDrained(spark, docs, threshold = 0.8, files = 4)
-        .count()
+      forceCount(graft.streaming.EventStream
+        .nearDupIngestDrained(spark, docs, threshold = 0.8, files = 4))
     }
     timed("stream_semantic_dup drain (4 batches)") {
-      graft.streaming.EventStream.embeddingIngestDrained(spark,
+      forceCount(graft.streaming.EventStream.embeddingIngestDrained(spark,
           emb.select(col("vec_id"), col("embedding").as("v")),
-          threshold = 0.95, files = 4)
-        .count()
+          threshold = 0.95, files = 4))
     }
     // PQ at 10×: codebook training is a fixed driver-side constant
     // (≤10k sample regardless of corpus size); the ADC scan streams
@@ -102,7 +107,7 @@ object ScaleRehearsal {
     timed("embed_ann_pq (train + ADC scan + rerank)") {
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10).count()
+      forceCount(Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10))
     }
     // BPE at 10×: training reads a fixed ≤2000-doc sample (constant
     // in corpus size); the apply side is one narrow map stage, so
@@ -129,13 +134,12 @@ object ScaleRehearsal {
         Seq("doc_id"), "left_semi")
       val split = Sampling.assignSplits(good, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      split.join(TextAnalysis.tokenCount(good, "doc_id", "text"),
+      forceCount(split.join(TextAnalysis.tokenCount(good, "doc_id", "text"),
           Seq("doc_id"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ws_tokens")).as("ws_tokens"),
-          sum(col("bpe_tokens")).as("bpe_tokens"))
-        .count()
+          sum(col("bpe_tokens")).as("bpe_tokens")))
     }
 
     // Skew-guard evidence: rebuild the probe-leg bucket histogram with
