@@ -88,14 +88,9 @@ object Bench {
         .map(_.toString)
         .getOrElse(sfDir)
     }
-    // Force = the noop datasource sink, NOT .count(): an Aggregate
-    // count(1) on top lets Catalyst prune every unreferenced computed
-    // column, so a pure-projection query (text_stats, token_count,
-    // fingerprint_rolling, token_count_bpe, sample_split) would time
-    // a bare row-count scan while its actual kernel never runs. The
-    // noop write materializes every output column and discards them.
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+    // Force = the plan as written ([[Force.count]]) — see that object
+    // for why .count() must NOT be used here.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = Force.count(df)
     names.foreach { name =>
       try force(queries(name)(spark, warmDir))
       catch { case e: Throwable =>

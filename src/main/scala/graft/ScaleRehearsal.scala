@@ -31,12 +31,9 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Force = the plan AS WRITTEN: .count() on a DataFrame lets
-    // Catalyst prune computed columns an outer count(1) ignores (the
-    // r9 bench-force bug); toRdd executes the physical plan with every
-    // output column materialized and returns its row count
-    def forceCount(df: org.apache.spark.sql.DataFrame): Long =
-      df.queryExecution.toRdd.count()
+    // Force = the plan as written ([[Force.count]]) — see that object
+    // for why .count() must NOT be used here.
+    def forceCount(df: org.apache.spark.sql.DataFrame): Long = Force.count(df)
 
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -35,6 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeTokens(child: Expression, merges: Array[(String, String)])
     extends UnaryExpression {
 
+  // trained merge lists are duplicate-free by construction (a pair is
+  // merged away the round it is learned), but a hand-built list (SQL
+  // surface, Column API) could repeat a pair — the rank map would
+  // keep the LAST occurrence and silently change greedy order vs the
+  // training-order semantics, so reject duplicates outright
+  require(merges.distinct.length == merges.length,
+    "bpe merges must not contain duplicate pairs")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

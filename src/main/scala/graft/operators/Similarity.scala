@@ -619,16 +619,19 @@ object Similarity {
     val sample = hashOrderedSample(corpus, idCol, vecCol, sampleSize)
     if (sample.isEmpty) {
       // empty/all-null/all-corrupt sample: derive the dimension to
-      // keep the divisibility contract honest. deriveDim returns 1
-      // for a truly empty corpus — only THEN are degenerate books
-      // safe (the encode expression never runs on zero rows); a real
-      // non-divisible dimension (e.g. every row corrupt but d known)
-      // must still fail loud on the driver, not per-row on executors.
+      // keep the divisibility contract honest. Degenerate books are
+      // safe ONLY for a truly empty corpus (the encode expression
+      // never runs on zero rows) — a real non-divisible dimension
+      // (e.g. every sampled row corrupt but rows exist) must still
+      // fail loud on the driver, not per-row on executors; checking
+      // corpus emptiness directly avoids conflating deriveDim's
+      // empty-corpus sentinel (1) with a genuine 1-dim corpus.
       val d0 = if (dim > 0) dim else deriveDim(corpus, vecCol)
-      require(d0 % m == 0 || d0 == 1,
+      if (d0 % m == 0)
+        return Array.fill(m)(Array(new Array[Double](d0 / m)))
+      require(corpus.isEmpty,
         s"dim $d0 must be divisible by m=$m subspaces")
-      val dsub0 = if (d0 % m == 0) d0 / m else 1
-      return Array.fill(m)(Array(new Array[Double](dsub0)))
+      return Array.fill(m)(Array(new Array[Double](1)))
     }
     val d = sample.head.length
     require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")

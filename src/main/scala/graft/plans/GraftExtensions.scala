@@ -235,6 +235,13 @@ object GraftExtensions {
               messageParameters = Map("msg" ->
                 s"$what must not contain NULL rows"))
           r.toDoubleArray()
+        } match {
+          case m if m.nonEmpty && m.exists(_.length != m.head.length) =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3089",
+              messageParameters = Map("msg" ->
+                s"$what must be rectangular (rows of equal length)"))
+          case m => m
         }
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3089",
@@ -276,6 +283,13 @@ object GraftExtensions {
             errorClass = "_LEGACY_ERROR_TEMP_3089",
             messageParameters = Map("msg" ->
               s"$what must be a non-empty constant tensor (no empty matrices or rows)"))
+        // ragged matrices would crash per-row on executors (dot loops
+        // index by the first row's length) or silently score a prefix
+        if (t.exists(m => m.exists(_.length != m.head.length)))
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3089",
+            messageParameters = Map("msg" ->
+              s"$what matrices must be rectangular (rows of equal length)"))
         t
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "_LEGACY_ERROR_TEMP_3089",

@@ -144,6 +144,16 @@ class ExtensionsSpec extends SparkSpecBase {
       """SELECT ivf_cells(array(1.0D),
         |  array(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)), 1)""".stripMargin).head())
     assert(nullRow.getMessage.contains("NULL rows"), nullRow.getMessage)
+    // ragged constants would crash per-row on executors (or silently
+    // score a prefix) — rejected at analysis instead
+    val ragged = intercept[Exception](spark.sql(
+      """SELECT pq_codes(array(1.0D, 2.0D),
+        |  array(array(array(0.0D, 0.0D), array(0.0D))))""".stripMargin).head())
+    assert(ragged.getMessage.contains("rectangular"), ragged.getMessage)
+    val raggedMat = intercept[Exception](spark.sql(
+      """SELECT ivf_cells(array(1.0D, 2.0D),
+        |  array(array(1.0D, 0.0D), array(1.0D)), 1)""".stripMargin).head())
+    assert(raggedMat.getMessage.contains("rectangular"), raggedMat.getMessage)
     // all_finite: the trainers' sample predicate is SQL-visible too
     val fin = spark.sql(
       """SELECT all_finite(array(1.0D, 2.0D)) AS a,
@@ -169,5 +179,12 @@ class ExtensionsSpec extends SparkSpecBase {
     val nonConst = intercept[Exception](spark.sql(
       """SELECT bpe_tokens('x', array(array(uuid(), 'b')))""").head())
     assert(nonConst.getMessage.contains("constant"), nonConst.getMessage)
+    // duplicate pairs would silently reorder greedy application (the
+    // rank map keeps the last occurrence) — rejected at construction
+    val dup = intercept[Exception](spark.sql(
+      """SELECT bpe_tokens('abc',
+        |  array(array('a','b'), array('b','c'), array('a','b')))""".stripMargin)
+      .head())
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 }
