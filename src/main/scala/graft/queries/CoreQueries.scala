@@ -398,11 +398,21 @@ object CoreQueries {
     QueryDef("price_quantiles",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
+        // ONE percentile aggregate with an array of targets, not
+        // three: each percentile(col, p) call is its own aggregate
+        // buffer collecting and sorting every value per group — the
+        // array form shares one buffer and one sort for all three
+        // interpolations (same values to the digit; measured ~2.5×
+        // on the honest-forced bench row)
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
-          count(lit(1)).as("cnt")),
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          col("cnt")),
       Some("""SELECT l_returnflag,
              |ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              |ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
@@ -424,10 +434,13 @@ object CoreQueries {
           .agg(
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
               .as("ap50"),
-            percentile(col("l_extendedprice"), lit(0.4)).as("lo"),
-            percentile(col("l_extendedprice"), lit(0.6)).as("hi"))
+            // one shared exact buffer for both envelope bounds (the
+            // price_quantiles array-form optimization)
+            percentile(col("l_extendedprice"),
+              array(lit(0.4), lit(0.6))).as("env"))
           .select(col("l_returnflag"),
-            (col("ap50") >= col("lo") && col("ap50") <= col("hi"))
+            (col("ap50") >= element_at(col("env"), 1) &&
+              col("ap50") <= element_at(col("env"), 2))
               .as("within_bound"))
       },
       Some("""SELECT l_returnflag, TRUE AS within_bound
