@@ -191,6 +191,33 @@ object Similarity {
   private[graft] def tableSeed(t: Int): Long =
     0x9E3779B97F4A7C15L + t * 1000003L
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Diagnostics for the [[nearestDupLsh]] derive-job footgun: how many
+    * times the (n, dim) derivation aggregate ran over a NON-scan input
+    * plan (a join/aggregate/union that the derive job then evaluates a
+    * second time, on top of the operator's own passes). Spec-pinned so
+    * the warning can never silently stop firing. */
+  private[graft] val deriveOnDerivedInput =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** True iff `plan` is a leaf relation (parquet scan, local data, a
+    * checkpointed RDD — all cheap to re-evaluate) under only
+    * projections/filters/aliases. Anything else (join, aggregate,
+    * union, window…) re-runs real work each time the plan is
+    * evaluated. */
+  private[graft] def scanLikePlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        scanLikePlan(p.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        scanLikePlan(f.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        scanLikePlan(a.child)
+      case leaf => leaf.children.isEmpty
+    }
+
   def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = -1, tables: Int = 8, dim: Int = -1,
       maxBucket: Int = 4096, multiProbe: Int = 2): DataFrame = {
@@ -205,6 +232,14 @@ object Similarity {
     // if the skew-guard histogram (which otherwise still runs, since
     // the corpus size is then unknown) should also be skipped.
     val (d, p, n) = if (planes > 0 && dim > 0) (dim, planes, -1L) else {
+      if (!scanLikePlan(corpus.queryExecution.analyzed)) {
+        deriveOnDerivedInput.incrementAndGet()
+        log.warn("nearestDupLsh is deriving (n, dim) with an extra " +
+          "aggregate job over a DERIVED input plan (join/aggregate/" +
+          "union) — that plan is evaluated once more than necessary; " +
+          "pass planes and dim explicitly (or localCheckpoint the " +
+          "input) to skip the derive job")
+      }
       val r = corpus.select(count(lit(1)).as("n"),
         first(size(col(vecCol)), ignoreNulls = true).as("d")).head()
       val derivedDim = if (r.isNullAt(1)) 1 else r.getInt(1)
@@ -454,7 +489,12 @@ object Similarity {
     // skips the deriveDim job on the empty-corpus fallback path.
     // `centroids` lets a caller composing several IVF paths (e.g. the
     // embed_ann_recall certificate running ivfTopK AND ivfSq8TopK)
-    // train the quantizer once instead of per call.
+    // train the quantizer once instead of per call. Supplied centroids
+    // REPLACE training, so nlist must agree — a silent mismatch would
+    // make nprobe mean a different cell fraction than the caller tuned.
+    require(centroids == null || centroids.length == nlist,
+      s"supplied centroids (${if (centroids == null) 0 else centroids.length}) " +
+        s"must match nlist=$nlist — pass nlist = centroids.length")
     val cents = if (centroids != null) centroids
       else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
         dim = dim)
@@ -580,6 +620,9 @@ object Similarity {
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
       refine: Int = 4, dim: Int = -1, sampleSize: Int = 10000,
       centroids: Array[Array[Double]] = null): DataFrame = {
+    require(centroids == null || centroids.length == nlist,
+      s"supplied centroids (${if (centroids == null) 0 else centroids.length}) " +
+        s"must match nlist=$nlist — pass nlist = centroids.length")
     val cents = if (centroids != null) centroids
       else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
         dim = dim)
@@ -742,6 +785,16 @@ object Similarity {
       queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 256,
       refine: Int = 8, sampleSize: Int = 10000,
       codebooks: Array[Array[Array[Double]]] = null): DataFrame = {
+    // supplied codebooks REPLACE training (sampleSize is then unused),
+    // so m/ksub must agree with their shape — a caller passing m=4
+    // with 8-subspace books would otherwise get no signal that the m
+    // it tuned is ignored
+    require(codebooks == null || (codebooks.length == m &&
+        codebooks.forall(_.length <= ksub)),
+      s"supplied codebooks (m=${if (codebooks == null) 0 else codebooks.length}, " +
+        s"max ksub=${if (codebooks == null) 0
+          else codebooks.map(_.length).maxOption.getOrElse(0)}) " +
+        s"must be consistent with m=$m, ksub=$ksub")
     val books = if (codebooks != null) codebooks
       else trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize)
     pqSearch(quantizePq(corpus, idCol, vecCol, books),

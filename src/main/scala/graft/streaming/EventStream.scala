@@ -359,6 +359,15 @@ object EventStream {
     certPairs match {
       case None => out
       case Some(cp) =>
+        // cents is assigned inside the `start` closure, which
+        // drainIngest runs synchronously before returning — but if
+        // that contract ever changed (deferred/reordered start), the
+        // IvfCells call below would NPE far from the cause; fail loud
+        // at the source instead
+        require(cents != null,
+          "drainIngest returned without running start: the trained " +
+            "quantizer is missing, so the cell-overlap certificate " +
+            "cannot be built")
         // same frozen quantizer, same probe depth as the drained run;
         // a pair fails if either member is absent OR the cell sets
         // are disjoint (n_join counts presence, n_ov counts overlap).

@@ -396,9 +396,12 @@ class PipelineOpsSpec extends SparkSpecBase {
     // vec_id sits below the 512 stratum, which would make the subset
     // filter a no-op and the equality vacuous — so the corpus also
     // carries NEGATED copies of every base vector under ids ≥ 600:
-    // outside the subset, with every cosine against the rest in
-    // [-1, ~0.51] (negation flips sign), so they legitimately add no
-    // qualifying pair — but if the subset filter ever dropped a
+    // outside the subset, and adding no qualifying pair because
+    // negated-vs-negated pairs MIRROR the natural cosines
+    // (cos(-a,-b) = cos(a,b)) and negated-vs-natural pairs negate
+    // them — both stay under 0.95 exactly because no natural pair
+    // approaches the threshold at this SF (the invariant the whole
+    // certificate rests on). If the subset filter ever dropped a
     // qualifying region, the full sweep would now expose it.
     val base = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
     val off = PipelineQueries.twinOffsetBatch
@@ -1096,5 +1099,65 @@ class PipelineOpsSpec extends SparkSpecBase {
     // sliding windows with width 2x slide double-count every event
     assert(Windows.sliding(ev, "1 hour", "30 minutes")
       .agg(sum("cnt")).head().getLong(0) === 2 * total)
+  }
+
+  test("nearestDupLsh flags its (n, dim) derive job on derived inputs only") {
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    // scan-like input (projection over the parquet scan): no flag
+    val c0 = Similarity.deriveOnDerivedInput.get()
+    Similarity.nearestDupLsh(emb, "vec_id", "embedding")
+    assert(Similarity.deriveOnDerivedInput.get() === c0,
+      "a plain scan input must not trip the derived-input warning")
+    // derived input (a union) without planes/dim: the flag fires
+    val derived = base.unionByName(base.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("v")))
+    Similarity.nearestDupLsh(derived, "vec_id", "v")
+    assert(Similarity.deriveOnDerivedInput.get() === c0 + 1,
+      "a derived input without planes/dim must trip the warning")
+    // explicit planes + dim skip the derive job (and the flag) entirely
+    val d = Similarity.deriveDim(emb, "embedding")
+    Similarity.nearestDupLsh(derived, "vec_id", "v", planes = 8, dim = d)
+    assert(Similarity.deriveOnDerivedInput.get() === c0 + 1,
+      "explicit planes+dim must skip the derive job")
+    // the plan classifier itself: checkpointed inputs are scan-like
+    // (materialized — re-evaluation is cheap), joins are not
+    assert(Similarity.scanLikePlan(
+      base.localCheckpoint().queryExecution.analyzed))
+    assert(!Similarity.scanLikePlan(
+      base.join(base.select(col("vec_id")), Seq("vec_id"))
+        .queryExecution.analyzed))
+  }
+
+  test("supplied quantizer state must be shape-consistent with the tuning params") {
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, sampleSize = 200)
+    // m mismatch and ksub smaller than the books' actual width both fail
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, "vec_id", "embedding", queries, 5,
+        m = 4, codebooks = books)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, "vec_id", "embedding", queries, 5,
+        m = 8, ksub = 8, codebooks = books)
+    }
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, sampleSize = 200)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+        nlist = 16, centroids = cents)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, 5,
+        nlist = 16, centroids = cents)
+    }
+    // consistent state is accepted
+    Similarity.pqTopK(emb, "vec_id", "embedding", queries, 5,
+      ksub = 16, codebooks = books)
+    Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+      nlist = 8, centroids = cents)
   }
 }
