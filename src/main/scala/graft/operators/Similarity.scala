@@ -396,8 +396,9 @@ object Similarity {
   }
 
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, sampleSize: Int = 10000, iters: Int = 10,
-      seed: Long = 0x9E3779B97F4A7C15L, dim: Int = -1): Array[Array[Double]] = {
+      nlist: Int, sampleSize: Int = 10000, iters: Int = 15,
+      restarts: Int = 4, seed: Long = 0x9E3779B97F4A7C15L,
+      dim: Int = -1): Array[Array[Double]] = {
     val sample = hashOrderedSample(corpus, idCol, vecCol, sampleSize)
     def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
@@ -416,56 +417,93 @@ object Similarity {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    // k-means++ seeding on cosine distance (1 - dot of unit vectors):
-    // D² sampling with a deterministic splitmix64 stream
-    val nextUnit = splitmixUnit(seed)
-    val cents = new Array[Array[Double]](nlist)
-    cents(0) = pts((nextUnit() * pts.length).toInt.min(pts.length - 1))
-    val bestD = pts.map(p => 1.0 - dotL(p, cents(0)))
-    var c = 1
-    while (c < nlist) {
-      val total = bestD.sum
-      var r = nextUnit() * total
-      var pick = 0
-      while (pick < pts.length - 1 && r > bestD(pick)) { r -= bestD(pick); pick += 1 }
-      cents(c) = pts(pick)
-      var i = 0
-      while (i < pts.length) {
-        val d = 1.0 - dotL(pts(i), cents(c))
-        if (d < bestD(i)) bestD(i) = d
-        i += 1
-      }
-      c += 1
-    }
-    // Lloyd: argmax-cosine assignment, mean + renormalize update; an
-    // emptied cell keeps its previous centroid (deterministic)
     val dim0 = pts(0).length
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(nlist)(new Array[Double](dim0))
-      val counts = new Array[Int](nlist)
-      var i = 0
-      while (i < pts.length) {
-        var best = 0; var bestS = dotL(pts(i), cents(0)); var j = 1
+    // One full k-means run (k-means++ D² seeding + `iters` Lloyd
+    // rounds) from one seed; returns the centroids AND the final
+    // quantization error Σ(1 − best-dot) so restarts can pick the
+    // best local optimum. All driver-side on the ≤sampleSize sample —
+    // cost is constant in corpus size, so restarts are cheap where
+    // they matter (cell placement quality bounds IVF recall: a bad
+    // seeding wastes cells on one dense region and splits true
+    // neighbourhoods across cells, which nprobe then can't recover).
+    def runOnce(runSeed: Long): (Array[Array[Double]], Double) = {
+      // k-means++ seeding on cosine distance (1 - dot of unit
+      // vectors): D² sampling with a deterministic splitmix64 stream
+      val nextUnit = splitmixUnit(runSeed)
+      val cents = new Array[Array[Double]](nlist)
+      cents(0) = pts((nextUnit() * pts.length).toInt.min(pts.length - 1))
+      val bestD = pts.map(p => 1.0 - dotL(p, cents(0)))
+      var c = 1
+      while (c < nlist) {
+        val total = bestD.sum
+        var r = nextUnit() * total
+        var pick = 0
+        while (pick < pts.length - 1 && r > bestD(pick)) { r -= bestD(pick); pick += 1 }
+        cents(c) = pts(pick)
+        var i = 0
+        while (i < pts.length) {
+          val d = 1.0 - dotL(pts(i), cents(c))
+          if (d < bestD(i)) bestD(i) = d
+          i += 1
+        }
+        c += 1
+      }
+      // Lloyd: argmax-cosine assignment, mean + renormalize update; an
+      // emptied cell keeps its previous centroid (deterministic)
+      var it = 0
+      var err = 0.0
+      while (it < iters) {
+        val sums = Array.fill(nlist)(new Array[Double](dim0))
+        val counts = new Array[Int](nlist)
+        err = 0.0
+        var i = 0
+        while (i < pts.length) {
+          var best = 0; var bestS = dotL(pts(i), cents(0)); var j = 1
+          while (j < nlist) {
+            val s = dotL(pts(i), cents(j))
+            if (s > bestS) { bestS = s; best = j }
+            j += 1
+          }
+          err += 1.0 - bestS
+          val acc = sums(best)
+          var d = 0
+          while (d < dim0) { acc(d) += pts(i)(d); d += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var j = 0
         while (j < nlist) {
-          val s = dotL(pts(i), cents(j))
-          if (s > bestS) { bestS = s; best = j }
+          if (counts(j) > 0) cents(j) = normalize(sums(j))
           j += 1
         }
-        val acc = sums(best)
-        var d = 0
-        while (d < dim0) { acc(d) += pts(i)(d); d += 1 }
-        counts(best) += 1
+        it += 1
+      }
+      // err is the assignment error ENTERING the last update — one
+      // final assignment pass scores the returned centroids exactly
+      err = 0.0
+      var i = 0
+      while (i < pts.length) {
+        var bestS = dotL(pts(i), cents(0)); var j = 1
+        while (j < nlist) {
+          val s = dotL(pts(i), cents(j))
+          if (s > bestS) bestS = s
+          j += 1
+        }
+        err += 1.0 - bestS
         i += 1
       }
-      var j = 0
-      while (j < nlist) {
-        if (counts(j) > 0) cents(j) = normalize(sums(j))
-        j += 1
-      }
-      it += 1
+      (cents, err)
     }
-    cents
+    // deterministic restart seeds; strict < keeps the FIRST best run
+    // on ties, so re-runs and resumes agree bit-for-bit
+    var best = runOnce(seed)
+    var r = 1
+    while (r < math.max(1, restarts)) {
+      val cand = runOnce(seed + r * 0x100000001B3L)
+      if (cand._2 < best._2) best = cand
+      r += 1
+    }
+    best._1
   }
 
   /** IVF-style coarse quantization: assign every corpus vector to its
@@ -475,13 +513,16 @@ object Similarity {
     * per query. Returns the same (qid, vec_id, cos, rn) shape as the
     * other paths. Data-derived centroids place cells where the
     * embedding mass actually is (random directions waste cells on
-    * empty regions): default nprobe=8 of nlist=16 measures top-10
-    * recall ≥ 0.8 across sf0.001–0.1 (floor-certified at 0.6 by
-    * `embed_ann_recall`, up from 0.71–0.75 observed / 0.5 floor with
-    * random directions); at warehouse scale raise nlist and tune
+    * empty regions). Defaults probe nprobe=16 of nlist=32 cells — the
+    * SAME 50% scan fraction as the former 8-of-16, but finer cells
+    * raise measured top-10 recall to 0.888–0.900 across sf0.001–0.1
+    * (floor-certified at 0.75 by `embed_ann_recall`; 8-of-16 measured
+    * 0.76–0.84, random directions 0.71–0.75): at equal candidate
+    * volume, smaller cells waste fewer candidates on far regions. At
+    * warehouse scale raise nlist (~√N, the FAISS rule) and tune
     * nprobe for the recall/cost point instead. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
+      queries: DataFrame, k: Int, nlist: Int = 32, nprobe: Int = 16,
       dim: Int = -1, sampleSize: Int = 10000,
       centroids: Array[Array[Double]] = null): DataFrame = {
     // dim keeps its pre-k-means position and meaning (positional
@@ -614,10 +655,11 @@ object Similarity {
     * exactly one cell, so the cell equi-join yields each (query,
     * candidate) pair at most once — no dedup stage. Recall is bounded
     * by the IVF cell pruning (the sq8+rerank layer is near-exact
-    * within probed cells — measured equal to [[ivfTopK]]'s 0.79–0.84
-    * at the defaults, floored at 0.6 by `embed_ann_recall`). */
+    * within probed cells — measured equal to [[ivfTopK]]'s
+    * 0.888–0.900 at the shared 16-of-32 defaults, floored at 0.75 by
+    * `embed_ann_recall`). */
   def ivfSq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
+      queries: DataFrame, k: Int, nlist: Int = 32, nprobe: Int = 16,
       refine: Int = 4, dim: Int = -1, sampleSize: Int = 10000,
       centroids: Array[Array[Double]] = null): DataFrame = {
     require(centroids == null || centroids.length == nlist,

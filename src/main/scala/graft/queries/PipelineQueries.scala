@@ -349,7 +349,7 @@ object PipelineQueries {
         // lighter. Candidate membership depends on centroids AND the
         // quantized preselection → no SQL oracle on rows; recall is
         // floored by embed_ann_recall (measured equal to ivfTopK's
-        // 0.79–0.84: the sq8+rerank layer is lossless within cells).
+        // 0.888–0.900: the sq8+rerank layer is lossless within cells).
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"),
@@ -418,12 +418,14 @@ object PipelineQueries {
         // collect). Floors are measured-margin (deterministic — fixed
         // hash seeds and a hash-ordered training sample): observed
         // recall across sf0.001/0.01/0.1 is lsh 0.96-0.98
-        // (multi-probe), ivf 0.788-0.838 (data-derived k-means
-        // centroids; was 0.71-0.75 with random directions),
-        // nearest-dup 0.973-0.992 (asymmetric multi-probe on the
-        // self-join; was 0.59-0.72 base-only) — floors 0.8/0.6/0.7
-        // hold everywhere with >=20-40% margin while still failing on
-        // any genuine recall collapse.
+        // (multi-probe), ivf 0.888-0.900 (restart-trained k-means
+        // centroids probing 16 of 32 cells — the same 50% scan
+        // fraction as the former 8-of-16, which measured 0.76-0.84;
+        // random directions 0.71-0.75), nearest-dup 0.973-0.992
+        // (asymmetric multi-probe on the self-join; was 0.59-0.72
+        // base-only) — floors 0.8/0.75/0.7 hold everywhere with
+        // >=15-40% margin while still failing on any genuine recall
+        // collapse.
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"),
@@ -455,17 +457,17 @@ object PipelineQueries {
         // both IVF paths share one trained quantizer (identical to
         // what each would train itself — deterministic sample/seeds)
         val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
-          nlist = 16)
+          nlist = 32)
         recallOk("lsh",
             Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10), 0.8)
           .unionByName(recallOk("ivf",
             Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
-              centroids = cents), 0.6))
+              centroids = cents), 0.75))
           .unionByName(recallOk("sq8",
             Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.9))
           .unionByName(recallOk("ivf_sq8",
             Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10,
-              centroids = cents), 0.6))
+              centroids = cents), 0.75))
           // PQ: observed 0.93-1.0 across sf0.001-0.1 at the default
           // m=8/ksub=256/refine=8 — floor 0.7 keeps >=30% margin
           .unionByName(recallOk("pq",

@@ -521,12 +521,12 @@ class PipelineOpsSpec extends SparkSpecBase {
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    // measured 0.788-0.838 across sf0.001-0.1 with data-derived
-    // spherical-k-means centroids at the default nprobe=8
-    // (deterministic sample + seeds); was 0.71-0.75 with random
-    // directions — floor 0.6 matches the driver-visible
-    // embed_ann_recall cert with >=30% margin
-    assert(recall >= 0.6, s"IVF recall $recall too low")
+    // measured 0.888-0.900 across sf0.001-0.1 with restart-trained
+    // spherical-k-means centroids at the default 16-of-32 probing
+    // (deterministic sample + seeds); 8-of-16 measured 0.76-0.84,
+    // random directions 0.71-0.75 — floor 0.75 matches the
+    // driver-visible embed_ann_recall cert with >=15% margin
+    assert(recall >= 0.75, s"IVF recall $recall too low")
   }
 
   test("nearDuplicatesChecked on a pair-free corpus returns empty, no vacuous sentinel") {
@@ -737,10 +737,10 @@ class PipelineOpsSpec extends SparkSpecBase {
     val ivfSq = Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivfSq).size.toDouble / bf.size
-    // measured 0.7875/0.7875/0.8375 at sf0.001/0.01/0.1 — exactly the
-    // plain-IVF numbers: recall is bounded by cell pruning, not by
-    // quantization (int8 error ≪ the rerank's k·refine slack)
-    assert(recall >= 0.6, s"IVF-SQ8 recall $recall too low")
+    // measured 0.888-0.900 across sf0.001-0.1 — exactly the plain-IVF
+    // numbers: recall is bounded by cell pruning, not by quantization
+    // (int8 error ≪ the rerank's k·refine slack)
+    assert(recall >= 0.75, s"IVF-SQ8 recall $recall too low")
     assert((bf & ivfSq).size >= (bf & ivf).size - 1,
       "sq8 layer should not lose recall vs plain IVF beyond rounding ties")
   }
