@@ -42,7 +42,10 @@ object Bench {
     * minhash index once, probe the corpus against it); round 8 also
     * BOUNDED `dedup_semantic`'s exact-certificate leg (all-pairs BNLJ →
     * constant-size subset sweep), so its timing drops vs round 7 by
-    * design. */
+    * design. Round 10 adds `overlap_topk` (the capped per-doc
+    * partial-overlap variant — same inverted winnow join as
+    * `overlap_recall_cert` but O(N·k) output: the pair the two rows
+    * make is the quadratic-output vs capped-output comparison). */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
@@ -51,7 +54,7 @@ object Bench {
     "dedup_survivors", "dedup_semantic", "dedup_incremental",
     "text_stats", "token_count", "token_count_bpe", "chunk_documents",
     "fingerprint_rolling",
-    "overlap_recall_cert", "decontaminate_bloom_cert",
+    "overlap_recall_cert", "overlap_topk", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
     "embed_ann_pq",
     "embed_nearest_dup_lsh", "media_features", "media_transcode",

@@ -16,12 +16,21 @@ import graft.queries.Tables
   * construction (every document/vector gains `reps − 1` near-copies),
   * which concentrates LSH buckets and fingerprint postings far beyond
   * a natural corpus — exactly the stress the skew guards exist for.
-  * Usage: `runMain graft.ScaleRehearsal [sfDir] [reps]`. */
+  * Usage: `runMain graft.ScaleRehearsal [sfDir] [reps] [stages]` —
+  * `stages` is an optional comma-separated prefix filter over stage
+  * names (e.g. `overlap,stream_semantic`) so a deep (30×) run can
+  * target the output-bound and index-bound stages without paying for
+  * the whole suite; `skew` selects the skew-histogram block. */
 object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 10
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +44,7 @@ object ScaleRehearsal {
     // for why .count() must NOT be used here.
     def forceCount(df: org.apache.spark.sql.DataFrame): Long = Force.count(df)
 
-    def timed(name: String)(f: => Long): Unit = {
+    def timed(name: String)(f: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = f
       println(f"[rehearsal] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
@@ -70,6 +79,12 @@ object ScaleRehearsal {
     }
     timed("overlap_pairs (winnow inverted index)") {
       forceCount(TextAnalysis.overlapPairs(docs, "doc_id", "text"))
+    }
+    // the production variant: same inverted-index join, output capped
+    // at N·k rows — at reps× replication the FULL pair set grows
+    // quadratically with reps while this row must stay ~N·k
+    timed("overlap_topk (capped per-doc partners)") {
+      forceCount(TextAnalysis.overlapTopK(docs, "doc_id", "text"))
     }
     timed("nearest_dup_lsh (default maxBucket=4096)") {
       forceCount(Similarity.nearestDupLsh(emb, "vec_id", "embedding"))
@@ -139,6 +154,7 @@ object ScaleRehearsal {
           sum(col("bpe_tokens")).as("bpe_tokens")))
     }
 
+    if (selected("skew")) {
     // Skew-guard evidence: rebuild the probe-leg bucket histogram with
     // the operator's ACTUAL derivation (`Similarity.derivedPlanes` /
     // `tableSeed` — the same definitions nearestDupLsh calls, so a
@@ -164,6 +180,7 @@ object ScaleRehearsal {
       s"buckets=${hist.getLong(3)} maxBucket=${hist.getLong(0)} " +
       s"hot>4096=${hist.getLong(1)} hot>256=${hist.getLong(2)} " +
       s"(noSalt would need n<=maxBucket: ${n <= 4096})")
+    }
     spark.stop()
   }
 }

@@ -378,4 +378,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Per-document top-`k` overlap partners — the PRODUCTION variant of
+    * [[overlapPairs]] for corpora where duplication is dense. The full
+    * pair relation is quadratic in duplicate density (a boilerplate
+    * cluster of c documents emits c²/2 pairs: measured 11.2M pairs at
+    * the 10× rehearsal), which at 100 TB explodes the SINK even though
+    * the bucketed join itself is bounded; downstream consumers
+    * (dedup routing, provenance reports) almost always want "who does
+    * this document overlap MOST", which is O(N·k) output by
+    * construction. Each undirected pair is exploded into both
+    * directions ONCE (no second pass over the join), then ranked per
+    * document by (shared desc, partner asc — deterministic tie-break)
+    * with a partitioned window: the sort runs per doc group whose size
+    * the [[overlapPairs]] stop-fingerprint guard already bounds
+    * (≤ maxDocFreq partners per retained fingerprint), never
+    * globally. Output (doc, partner, shared, rank), rank 1..k.
+    * The full pair set remains the certificate path
+    * (`overlap_recall_cert`); this is the relation a pipeline sinks. */
+  def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, g: Int = 7, minShared: Int = 2,
+      maxDocFreq: Int = 1000, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = overlapPairs(docs, idCol, textCol, w, g, minShared, maxDocFreq)
+    val directed = pairs.select(explode(array(
+        struct(col("doc_a").as("doc"), col("doc_b").as("partner"), col("shared")),
+        struct(col("doc_b").as("doc"), col("doc_a").as("partner"), col("shared"))))
+        .as("e"))
+      .select(col("e.doc").as("doc"), col("e.partner").as("partner"),
+        col("e.shared").as("shared"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+      .orderBy(col("shared").desc, col("partner"))
+    directed.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+  }
 }

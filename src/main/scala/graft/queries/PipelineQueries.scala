@@ -1199,6 +1199,55 @@ object PipelineQueries {
               |TRUE AS recall_ok
               |FROM (${jaccardOracle(3, "0.9")})""".stripMargin)),
 
+    // the PRODUCTION overlap relation: per-doc top-k partners, O(N·k)
+    // output where the full pair set is quadratic in dup density.
+    // Winnow-hash-dependent values → rows-only check here; the
+    // capped/recall contract is oracle-certified by overlap_topk_cert
+    // (and the full pair set stays certified by overlap_recall_cert).
+    QueryDef("overlap_topk",
+      (s, dir) => TextAnalysis.overlapTopK(
+        Tables.documents(s, dir), "doc_id", "text"),
+      None),
+
+    QueryDef("overlap_topk_cert",
+      (s, dir) => {
+        // certifies the capped variant's two contracts against
+        // DuckDB-computable ground truth: (1) capped_ok — no document
+        // carries more than k partners and ranks are dense 1..c (the
+        // O(N·k) output bound, THE point of the variant); (2)
+        // recall_ok — the planted near-identical pairs (exact 3-gram
+        // Jaccard ≥ 0.9, the overlap_recall_cert ground truth) still
+        // surface in the capped relation: a planted pair shares more
+        // fingerprints than boilerplate overlap, so capping to the
+        // top k=5 partners must not evict it (observed: every planted
+        // pair survives at rank 1-2 across sf0.001/0.01/0.1; floor
+        // 0.8 with margin).
+        val docs = Tables.documents(s, dir)
+        val k = 5
+        val topk = TextAnalysis.overlapTopK(docs, "doc_id", "text", k = k)
+          .localCheckpoint() // two certificate legs read it
+        val capped = topk.groupBy(col("doc"))
+          .agg(count(lit(1)).as("c"), max(col("rank")).as("mr"))
+          .agg(coalesce(max(col("c")) <= k && max(col("mr")) <= k &&
+            sum(when(col("mr") =!= col("c"), 1L).otherwise(0L)) === 0L,
+            lit(true)).as("capped_ok"))
+        val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.9)
+          .select(col("doc_a"), col("doc_b"))
+        val found = topk.select(least(col("doc"), col("partner")).as("doc_a"),
+            greatest(col("doc"), col("partner")).as("doc_b"))
+          .distinct()
+        val hits = planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        planted.agg(count(lit(1)).as("n_planted"))
+          .crossJoin(capped).crossJoin(hits)
+          .select(col("n_planted"), col("capped_ok"),
+            (col("hits") >= col("n_planted") * 0.8).as("recall_ok"))
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+              |TRUE AS capped_ok, TRUE AS recall_ok
+              |FROM (${jaccardOracle(3, "0.9")})""".stripMargin)),
+
     QueryDef("decontaminate_bloom_cert",
       (s, dir) => {
         // Bloom decontamination vs the exact shingle join, both

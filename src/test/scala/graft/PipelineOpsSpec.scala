@@ -1092,6 +1092,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("overlapTopK caps each document at k partners, ranked by shared desc") {
+    import spark.implicits._
+    // one boilerplate block shared by docs 0-3 (a 4-cluster: 3
+    // partners each) plus an EXTRA block shared only by 0 and 1, so
+    // (0,1) strictly out-share the rest of the cluster
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val extra = "one two three four five six seven eight nine ten eleven twelve"
+    val d = Seq(
+      (0L, boiler + " " + extra + " doczero"),
+      (1L, "docone " + boiler + " " + extra),
+      (2L, "doctwo " + boiler + " tail2"),
+      (3L, "docthree " + boiler + " tail3"),
+      (4L, "completely unrelated text with no shared long substring anywhere"))
+      .toDF("doc_id", "text")
+    val full = TextAnalysis.overlapPairs(d, "doc_id", "text", maxDocFreq = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(full.keySet === (for (a <- 0L to 3L; b <- 0L to 3L if a < b)
+      yield (a, b)).toSet, "the 4-cluster must fully pair in the full relation")
+    val topk = TextAnalysis.overlapTopK(d, "doc_id", "text",
+        maxDocFreq = 10, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // O(N·k) bound: nobody exceeds k rows, ranks are dense from 1
+    val byDoc = topk.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 2))
+    assert(byDoc.values.forall(rs =>
+      rs.map(_._4).sorted.toSeq === (1 to rs.length)))
+    // doc 0's rank-1 partner is doc 1 (the extra shared block): the
+    // ranking really follows the shared-fingerprint count
+    val rank1 = topk.filter(t => t._1 == 0L && t._4 == 1).map(_._2)
+    assert(rank1.toSeq === Seq(1L), s"doc 0 must rank doc 1 first: $rank1")
+    // every emitted (doc, partner, shared) exists in the full relation
+    // with the same shared count
+    assert(topk.forall { case (doc, p, sh, _) =>
+      full.get((math.min(doc, p), math.max(doc, p))).contains(sh) })
+    // the isolated doc never appears
+    assert(topk.forall(t => t._1 != 4L && t._2 != 4L))
+  }
+
   test("tumbling windows partition the event count exactly") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
