@@ -361,9 +361,20 @@ object Dedup {
     * the hashes marker never landed. Duplicate hashes rows would be
     * the harmful kind (each emits its verified pair once) — this
     * ordering plus the membership guard prevents exactly those.
-    * Assumes one writer at a time (a single streaming query). */
+    * Assumes one writer at a time (a single streaming query).
+    *
+    * `maxIndexFiles` caps the per-directory part-file count: each
+    * append adds files, and at streaming cadence the directories decay
+    * into a small-files swamp whose LIST/open cost eventually
+    * dominates the probe — past the cap the directory is rewritten
+    * coalesced ([[graft.sources.ParquetCompact]], the Delta/Iceberg
+    * OPTIMIZE pattern). Compaction preserves content exactly (probe
+    * results are unchanged, spec-pinned); <= 0 disables it. Bands are
+    * compacted before hashes for the same crash-ordering reason the
+    * appends run bands-first: hashes (the membership marker) is never
+    * the directory mid-rewrite while bands lags behind it. */
   def appendToNearDupIndex(newDocs: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
+      textCol: String, path: String, maxIndexFiles: Int = 64): Unit = {
     val spark = newDocs.sparkSession
     val (shingleN, k, bands) = readIndexParams(spark, path)
     val indexed = spark.read.parquet(s"$path/hashes").select(col("doc"))
@@ -379,6 +390,10 @@ object Dedup {
         .write.mode("append").parquet(s"$path/bands")
       newH.write.mode("append").parquet(s"$path/hashes")
     }
+    graft.sources.ParquetCompact.compactIfNeeded(spark, s"$path/bands",
+      maxIndexFiles)
+    graft.sources.ParquetCompact.compactIfNeeded(spark, s"$path/hashes",
+      maxIndexFiles)
   }
 
   /** Read back the (shingleN, k, bands) an index was written with. */

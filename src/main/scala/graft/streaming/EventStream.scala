@@ -117,7 +117,7 @@ object EventStream {
     * so duplicate admission needs idempotent ids upstream. */
   def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, threshold: Double = 0.8,
-      admitMatched: Boolean = false)(
+      admitMatched: Boolean = false, maxIndexFiles: Int = 64)(
       onPairs: (DataFrame, Long) => Unit) = {
     import graft.operators.Dedup
     // admitMatched = audit mode: matched documents are indexed anyway
@@ -135,7 +135,8 @@ object EventStream {
           val dups = pairs.select(col("doc_new").as(idCol)).distinct()
           b.join(dups, Seq(idCol), "left_anti")
         }
-        Dedup.appendToNearDupIndex(admit, idCol, textCol, indexPath)
+        Dedup.appendToNearDupIndex(admit, idCol, textCol, indexPath,
+          maxIndexFiles)
         onPairs(pairs, batchId)
       }
       .start()
@@ -154,7 +155,8 @@ object EventStream {
     * exactly {(lo, hi, j): j ≥ threshold, lo % files ≠ hi % files} —
     * which the exact-Jaccard SQL oracle expresses directly. */
   def nearDupIngestDrained(spark: SparkSession, docs: DataFrame,
-      threshold: Double = 0.8, files: Int = 4): DataFrame = {
+      threshold: Double = 0.8, files: Int = 4,
+      maxIndexFiles: Int = 64): DataFrame = {
     import graft.operators.Dedup
     drainIngest(spark, docs.select(col("doc_id"), col("text")), "doc_id",
       files, "neardup", "doc_lo LONG, doc_hi LONG, jaccard DOUBLE")(
@@ -164,7 +166,8 @@ object EventStream {
       start = (stage, idx, collect) => nearDupIngest(
         spark.readStream.schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(stage),
-        "doc_id", "text", idx, threshold, admitMatched = true)(collect))(
+        "doc_id", "text", idx, threshold, admitMatched = true,
+        maxIndexFiles = maxIndexFiles)(collect))(
       normalize = _.select(
         least(col("doc_new"), col("doc_indexed")).as("doc_lo"),
         greatest(col("doc_new"), col("doc_indexed")).as("doc_hi"),
@@ -253,7 +256,7 @@ object EventStream {
   def embeddingIngest(vecs: DataFrame, idCol: String, vecCol: String,
       indexPath: String, centroids: Array[Array[Double]],
       threshold: Double, probes: Int = 2,
-      admitMatched: Boolean = false)(
+      admitMatched: Boolean = false, maxIndexFiles: Int = 64)(
       onPairs: (DataFrame, Long) => Unit) = {
     import graft.operators.Similarity
     vecs.writeStream
@@ -293,6 +296,11 @@ object EventStream {
         admit.select(col(idCol).as("vec_id"), col("__v").as("v"),
             col("__cells").as("cells"))
           .write.mode("append").parquet(indexPath)
+        // per-batch appends accumulate small files; past the cap the
+        // index is rewritten coalesced (content-preserving, see
+        // ParquetCompact) so probe cost tracks index SIZE, not age
+        graft.sources.ParquetCompact.compactIfNeeded(spark, indexPath,
+          maxIndexFiles)
         onPairs(pairs, batchId)
       }
       .start()
@@ -327,7 +335,8 @@ object EventStream {
     * silently missing a row and hash-mismatching the whole result. */
   def embeddingIngestDrained(spark: SparkSession, vecs: DataFrame,
       threshold: Double, files: Int = 4, nlist: Int = 16,
-      probes: Int = 3, certPairs: Option[DataFrame] = None): DataFrame = {
+      probes: Int = 3, certPairs: Option[DataFrame] = None,
+      maxIndexFiles: Int = 64): DataFrame = {
     import graft.operators.Similarity
     // set inside start (the quantizer is trained on the staged
     // relation); drainIngest runs start synchronously, so this is
@@ -350,7 +359,7 @@ object EventStream {
           spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
             .option("maxFilesPerTrigger", "1").parquet(stage),
           "vec_id", "v", idx, cents, threshold, probes,
-          admitMatched = true)(collect)
+          admitMatched = true, maxIndexFiles = maxIndexFiles)(collect)
       })(
       normalize = _.select(
         least(col("vec_new"), col("vec_indexed")).as("vec_lo"),

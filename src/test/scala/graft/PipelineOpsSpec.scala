@@ -183,6 +183,61 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(cross.subsetOf(grown))
   }
 
+  test("index compaction bounds part files and preserves probe results") {
+    import graft.sources.ParquetCompact
+    val idx = "target/test_dedup_index_compact"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    // seed with a sliver, then append the rest in many tiny batches
+    // with compaction DISABLED so small files genuinely accumulate —
+    // the decay mode the compactor exists for
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    Dedup.writeNearDupIndex(docs.filter(col("doc_id") <= ids(9)),
+      "doc_id", "text", idx)
+    ids.drop(10).grouped(60).foreach { g =>
+      Dedup.appendToNearDupIndex(
+        docs.filter(col("doc_id").isin(g.toIndexedSeq: _*)),
+        "doc_id", "text", idx, maxIndexFiles = 0)
+    }
+    val before = ParquetCompact.dataFileCount(spark, s"$idx/hashes")
+    assert(before > 4, s"fixture must accumulate small files (got $before)")
+    val probePre = Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // under the threshold: a no-op
+    assert(!ParquetCompact.compactIfNeeded(spark, s"$idx/hashes",
+      maxFiles = before + 1, targetFiles = 2))
+    // over it: rewritten to the target count, same probe results
+    assert(ParquetCompact.compactIfNeeded(spark, s"$idx/hashes",
+      maxFiles = 4, targetFiles = 2))
+    assert(ParquetCompact.compactIfNeeded(spark, s"$idx/bands",
+      maxFiles = 4, targetFiles = 2))
+    assert(ParquetCompact.dataFileCount(spark, s"$idx/hashes") <= 2)
+    assert(ParquetCompact.dataFileCount(spark, s"$idx/bands") <= 2)
+    val probePost = Dedup.incrementalNearDuplicates(docs, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probePost === probePre,
+      "compaction must not change any probe result")
+    assert(probePost.nonEmpty)
+    // crash recovery: a half-finished swap (dir moved aside, new dir
+    // never moved in) is restored by the next call before compacting
+    val hashesDir = new org.apache.hadoop.fs.Path(s"$idx/hashes")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$idx/hashes__compact_old")
+    assert(fs.rename(hashesDir, oldDir))
+    assert(!ParquetCompact.compactIfNeeded(spark, s"$idx/hashes",
+      maxFiles = 64))
+    assert(fs.exists(hashesDir) && !fs.exists(oldDir),
+      "the stranded __compact_old must be restored as the live dir")
+    val probeRecovered = Dedup
+      .incrementalNearDuplicates(docs, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeRecovered === probePre)
+    // the append path's own trigger: an append past the cap compacts
+    Dedup.appendToNearDupIndex(docs.limit(0), "doc_id", "text", idx,
+      maxIndexFiles = 1)
+    assert(ParquetCompact.dataFileCount(spark, s"$idx/hashes") <= 8)
+  }
+
   test("asofJoin: a NULL right value is still the visible latest row") {
     import graft.operators.AsOf
     import spark.implicits._

@@ -169,6 +169,43 @@ class StreamingSpec extends SparkSpecBase {
       s"cross-batch pairs missing: $got")
   }
 
+  test("drained ingest with per-batch compaction equals the uncompacted run") {
+    import spark.implicits._
+    // 3x the usual batch count (12 vs 4) and maxIndexFiles=1, so the
+    // index is rewritten after EVERY batch — the steady-state decay
+    // guard exercised through the real probe-then-admit loop. The
+    // emitted pair set is a pure property of the corpus + batch split,
+    // so it must be identical with compaction off (the r9 baseline
+    // behavior), compaction on, and across the 3x batch count.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 20).map(i => s"word$i").mkString(" ")
+    val docs = (0L until 24L).map(i =>
+        (i, (if (i % 2 == 0) base else other) + s" t$i x$i y$i"))
+      .toDF("doc_id", "text")
+    def run(maxIndexFiles: Int) = graft.streaming.EventStream
+      .nearDupIngestDrained(spark, docs, threshold = 0.6, files = 12,
+        maxIndexFiles = maxIndexFiles)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncompacted = run(0)
+    val compacted = run(1)
+    assert(uncompacted.nonEmpty, "fixture must produce cross-batch pairs")
+    assert(compacted === uncompacted,
+      "compaction must not change the emitted pair set")
+    // same invariance for the vector-index loop
+    def axis(d: Int, scale: Double = 1.0) =
+      Seq.tabulate(8)(j => if (j == d) scale else 0.0)
+    val vecs = (0L until 12L).map(i =>
+        (i, axis((i % 2).toInt, 1.0 + i))).toDF("vec_id", "v")
+    def runV(maxIndexFiles: Int) = graft.streaming.EventStream
+      .embeddingIngestDrained(spark, vecs, threshold = 0.99, files = 6,
+        nlist = 4, maxIndexFiles = maxIndexFiles)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vUncompacted = runV(0)
+    val vCompacted = runV(1)
+    assert(vUncompacted.nonEmpty, "fixture must produce cross-batch twins")
+    assert(vCompacted === vUncompacted)
+  }
+
   test("embeddingIngest default mode: matched vectors are NOT admitted to the index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
