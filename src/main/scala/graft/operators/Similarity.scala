@@ -672,14 +672,78 @@ object Similarity {
     val c = base.select(col("vec_id"),
       element_at(graft.functions.IvfCells.cells(col("v"), cents, 1), 1).as("cell"),
       graft.functions.Quantize.int8(col("v")).as("codes"))
+    ivfSq8Search(c, base, cents, queries, k, nprobe, refine)
+  }
+
+  /** The probed-cell int8 scan + exact rerank shared by [[ivfSq8TopK]]
+    * and [[ivfSq8TopKFromIndex]]: equi-join the (cell, codes) relation
+    * with the broadcast exploded query probes, score on int8, rerank
+    * the `k·refine` shortlist on full floats. */
+  private def ivfSq8Search(codes: DataFrame, base: DataFrame,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int,
+      nprobe: Int, refine: Int): DataFrame = {
     val probes = queries.select(col("qid"),
         graft.functions.Quantize.int8(col("qv")).as("qcodes"),
         explode(graft.functions.IvfCells.cells(col("qv"), cents, nprobe)).as("cell"))
-    val cand = c.join(broadcast(probes), Seq("cell"))
+    val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.functions.Quantize.cosine(col("codes"), col("qcodes")).as("qcos"))
     rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
+  }
+
+  /** Persist the IVF×SQ8 index: the (vec_id, codes) relation written
+    * PARTITIONED BY cell at `path`/codes, plus the trained coarse
+    * quantizer at `path`/centroids (nlist rows — the index is useless
+    * without the exact centroids that defined its cells, so they
+    * travel with it). Cell-partitioned layout is the point at scale:
+    * [[ivfSq8TopKFromIndex]] joins the scan to a broadcast probe list
+    * on the partition column, so Spark's dynamic partition pruning
+    * reads ONLY the probed cells' files — a nprobe/nlist fraction of
+    * the index bytes, before any row is decoded. Returns the centroids
+    * used (pass them back for a bit-identical [[ivfSq8TopK]]). */
+  def writeIvfSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 32, dim: Int = -1,
+      sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null): Array[Array[Double]] = {
+    require(centroids == null || centroids.length == nlist,
+      s"supplied centroids (${if (centroids == null) 0 else centroids.length}) " +
+        s"must match nlist=$nlist — pass nlist = centroids.length")
+    val cents = if (centroids != null) centroids
+      else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize,
+        dim = dim)
+    corpus.select(col(idCol).as("vec_id"),
+        element_at(graft.functions.IvfCells.cells(
+          asDouble(col(vecCol)), cents, 1), 1).as("cell"),
+        graft.functions.Quantize.int8(asDouble(col(vecCol))).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    spark.createDataFrame(cents.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toIndexedSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cents
+  }
+
+  /** [[ivfSq8TopK]] against a pre-built [[writeIvfSq8Index]] index:
+    * reads the persisted centroids (nlist rows — bounded driver
+    * metadata), probes `nprobe` cells, and scans only those cells'
+    * code partitions (dynamic partition pruning on the cell-partitioned
+    * parquet — spec-pinned). `corpus` is touched only by the
+    * per-candidate rerank join. Output is identical to [[ivfSq8TopK]]
+    * over the same corpus and centroids (quantization and cell
+    * assignment are deterministic), spec-pinned. */
+  def ivfSq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nprobe: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("codes"))
+    val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    ivfSq8Search(codes, base, cents, queries, k, nprobe, refine)
   }
 
   /** Product-quantization codebooks: `m` per-subspace codebooks of up

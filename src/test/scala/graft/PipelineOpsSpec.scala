@@ -800,6 +800,37 @@ class PipelineOpsSpec extends SparkSpecBase {
       "sq8 layer should not lose recall vs plain IVF beyond rounding ties")
   }
 
+  test("ivfSq8TopKFromIndex: index ≡ direct, cell-partitioned layout, pruned scan") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfsq8_idx_${ProcessHandle.current().pid()}").getAbsolutePath
+    try {
+      val cents = Similarity.writeIvfSq8Index(emb, "vec_id", "embedding", idx)
+      // the one-time build wrote a cell-partitioned code relation —
+      // the layout dynamic partition pruning needs
+      val cellDirs = new java.io.File(s"$idx/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length > 1, s"expected cell=* partition dirs, got ${cellDirs.length}")
+      val direct = Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries,
+          10, centroids = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val fromIdxDf = Similarity.ivfSq8TopKFromIndex(spark, idx, emb, "vec_id",
+        "embedding", queries, 10)
+      val fromIdx = fromIdxDf
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(fromIdx === direct)
+      // the probe join must reach the scan as a partition-pruning
+      // filter: only the probed cells' files are read
+      val plan = fromIdxDf.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamic-partition-pruned cell scan in plan:\n$plan")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("sq8TopKFromIndex over a persisted index equals the direct path") {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
