@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Product-quantization kernels (FAISS-PQ shape): a d-dim unit vector
   * is split into `m` contiguous subvectors of d/m dims; each subvector
@@ -44,6 +45,13 @@ object Pq {
   def adcScore(codes: Column, table: Column): Column =
     ColumnBridge.column(PqAdcScore(
       ColumnBridge.expression(codes), ColumnBridge.expression(table)))
+
+  /** Column API: IVF-PQ residual encoding — struct(cell, codes) in one
+    * pass (see [[PqResidualCodes]]). */
+  def residualCodes(v: Column, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqResidualCodes(
+      ColumnBridge.expression(v), centroids, codebooks))
 
   /** Normalize to unit L2 norm into a fresh array; null for a
     * zero-norm or non-finite vector. */
@@ -253,4 +261,115 @@ case class PqAdcScore(left: Expression, right: Expression)
       newRight: Expression): PqAdcScore = copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "pq_adc_score"
+}
+
+/** IVF-PQ residual encoding (FAISS IndexIVFPQ shape) in ONE primitive
+  * pass per corpus row: unit-normalize the vector, assign it to its
+  * nearest coarse centroid (argmax dot — ties keep the lower cell,
+  * the [[IvfCells]] contract), subtract that centroid, and PQ-encode
+  * the RESIDUAL against residual-trained codebooks. Output is
+  * struct(cell INT, codes BINARY) — computing cell and codes together
+  * avoids re-running the nlist centroid dots a separate [[IvfCells]]
+  * assignment would cost.
+  *
+  * Residual encoding is what makes IVF-PQ beat flat PQ at equal code
+  * size: within a cell the residuals span a far smaller region than
+  * the raw vectors, so the same ksub centroids quantize them with much
+  * lower error. Search decomposes ⟨q, v⟩ ≈ ⟨q, c_cell⟩ + ⟨q, r̂⟩:
+  * the first term is one scalar per probed cell, the second is the
+  * standard cell-INdependent ADC table ([[PqAdcTable]] built from the
+  * raw query against the residual codebooks) — so the existing ADC
+  * kernels serve unchanged.
+  *
+  * Null contract matches the PQ family: null/non-finite element or a
+  * zero-norm vector → NULL row. Dimension mismatches raise. */
+case class PqResidualCodes(child: Expression,
+    centroids: Array[Array[Double]],
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "ivf-pq needs at least one centroid")
+  require(codebooks.forall(_.length <= 256),
+    s"pq codebooks exceed 256 centroids per subspace (max ${codebooks.map(_.length).max})")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", BinaryType, nullable = false)))
+  override def nullable: Boolean = true
+
+  private val dim = codebooks.map(_.head.length).sum
+
+  def compute(v: ArrayData): InternalRow = {
+    val u = Pq.unit(v, dim)
+    if (u == null) return null
+    // coarse assignment: argmax centroid dot, ties keep the lower cell
+    var cell = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      if (c.length != dim)
+        throw new IllegalArgumentException(
+          s"ivf_pq dimension mismatch: vector $dim vs centroid ${c.length}")
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += u(j) * c(j); j += 1 }
+      if (acc > bestS) { bestS = acc; cell = i }
+      i += 1
+    }
+    // residual in place (u is a fresh copy from Pq.unit)
+    val cent = centroids(cell)
+    i = 0
+    while (i < dim) { u(i) -= cent(i); i += 1 }
+    // PQ-encode the residual: per-subspace argmin ‖r_j − c‖², ties
+    // keep the lower centroid index (the PqCodes contract)
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val dsub = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val bc = book(c)
+        var d2 = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = u(off + t) - bc(t)
+          d2 += diff * diff
+          t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      off += dsub
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](cell, out))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqResidualCodesExpr", this,
+      classOf[PqResidualCodes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqResidualCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_residual_codes"
 }

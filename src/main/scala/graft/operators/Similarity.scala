@@ -794,6 +794,17 @@ object Similarity {
     }
     if (pts.isEmpty)
       return Array.fill(m)(Array(new Array[Double](dsub)))
+    kmeansSubspaces(pts, m, dsub, ksub, iters, seed)
+  }
+
+  /** Per-subspace Euclidean k-means over full-dim points — the shared
+    * codebook trainer of [[trainPqCodebooks]] (raw unit vectors) and
+    * [[trainIvfPqCodebooks]] (cell residuals). One deterministic
+    * splitmix64 stream shared across subspaces in order, so extraction
+    * preserved the flat-PQ trainer's outputs bit-for-bit. */
+  private def kmeansSubspaces(pts: Array[Array[Double]], m: Int,
+      dsub: Int, ksub: Int, iters: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
     val nextUnit = splitmixUnit(seed)
     def d2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -929,6 +940,202 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         graft.functions.Pq.adcScore(col("pq_codes"), col("qtable")).as("qcos"))
     rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
+  }
+
+  /** RESIDUAL PQ codebooks for IVF-PQ (the FAISS IndexIVFPQ trainer):
+    * per-subspace Euclidean k-means on the residuals of the sampled
+    * unit vectors w.r.t. their nearest coarse centroid. Residuals span
+    * a far smaller region than the raw vectors (everything within a
+    * cell shares the centroid's direction), so the same ksub centroids
+    * quantize them with much lower error than flat PQ — that is the
+    * whole point of the composition. Same discipline as the other
+    * trainers: deterministic hash-ordered ≤`sampleSize` sample,
+    * splitmix64 seeding, constant cost in corpus size. The coarse
+    * `centroids` fix the dimension; sampled vectors of any other
+    * length raise. Residuals are NOT renormalized — the search-time
+    * decomposition ⟨q,v⟩ ≈ ⟨q,c⟩ + ⟨q,r̂⟩ needs the raw residual. */
+  def trainIvfPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int = 8, ksub: Int = 256,
+      sampleSize: Int = 10000, iters: Int = 10,
+      seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Array[Double]]] = {
+    require(m >= 1, "m must be >= 1")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] (a PQ code is one byte), got $ksub")
+    require(centroids.nonEmpty, "ivf-pq needs at least one coarse centroid")
+    val d = centroids.head.length
+    require(d % m == 0, s"dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    val sample = hashOrderedSample(corpus, idCol, vecCol, sampleSize)
+    // unit-normalize (drop zero-norm), assign to the nearest coarse
+    // centroid (argmax dot, ties keep the lower cell — the IvfCells /
+    // PqResidualCodes contract), keep the residual. Zero residuals
+    // (a vector equal to its centroid) are valid k-means points.
+    val pts = sample.flatMap { v =>
+      require(v.length == d,
+        s"sampled vector dim ${v.length} != coarse centroid dim $d")
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      if (ss == 0.0) None
+      else {
+        val inv = 1.0 / math.sqrt(ss)
+        val u = v.map(_ * inv)
+        var cell = 0; var bestS = Double.NegativeInfinity; var c = 0
+        while (c < centroids.length) {
+          val cent = centroids(c)
+          var acc = 0.0; var t = 0
+          while (t < d) { acc += u(t) * cent(t); t += 1 }
+          if (acc > bestS) { bestS = acc; cell = c }
+          c += 1
+        }
+        val cent = centroids(cell)
+        i = 0
+        while (i < d) { u(i) -= cent(i); i += 1 }
+        Some(u)
+      }
+    }
+    if (pts.isEmpty)
+      return Array.fill(m)(Array(new Array[Double](dsub)))
+    kmeansSubspaces(pts, m, dsub, ksub, iters, seed)
+  }
+
+  /** IVF + PQ: the canonical billion-vector ANN composition (FAISS
+    * IndexIVFPQ). The corpus index is (cell, m-byte residual codes) —
+    * coarse quantizer from [[trainIvfCentroids]], residual codebooks
+    * from [[trainIvfPqCodebooks]], both encoded in one native pass per
+    * row ([[graft.functions.PqResidualCodes]]). A query scans only its
+    * `nprobe` closest cells AND scores them as m byte-table lookups:
+    * ⟨q,v⟩ ≈ ⟨q,c_cell⟩ (one scalar per probed cell, computed on the
+    * broadcast side) + ADC(residual codes, residual table) — the ADC
+    * table is CELL-INDEPENDENT because the residual codebooks are
+    * shared across cells, so it is built once per query row exactly
+    * like flat PQ. At 100 TB this is the shape that wins: the scan
+    * side is nprobe/nlist-pruned AND m bytes per vector (32× smaller
+    * than float64 at m=8/d=32); floats are fetched per shortlisted
+    * candidate only ([[rerankTopK]], same rounded-cosine/id contract
+    * as every other path). Recall is bounded by cell pruning (the
+    * residual-PQ layer is near-lossless within probed cells — residual
+    * quantization error ≪ flat PQ's at equal m). Deterministic
+    * throughout: deterministic trainers, argmin/argmax ties keep the
+    * lower index, id tie-breaks in shortlist and rerank. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 32, nprobe: Int = 16,
+      m: Int = 8, ksub: Int = 256, refine: Int = 8,
+      sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null,
+      codebooks: Array[Array[Array[Double]]] = null): DataFrame = {
+    require(centroids == null || centroids.length == nlist,
+      s"supplied centroids (${if (centroids == null) 0 else centroids.length}) " +
+        s"must match nlist=$nlist — pass nlist = centroids.length")
+    require(codebooks == null || (codebooks.length == m &&
+        codebooks.forall(_.length <= ksub)),
+      s"supplied codebooks (m=${if (codebooks == null) 0 else codebooks.length}) " +
+        s"must be consistent with m=$m, ksub=$ksub")
+    val cents = if (centroids != null) centroids
+      else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize)
+    val books = if (codebooks != null) codebooks
+      else trainIvfPqCodebooks(corpus, idCol, vecCol, cents, m, ksub, sampleSize)
+    val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val codes = base.select(col("vec_id"),
+        graft.functions.Pq.residualCodes(col("v"), cents, books).as("rc"))
+      .select(col("vec_id"), col("rc.cell").as("cell"),
+        col("rc.codes").as("pq_codes"))
+    ivfPqSearch(codes, base, cents, books, queries, k, nprobe, refine)
+  }
+
+  /** The probed-cell ADC scan + exact rerank shared by [[ivfPqTopK]]
+    * and [[ivfPqTopKFromIndex]]. Query side (tiny, broadcast): the
+    * residual ADC table, the dots against ALL nlist centroids (one
+    * array per query row — `element_at` picks the probed cell's), and
+    * the exploded nprobe probe cells. Corpus side: the (cell, codes)
+    * relation equi-joined on cell, scored as qcdot + m lookups. */
+  private def ivfPqSearch(codes: DataFrame, base: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queries: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
+    val centDots = array(cents.toIndexedSeq.map { c =>
+      cosine(col("qv"), array(c.toIndexedSeq.map(lit): _*))
+    }: _*)
+    val probes = queries.select(col("qid"),
+        graft.functions.Pq.adcTable(col("qv"), books).as("qtable"),
+        centDots.as("cdots"),
+        explode(graft.functions.IvfCells.cells(col("qv"), cents, nprobe)).as("cell"))
+      .select(col("qid"), col("qtable"), col("cell"),
+        element_at(col("cdots"), col("cell") + 1).as("qcdot"))
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("qcdot") +
+          graft.functions.Pq.adcScore(col("pq_codes"), col("qtable"))).as("qcos"))
+    rerankTopK(shortlistOf(cand, k * refine), base, queries, k)
+  }
+
+  /** Persist the IVF-PQ index: residual codes CELL-PARTITIONED at
+    * `path`/codes (the [[writeIvfSq8Index]] layout — the probe join
+    * dynamic-partition-prunes the scan to the probed cells' files),
+    * the coarse centroids at `path`/centroids, and the residual
+    * codebooks at `path`/codebooks (m·ksub rows — bounded metadata;
+    * the index is useless without the exact books that defined its
+    * codes, so they travel with it). Returns (centroids, codebooks)
+    * for a bit-identical [[ivfPqTopK]]. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 32, m: Int = 8, ksub: Int = 256,
+      sampleSize: Int = 10000,
+      centroids: Array[Array[Double]] = null,
+      codebooks: Array[Array[Array[Double]]] = null):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(centroids == null || centroids.length == nlist,
+      s"supplied centroids (${if (centroids == null) 0 else centroids.length}) " +
+        s"must match nlist=$nlist — pass nlist = centroids.length")
+    require(codebooks == null || (codebooks.length == m &&
+        codebooks.forall(_.length <= ksub)),
+      s"supplied codebooks (m=${if (codebooks == null) 0 else codebooks.length}) " +
+        s"must be consistent with m=$m, ksub=$ksub")
+    val cents = if (centroids != null) centroids
+      else trainIvfCentroids(corpus, idCol, vecCol, nlist, sampleSize)
+    val books = if (codebooks != null) codebooks
+      else trainIvfPqCodebooks(corpus, idCol, vecCol, cents, m, ksub, sampleSize)
+    corpus.select(col(idCol).as("vec_id"),
+        graft.functions.Pq.residualCodes(
+          asDouble(col(vecCol)), cents, books).as("rc"))
+      .select(col("vec_id"), col("rc.cell").as("cell"),
+        col("rc.codes").as("pq_codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    spark.createDataFrame(cents.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toIndexedSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    spark.createDataFrame(books.toIndexedSeq.zipWithIndex.flatMap {
+        case (book, j) => book.toIndexedSeq.zipWithIndex.map {
+          case (cent, c) => (j, c, cent.toIndexedSeq) } })
+      .toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    (cents, books)
+  }
+
+  /** [[ivfPqTopK]] against a pre-built [[writeIvfPqIndex]] index:
+    * reads the persisted centroids + codebooks (bounded driver
+    * metadata), probes `nprobe` cells, and scans only those cells'
+    * code partitions (dynamic partition pruning, spec-pinned).
+    * `corpus` is touched only by the per-candidate rerank join.
+    * Output is identical to [[ivfPqTopK]] over the same corpus,
+    * centroids and codebooks (encoding is deterministic). */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nprobe: Int = 16,
+      refine: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("j"), col("c"), col("centroid"))
+      .orderBy(col("j"), col("c")).collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m)(j =>
+      bookRows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray))
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("pq_codes"))
+    val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    ivfPqSearch(codes, base, cents, books, queries, k, nprobe, refine)
   }
 
   /** The deduplicated corpus under [[semanticDuplicates]]: clusters
