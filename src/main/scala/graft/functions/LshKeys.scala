@@ -209,3 +209,79 @@ object IvfCells {
   def cells(v: Column, centroids: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(IvfCells(ColumnBridge.expression(v), centroids, n))
 }
+
+/** ⟨unit(v), c_i⟩ for ALL `centroids` as one array<double>, in one
+  * primitive pass per row — the coarse term of the IVF-PQ score
+  * decomposition ⟨q,v⟩ ≈ ⟨unit(q), c_cell⟩ + ADC(residual). Two
+  * contracts matter here: (1) the vector is normalized by ITS OWN
+  * norm only — dividing by ‖c_i‖ (i.e. cosine) would silently scale
+  * each cell's score when a caller supplies non-unit centroids,
+  * biasing the shortlist, because [[PqResidualCodes]]' residual
+  * v − c is defined against the RAW centroid; (2) built per QUERY
+  * row on the broadcast side, one expression for all nlist cells —
+  * the nlist-separate-cosine-expressions chain it replaces embedded
+  * a d-element literal per centroid and at warehouse-scale nlist
+  * (~√N, thousands) that catalyst tree defeats codegen. Same
+  * null-element / dimension-mismatch contracts as [[IvfCells]];
+  * a zero-norm vector yields NULL (no unit direction exists). */
+case class CentroidDots(child: Expression,
+    centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    var s = 0
+    var ss = 0.0
+    while (s < v.numElements()) {
+      if (v.isNullAt(s)) return null
+      val x = v.getDouble(s)
+      ss += x * x
+      s += 1
+    }
+    if (ss == 0.0) return null
+    val inv = 1.0 / math.sqrt(ss)
+    val out = new Array[Double](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      if (v.numElements() != c.length)
+        throw new IllegalArgumentException(
+          s"centroid_dots dimension mismatch: vector ${v.numElements()} vs centroid ${c.length}")
+      var acc = 0.0
+      var j = 0
+      while (j < c.length) { acc += v.getDouble(j) * c(j); j += 1 }
+      out(i) = acc * inv
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidDotsExpr", this, classOf[CentroidDots].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDots =
+    copy(child = newChild)
+
+  override def prettyName: String = "centroid_dots"
+}
+
+object CentroidDots {
+  /** Column API: ⟨unit(v), c_i⟩ for every centroid, index-aligned. */
+  def dots(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidDots(ColumnBridge.expression(v), centroids))
+}

@@ -1051,12 +1051,9 @@ object Similarity {
   private def ivfPqSearch(codes: DataFrame, base: DataFrame,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
       queries: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
-    val centDots = array(cents.toIndexedSeq.map { c =>
-      cosine(col("qv"), array(c.toIndexedSeq.map(lit): _*))
-    }: _*)
     val probes = queries.select(col("qid"),
         graft.functions.Pq.adcTable(col("qv"), books).as("qtable"),
-        centDots.as("cdots"),
+        graft.functions.CentroidDots.dots(col("qv"), cents).as("cdots"),
         explode(graft.functions.IvfCells.cells(col("qv"), cents, nprobe)).as("cell"))
       .select(col("qid"), col("qtable"), col("cell"),
         element_at(col("cdots"), col("cell") + 1).as("qcdot"))
@@ -1129,9 +1126,19 @@ object Similarity {
     val bookRows = spark.read.parquet(s"$path/codebooks")
       .select(col("j"), col("c"), col("centroid"))
       .orderBy(col("j"), col("c")).collect()
+    // fail loud on a truncated/corrupt index instead of an opaque
+    // empty-max error or a per-row dimension mismatch on executors
+    require(cents.nonEmpty, s"no IVF-PQ centroids at $path/centroids")
+    require(bookRows.nonEmpty, s"no IVF-PQ codebooks at $path/codebooks")
     val m = bookRows.map(_.getInt(0)).max + 1
     val books = Array.tabulate(m)(j =>
       bookRows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray))
+    require(books.forall(_.nonEmpty),
+      s"IVF-PQ codebooks at $path/codebooks are missing subspaces (m=$m)")
+    val dsubSum = books.map(_.head.length).sum
+    require(cents.head.length == dsubSum,
+      s"IVF-PQ index at $path is inconsistent: centroid dim " +
+        s"${cents.head.length} != sum of codebook subspace dims $dsubSum")
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("vec_id"), col("cell").cast("int").as("cell"), col("pq_codes"))
     val base = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
