@@ -45,7 +45,9 @@ object Bench {
     * design. Round 10 adds `overlap_topk` (the capped per-doc
     * partial-overlap variant — same inverted winnow join as
     * `overlap_recall_cert` but O(N·k) output: the pair the two rows
-    * make is the quadratic-output vs capped-output comparison). */
+    * make is the quadratic-output vs capped-output comparison).
+    * Round 12 adds `embed_ann_ivf_pq` (the full FAISS IndexIVFPQ
+    * composition: cell-pruned scan × residual-PQ ADC scoring). */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
@@ -56,7 +58,7 @@ object Bench {
     "fingerprint_rolling",
     "overlap_recall_cert", "overlap_topk", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
-    "embed_ann_pq",
+    "embed_ann_pq", "embed_ann_ivf_pq",
     "embed_nearest_dup_lsh", "media_features", "media_transcode",
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "stream_semantic_dup",

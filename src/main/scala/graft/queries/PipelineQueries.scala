@@ -375,6 +375,25 @@ object PipelineQueries {
       },
       None),
 
+    QueryDef("embed_ann_ivf_pq",
+      (s, dir) => {
+        // IVF cell pruning × residual product quantization + exact
+        // rerank — the full FAISS IndexIVFPQ composition and THE
+        // billion-vector shape: the scan is nprobe/nlist-pruned AND
+        // m=8 bytes per vector; scoring is ⟨unit(q), c_cell⟩ (one
+        // scalar per probed cell, broadcast side) + m ADC table
+        // lookups on the shared residual codebooks. Centroid- and
+        // codebook-dependent rows → no SQL oracle; recall is floored
+        // driver-visibly by embed_ann_recall (measured 0.875-0.900
+        // across sf0.001-0.1 at nprobe=16 of 32, refine=8).
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 10)
+      },
+      None),
+
     QueryDef("embed_nearest_dup",
       (s, dir) => {
         // embedding-cosine near-dup: every vector's single nearest
@@ -472,6 +491,17 @@ object PipelineQueries {
           // m=8/ksub=256/refine=8 — floor 0.7 keeps >=30% margin
           .unionByName(recallOk("pq",
             Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10), 0.7))
+          // IVF-PQ: recall is bounded by the SAME cell pruning as the
+          // plain ivf/ivf_sq8 paths (shared cents, nprobe 16 of 32 —
+          // measured 0.875/0.888/0.900 at sf0.1/0.01/0.001, within a
+          // hit or two of plain ivf's 0.888-0.900: the residual-PQ
+          // layer is near-lossless at refine=8) — same 0.75 floor as
+          // the other IVF paths, >=16% margin
+          .unionByName(recallOk("ivf_pq",
+            Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 10,
+              centroids = cents,
+              codebooks = Similarity.trainIvfPqCodebooks(
+                emb, "vec_id", "embedding", cents)), 0.75))
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok
@@ -479,6 +509,7 @@ object PipelineQueries {
              |UNION ALL SELECT 'sq8', TRUE
              |UNION ALL SELECT 'ivf_sq8', TRUE
              |UNION ALL SELECT 'pq', TRUE
+             |UNION ALL SELECT 'ivf_pq', TRUE
              |UNION ALL SELECT 'nearest_dup_lsh', TRUE""".stripMargin)),
 
     QueryDef("label_centroids",
