@@ -383,34 +383,54 @@ object TextAnalysis {
     * [[overlapPairs]] for corpora where duplication is dense. The full
     * pair relation is quadratic in duplicate density (a boilerplate
     * cluster of c documents emits c²/2 pairs: measured 11.2M pairs at
-    * the 10× rehearsal), which at 100 TB explodes the SINK even though
-    * the bucketed join itself is bounded; downstream consumers
-    * (dedup routing, provenance reports) almost always want "who does
-    * this document overlap MOST", which is O(N·k) output by
+    * the 10× rehearsal, 93.7M at 30×), which at 100 TB explodes the
+    * SINK even though the bucketed join itself is bounded; downstream
+    * consumers (dedup routing, provenance reports) almost always want
+    * "who does this document overlap MOST", which is O(N·k) output by
     * construction. Each undirected pair is exploded into both
-    * directions ONCE (no second pass over the join), then ranked per
-    * document by (shared desc, partner asc — deterministic tie-break)
-    * with a partitioned window: the sort runs per doc group whose size
-    * the [[overlapPairs]] stop-fingerprint guard already bounds
-    * (≤ maxDocFreq partners per retained fingerprint), never
-    * globally. Output (doc, partner, shared, rank), rank 1..k.
+    * directions ONCE (no second pass over the join), then reduced per
+    * document by a BOUNDED top-k aggregate
+    * ([[graft.functions.TopKAgg]], shared desc / partner asc —
+    * deterministic tie-break): partial aggregation caps each task's
+    * contribution at k rows per doc BEFORE the exchange, so the
+    * shuffle is O(N·k) like the output — a `row_number` window here
+    * would shuffle the full directed pair set (~200× more rows than
+    * emitted at the 30× rehearsal) into a per-doc sort first.
+    * Output (doc, partner, shared, rank), rank 1..k.
     * The full pair set remains the certificate path
-    * (`overlap_recall_cert`); this is the relation a pipeline sinks. */
+    * (`overlap_recall_cert`); this is the relation a pipeline sinks.
+    * `overlapTopKOf` exposes the rank step on an existing pair
+    * relation so a session computing both the certificate and the
+    * sink stages the winnow self-join once. */
   def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 16, g: Int = 7, minShared: Int = 2,
-      maxDocFreq: Int = 1000, k: Int = 5): DataFrame = {
+      maxDocFreq: Int = 1000, k: Int = 5): DataFrame =
+    overlapTopKOf(
+      overlapPairs(docs, idCol, textCol, w, g, minShared, maxDocFreq), k)
+
+  /** The bounded per-doc rank step of [[overlapTopK]] over an
+    * already-computed [[overlapPairs]] relation (doc_a, doc_b, shared).
+    * Ids must be integral (they ride the aggregate's primitive-long
+    * buffer) — fail loud on the driver, not with a silent cast. */
+  def overlapTopKOf(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pairs = overlapPairs(docs, idCol, textCol, w, g, minShared, maxDocFreq)
+    Seq("doc_a", "doc_b").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+        s"overlapTopK needs integral doc ids, got $c: $dt")
+    }
     val directed = pairs.select(explode(array(
         struct(col("doc_a").as("doc"), col("doc_b").as("partner"), col("shared")),
         struct(col("doc_b").as("doc"), col("doc_a").as("partner"), col("shared"))))
         .as("e"))
       .select(col("e.doc").as("doc"), col("e.partner").as("partner"),
         col("e.shared").as("shared"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc"))
-      .orderBy(col("shared").desc, col("partner"))
-    directed.withColumn("rank", row_number().over(byDoc))
-      .filter(col("rank") <= k)
+    directed.groupBy(col("doc"))
+      .agg(graft.functions.TopKAgg.top_partners(k)(
+        col("partner").cast("long"), col("shared").cast("long")).as("top"))
+      .select(col("doc"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("doc"), col("p._1").as("partner"), col("p._2").as("shared"),
+        (col("r0") + 1).as("rank"))
   }
 }

@@ -1214,6 +1214,26 @@ class PipelineOpsSpec extends SparkSpecBase {
       full.get((math.min(doc, p), math.max(doc, p))).contains(sh) })
     // the isolated doc never appears
     assert(topk.forall(t => t._1 != 4L && t._2 != 4L))
+    // SCALE PIN: the rank step must be the bounded top-k AGGREGATE
+    // (map-side partials cap the shuffle at k per doc per task — the
+    // O(N·k) intermediate), never a row_number window shuffling the
+    // full directed pair set into a per-doc sort (O(pairs), ~200×
+    // the emitted rows at the 30× rehearsal)
+    val plan = TextAnalysis.overlapTopK(d, "doc_id", "text",
+        maxDocFreq = 10, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in top-k plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+        plan.contains("partial_"),
+      s"expected a partial ObjectHashAggregate top-k plan:\n$plan")
+    // non-integral ids would silently corrupt the primitive-long
+    // buffer — the driver-side require must fire instead
+    import spark.implicits._
+    val strPairs = Seq(("a", "b", 3L)).toDF("doc_a", "doc_b", "shared")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.overlapTopKOf(strPairs, 2)
+    }
+    assert(ex.getMessage.contains("integral"))
   }
 
   test("tumbling windows partition the event count exactly") {
