@@ -129,6 +129,35 @@ object Bench {
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+
+    // The overlap_* rows consume a pair relation STAGED ONCE per
+    // (session, dir) — and with best-of-N reps every one of them
+    // reports the WARM consume cost, so the winnow self-join (the
+    // single heaviest join in the bench) would otherwise vanish from
+    // the reported numbers entirely, absorbed into the first overlap
+    // row's discarded cold rep. Stage it explicitly as its own timed
+    // row (one pass — reps would just hit the memo): per-row overlap
+    // numbers stay interpretable whatever the Headline order, and the
+    // join's true cost stays in the total. Added round 13; recorded
+    // in BASELINE.md — subtract this row when comparing totals to
+    // rounds ≤ 12.
+    if (names.exists(_.startsWith("overlap_"))) {
+      try {
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.queries.PipelineQueries.stagedOverlapPairs(spark, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] %-28s cold=%.3f (winnow self-join staged; overlap_* rows read the memo)",
+          "overlap_stage_join", Double.box(t)))
+        timings("overlap_stage_join") = t
+      } catch {
+        case e: Throwable =>
+          errors("overlap_stage_join") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200)
+      }
+    }
+
     names.foreach { name =>
       try {
         // GC-settle OUTSIDE the timed region: in a single-JVM bench a

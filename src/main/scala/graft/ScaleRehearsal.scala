@@ -121,6 +121,76 @@ object ScaleRehearsal {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       forceCount(Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10))
     }
+    // IVF-PQ through the PERSISTED index at reps× — the registered
+    // embed_ann_ivf_pq path's warehouse shape (same defaults:
+    // nlist=32, nprobe=16, m=8, refine=8). Three properties rehearsed:
+    // (a) the index write is one linear encode pass (training constant:
+    // ≤10k sample); (b) the from-index probe reads ONLY the probed
+    // cells' partitions (DPP, IvfPqSpec-pinned) and scores m bytes per
+    // vector, so probe cost tracks the PROBED fraction of the index,
+    // printed as scanned/total code rows; (c) recall vs the exact
+    // brute-force top-k ON the replicated corpus stays ≥ the 0.75
+    // certificate floor — identical-direction replicas concentrate
+    // every query's true neighbours into its own cell, the stress
+    // case for cell pruning. Printed FAIL marker instead of a silent
+    // number so a rehearsal log can't record a miss as a pass.
+    if (selected("embed_ann_ivf_pq")) {
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      lazy val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, 10)
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // two configurations: the registered defaults (nlist=32 — at
+      // this corpus the probe "prunes" only nprobe/nlist = 1/2), and
+      // nlist scaled by the FAISS √N rule, the knob a warehouse
+      // actually turns — the per-query scanned fraction must drop to
+      // ~nprobe/nlist while recall holds the certificate floor.
+      Seq(("defaults nlist=32", 32), ("sqrtN nlist=128", 128)).foreach {
+        case (tag, nlist) =>
+          val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft_rehearsal_ivfpq_${nlist}_${ProcessHandle.current().pid()}")
+            .getAbsolutePath
+          try {
+            timed(s"embed_ann_ivf_pq index write ($tag)") {
+              Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idxPath,
+                nlist = nlist)
+              spark.read.parquet(s"$idxPath/codes").count()
+            }
+            timed(s"embed_ann_ivf_pq from-index probe ($tag)") {
+              forceCount(Similarity.ivfPqTopKFromIndex(spark, idxPath, emb,
+                "vec_id", "embedding", queries, k = 10))
+            }
+            val cents = spark.read.parquet(s"$idxPath/centroids")
+              .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+            val codes = spark.read.parquet(s"$idxPath/codes")
+              .select(col("vec_id"), col("cell").cast("int").as("cell"))
+            val total = codes.count()
+            // per-QUERY scanned rows (the cost a single probe pays) —
+            // the union over 8 queries would cover most cells and
+            // misread as "no pruning"
+            val perQuery = queries.select(col("qid"),
+                explode(graft.functions.IvfCells.cells(
+                  col("qv"), cents, 16)).as("cell"))
+              .join(codes.groupBy(col("cell")).agg(count(lit(1)).as("n")),
+                Seq("cell"))
+              .groupBy(col("qid")).agg(sum(col("n")).as("scanned"))
+              .agg(avg(col("scanned"))).head().getDouble(0)
+            val ivf = Similarity.ivfPqTopKFromIndex(spark, idxPath, emb,
+                "vec_id", "embedding", queries, k = 10)
+              .select(col("qid"), col("vec_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val recall = (bf & ivf).size.toDouble / bf.size
+            println(f"[rehearsal] embed_ann_ivf_pq ($tag) recall=$recall%.3f " +
+              f"per-query scan=${perQuery / total}%.3f of $total code rows " +
+              s"(floor 0.75: ${if (recall >= 0.75) "OK" else "FAIL"})")
+          } finally {
+            val p = new org.apache.hadoop.fs.Path(idxPath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+      }
+    }
     // BPE at 10×: training reads a fixed ≤2000-doc sample (constant
     // in corpus size); the apply side is one narrow map stage, so
     // cost tracks the corpus linearly with no shuffle at all

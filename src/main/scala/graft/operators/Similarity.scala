@@ -58,7 +58,19 @@ object Similarity {
   /** Top `k` rows per query by (cos desc, id tie-break) with a rank
     * column — the ONE definition of the ranking tail every top-k path
     * shares, so the rounding/tie-break contract cannot silently
-    * diverge between the exact and approximate paths. */
+    * diverge between the exact and approximate paths.
+    *
+    * CALLER CONTRACT: `scored` must be shortlist-bounded — candidates
+    * from a bucket/cell equi-join ([[lshTopK]], [[ivfTopK]]) or a
+    * `k·refine` shortlist ([[rerankTopK]]); the one exception is
+    * [[bruteForceTopK]], the documented quadratic oracle leg. A
+    * `row_number` window partitions all of `scored` by qid, so
+    * applying it to an UNBOUNDED scored relation is exactly the
+    * O(pairs)-through-one-window anti-pattern that
+    * [[graft.functions.TopKAgg]] exists to avoid (map-side partial
+    * top-k, O(N·k) shuffle) — reach for TopKAgg, not this, if a
+    * corpus-sized scored relation ever needs ranking. PlanSpec pins
+    * every current caller's shape (`ANN ranking windows…`). */
   private def topKByCos(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))

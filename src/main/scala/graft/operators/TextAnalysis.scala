@@ -414,11 +414,16 @@ object TextAnalysis {
     * buffer) — fail loud on the driver, not with a silent cast. */
   def overlapTopKOf(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    Seq("doc_a", "doc_b").foreach { c =>
+    // the weight rides the same primitive-long buffer as the ids, so
+    // it gets the SAME integral-type gate: a fractional `shared`
+    // (e.g. a similarity score) would otherwise be cast("long")
+    // truncated, silently reordering ranks
+    Seq("doc_a", "doc_b", "shared").foreach { c =>
       val dt = pairs.schema(c).dataType
       require(dt == org.apache.spark.sql.types.LongType ||
           dt == org.apache.spark.sql.types.IntegerType,
-        s"overlapTopK needs integral doc ids, got $c: $dt")
+        s"overlapTopK needs integral $c (ids and the shared weight " +
+          s"ride a primitive-long aggregate buffer), got $dt")
     }
     val directed = pairs.select(explode(array(
         struct(col("doc_a").as("doc"), col("doc_b").as("partner"), col("shared")),

@@ -68,15 +68,69 @@ object PipelineQueries {
     * session (specs, fresh driver) gets a fresh checkpoint; Bench's
     * repeated reps deliberately hit the memo — the timing semantics
     * (pair join paid once per session, not once per row) are recorded
-    * in BASELINE.md. */
+    * in BASELINE.md.
+    *
+    * Keyed by the session OBJECT (SparkSession does not override
+    * equals, so tuple keys compare it by reference): an
+    * identity-hash string key could collide across sessions and hand
+    * a stale checkpoint bound to a stopped session to a fresh one.
+    * Entries are evicted — and the checkpointed blocks unpersisted —
+    * when the owning context ends (listener registered once per
+    * session) or via [[evictOverlapPairs]], so a long-lived
+    * multi-tenant driver does not pin executor storage for dead
+    * sessions. */
   private val overlapPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]
-  private def stagedOverlapPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    overlapPairsCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private val overlapEvictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      org.apache.spark.sql.SparkSession]
+
+  private[graft] def stagedOverlapPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    if (overlapEvictionHooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictOverlapPairs(s)
+      })
+    }
+    overlapPairsCache.computeIfAbsent((s, dir),
       _ => TextAnalysis.overlapPairs(
         Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
+  }
+
+  /** Drop every staged pair relation owned by `s` and unpersist its
+    * localCheckpoint blocks (the checkpoint RDD surfaces as the
+    * LogicalRDD leaf of the memoized frame). Safe to call on a
+    * stopped context — unpersist failures are swallowed because the
+    * blocks die with the context anyway. */
+  private[graft] def evictOverlapPairs(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    overlapEvictionHooked.remove(s)
+    val it = overlapPairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            try l.rdd.unpersist(blocking = false)
+            catch { case _: Exception => () }
+          case _ => ()
+        }
+        it.remove()
+      }
+    }
+  }
+
+  /** Test hook: staged entries currently held for `s`. */
+  private[graft] def stagedOverlapCount(
+      s: org.apache.spark.sql.SparkSession): Int = {
+    var n = 0
+    overlapPairsCache.forEach((k, _) => if (k._1 eq s) n += 1)
+    n
+  }
 
   private[graft] def plantedNearDups(base: org.apache.spark.sql.DataFrame,
       offset: Long): org.apache.spark.sql.DataFrame =

@@ -191,6 +191,7 @@ object EventStream {
       start: (String, String, (DataFrame, Long) => Unit) =>
         org.apache.spark.sql.streaming.StreamingQuery)(
       normalize: DataFrame => DataFrame): DataFrame = {
+    sweepOrphanedStaging()
     val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
     val tmp = System.getProperty("java.io.tmpdir")
     val stage = new java.io.File(tmp, s"graft_${tag}_stage_$id").getAbsolutePath
@@ -412,6 +413,36 @@ object EventStream {
 
   private val drainCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Reap staging/index dirs abandoned by DEAD processes. Every drain
+    * deletes its own dirs in a `finally`, but a SIGKILL'd verify or
+    * bench run never reaches it — without a sweep those orphans
+    * accumulate in the temp dir across runs forever. Dir names carry
+    * the owning pid (`graft_<tag>_<kind>_<pid>_<n>`), so only dirs
+    * whose process is gone are touched: a CONCURRENT live run's
+    * staging is never deleted, and the current process's own live
+    * dirs are skipped by pid. One flat tmpdir listing per drain —
+    * noise next to the drain's own staging write. */
+  private[graft] def sweepOrphanedStaging(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pat = "graft_[a-z]+_(?:stage|index)_(\\d+)_\\d+".r
+    val self = ProcessHandle.current().pid()
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(); ()
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(pidStr) =>
+          val pid = pidStr.toLong
+          val alive = pid == self ||
+            ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
+              .orElse(java.lang.Boolean.FALSE).booleanValue()
+          if (!alive) deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
   /** The driver-visible face of the streaming layer: run the SAME
     * tumbling aggregation as batch `Windows.tumbling` THROUGH the
     * Structured Streaming engine and return the drained result as a
@@ -430,6 +461,7 @@ object EventStream {
     * (process, call) so concurrent verifies cannot collide. */
   def tumblingDrained(spark: SparkSession, events: DataFrame,
       width: String = "1 hour", files: Int = 4): DataFrame = {
+    sweepOrphanedStaging()
     val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_stream_stage_$id").getAbsolutePath

@@ -1234,6 +1234,13 @@ class PipelineOpsSpec extends SparkSpecBase {
       TextAnalysis.overlapTopKOf(strPairs, 2)
     }
     assert(ex.getMessage.contains("integral"))
+    // a fractional weight would be cast-truncated and silently
+    // reorder ranks — same loud driver-side gate
+    val fracPairs = Seq((1L, 2L, 0.9)).toDF("doc_a", "doc_b", "shared")
+    val ex2 = intercept[IllegalArgumentException] {
+      TextAnalysis.overlapTopKOf(fracPairs, 2)
+    }
+    assert(ex2.getMessage.contains("shared"))
   }
 
   test("tumbling windows partition the event count exactly") {
@@ -1303,5 +1310,41 @@ class PipelineOpsSpec extends SparkSpecBase {
       ksub = 16, codebooks = books)
     Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
       nlist = 8, centroids = cents)
+  }
+
+  test("staged overlap pairs are memoized per session and released on eviction") {
+    import graft.queries.PipelineQueries
+    val child = spark.newSession()
+    // Same (session, dir) → the memoized frame, not a recompute.
+    val a = PipelineQueries.stagedOverlapPairs(child, sf)
+    val b = PipelineQueries.stagedOverlapPairs(child, sf)
+    assert(a eq b, "second lookup must hit the memo")
+    assert(PipelineQueries.stagedOverlapCount(child) === 1)
+    // A different session object — even one sharing the context —
+    // must get its own entry (the r12 identity-hash string key could
+    // collide here and hand session B session A's checkpoint).
+    val other = spark.newSession()
+    val c = PipelineQueries.stagedOverlapPairs(other, sf)
+    assert(!(c eq a))
+    assert(PipelineQueries.stagedOverlapCount(other) === 1)
+    // Eviction drops the entries AND unpersists the localCheckpoint
+    // blocks: the checkpoint RDD must leave the context's persistent
+    // set, not just the map.
+    val rddIds = Seq(a, c).map(_.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case p => fail(s"staged frame should be a LogicalRDD leaf, got $p")
+    })
+    assert(rddIds.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "checkpoint blocks should be persisted while cached")
+    PipelineQueries.evictOverlapPairs(child)
+    PipelineQueries.evictOverlapPairs(other)
+    assert(PipelineQueries.stagedOverlapCount(child) === 0)
+    assert(PipelineQueries.stagedOverlapCount(other) === 0)
+    // unpersist(blocking=false) is async; poll briefly.
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (rddIds.exists(spark.sparkContext.getPersistentRDDs.contains)
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(rddIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "evicted checkpoint blocks must be unpersisted")
   }
 }

@@ -162,6 +162,61 @@ class PlanSpec extends SparkSpecBase {
       s"BPE apply must be a native expression, not a UDF:\n$p")
   }
 
+  test("ANN ranking windows consume only bucket/cell/shortlist-bounded relations") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Similarity
+
+    // topKByCos ranks with a per-qid row_number window — fine on a
+    // shortlist, the TopKAgg anti-pattern on a corpus-sized scored
+    // relation. Pin the shape: in every ANN path, any all-pairs
+    // operator under the final "rn" window must sit BELOW the
+    // k·refine shortlist filter ("qrn"), so the window only ever sees
+    // bounded rows. bruteForceTopK is pinned separately as the one
+    // documented exception (the quadratic oracle leg).
+    def unguardedAllPairs(p: SparkPlan): Boolean = p match {
+      case f: FilterExec if f.condition.toString.contains("qrn") => false
+      case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec => true
+      case other => other.children.exists(unguardedAllPairs)
+    }
+    def rnWindows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.windowExpression.exists(_.name == "rn") => w
+      }
+    def assertBounded(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val ws = rnWindows(df)
+      assert(ws.nonEmpty, s"$name: ranking window missing — tail changed?")
+      ws.foreach(w => assert(!unguardedAllPairs(w.child),
+        s"$name: the rn window consumes an unshortlisted all-pairs relation:\n" +
+          df.queryExecution.sparkPlan))
+    }
+
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    assertBounded("lshTopK",
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5))
+    assertBounded("ivfTopK",
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5, nlist = 8))
+    assertBounded("sq8TopK",
+      Similarity.sq8TopK(emb, "vec_id", "embedding", queries, 5))
+    assertBounded("ivfSq8TopK",
+      Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, 5, nlist = 8))
+    assertBounded("pqTopK",
+      Similarity.pqTopK(emb, "vec_id", "embedding", queries, 5, m = 4, ksub = 16))
+    assertBounded("ivfPqTopK",
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, 5,
+        nlist = 8, m = 4, ksub = 16))
+    // the documented exception: brute force IS the all-pairs oracle
+    // leg — if this starts passing the bounded check, the contract
+    // (and BASELINE.md's cost attribution) changed; notice it.
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+    assert(rnWindows(bf).exists(w => unguardedAllPairs(w.child)),
+      "bruteForceTopK is expected to rank the raw cross join (oracle leg)")
+  }
+
   test("shuffleOrder enumerates via range-partitioned sort, never a global window") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf).select(col("doc_id"))

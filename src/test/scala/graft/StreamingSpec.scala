@@ -323,4 +323,45 @@ class StreamingSpec extends SparkSpecBase {
       assert(last.getAs[Double]("value_sum") === 7.0)
     } finally q.stop()
   }
+
+  test("drained streams leave no staging dirs; orphans of dead processes are reaped") {
+    import spark.implicits._
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def graftDirs: Set[String] = Option(tmp.listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.matches("graft_[a-z]+_(stage|index)_\\d+_\\d+")).toSet
+    // plant an orphan owned by a provably dead pid and a live dir
+    // owned by THIS process: the sweep must reap the first and must
+    // not touch the second (a concurrent drain's staging)
+    val dead = new ProcessBuilder("true").start()
+    dead.waitFor()
+    val orphan = new java.io.File(tmp, s"graft_semdup_stage_${dead.pid()}_1")
+    assert(orphan.mkdir())
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "part-0.parquet").toPath, "x")
+    val mine = new java.io.File(tmp,
+      s"graft_semdup_index_${ProcessHandle.current().pid()}_999999")
+    assert(mine.mkdir())
+    try {
+      val before = graftDirs
+      val events = Seq(
+        (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 2.0),
+        (3L, ts(50), 2L, "view", 3.0), (4L, ts(59), 2L, "click", 4.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = EventStream.tumblingDrained(spark, events, "1 hour", files = 2)
+      assert(out.count() > 0)
+      val after = graftDirs
+      assert(!after.contains(orphan.getName),
+        "dead process's staging dir must be reaped by the drain sweep")
+      assert(after.contains(mine.getName),
+        "a live process's dir must survive the sweep")
+      // the drain's own staging is gone too (finally-cleanup)
+      assert(!after.exists(_.startsWith("graft_stream_stage_")),
+        s"drain leaked its own staging dir: $after (before: $before)")
+    } finally {
+      new java.io.File(orphan, "part-0.parquet").delete()
+      orphan.delete()
+      mine.delete()
+    }
+  }
 }
