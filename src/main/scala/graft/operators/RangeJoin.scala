@@ -31,9 +31,11 @@ object RangeJoin {
     val shared = left.columns.intersect(right.columns)
     require(shared.isEmpty,
       s"left/right column names must be disjoint; shared: ${shared.mkString(",")}")
+    // epochMicros, not unix_micros: the fixture's parquet annotation
+    // (UTC-adjusted vs naive) must not decide whether this analyzes
     val b = lit(bucketMs * 1000L) // micros
     val pts = left.withColumn("__bucket",
-      (unix_micros(col(tsCol)) / b).cast("long"))
+      (graft.functions.Ts.epochMicros(col(tsCol)) / b).cast("long"))
     val ivs = right
       // empty/inverted intervals match nothing — and would otherwise
       // make sequence() count DOWN, exploding one dirty row into a
@@ -41,10 +43,10 @@ object RangeJoin {
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket",
         explode(sequence(
-          (unix_micros(col(startCol)) / b).cast("long"),
+          (graft.functions.Ts.epochMicros(col(startCol)) / b).cast("long"),
           // end is exclusive: a bucket-aligned end does not claim the
           // next bucket
-          ((unix_micros(col(endCol)) - 1) / b).cast("long"))))
+          ((graft.functions.Ts.epochMicros(col(endCol)) - 1) / b).cast("long"))))
     pts.join(ivs, Seq("__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

@@ -1048,7 +1048,8 @@ object PipelineQueries {
           .withColumn("prev", lag(col("ts"), 1).over(w))
           .withColumn("new_s",
             when(col("prev").isNull ||
-              unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+              graft.functions.Ts.epochMicros(col("ts")) -
+                graft.functions.Ts.epochMicros(col("prev")) > 1800000000L, 1L)
               .otherwise(0L))
           .groupBy(col("user_id"))
           .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("events"))

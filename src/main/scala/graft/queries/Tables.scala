@@ -32,6 +32,14 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      // naive micros (isAdjustedToUTC=false → TIMESTAMP_NTZ): normalize
+      // to an instant under the engine's naive==UTC contract
+      // ([[graft.functions.Ts]]) so downstream timestamp math never
+      // depends on which annotation the fixture writer happened to emit
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          graft.functions.Ts.toUtcInstant(
+            org.apache.spark.sql.functions.col("ts")))
       case _ => raw
     }
   }

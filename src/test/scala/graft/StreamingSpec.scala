@@ -15,6 +15,19 @@ class StreamingSpec extends SparkSpecBase {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  /** Read a timestamp field regardless of whether the plan produced
+    * `TIMESTAMP` (java.sql.Timestamp) or `TIMESTAMP_NTZ`
+    * (java.time.LocalDateTime) — the fixture's parquet annotation must
+    * not decide whether this spec can read its rows. Naive values are
+    * interpreted as UTC, the engine-wide contract ([[graft.functions.Ts]]). */
+  private def anyTs(r: org.apache.spark.sql.Row, i: Int): java.time.Instant =
+    r.get(i) match {
+      case t: Timestamp => t.toInstant
+      case ldt: java.time.LocalDateTime => ldt.toInstant(java.time.ZoneOffset.UTC)
+      case inst: java.time.Instant => inst
+      case other => fail(s"unexpected timestamp representation: ${other.getClass}")
+    }
+
   test("streaming tumbling counts equal the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -69,10 +82,10 @@ class StreamingSpec extends SparkSpecBase {
     // the batch operator row-for-row (same rounding)
     val ev = graft.queries.Tables.events(spark, sf)
     val streamed = EventStream.tumblingDrained(spark, ev)
-      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+      .collect().map(r => (anyTs(r, 0), r.getString(1),
         r.getLong(2), r.getDouble(3))).toSet
     val batch = graft.operators.Windows.tumbling(ev, "1 hour")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+      .collect().map(r => (anyTs(r, 0), r.getString(1),
         r.getLong(2), r.getDouble(3))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
