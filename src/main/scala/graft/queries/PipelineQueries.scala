@@ -934,6 +934,23 @@ object PipelineQueries {
              |COUNT(*) AS cnt, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS val_sum
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // STREAMING gap sessionization ≡ batch: the mapGroupsWithState
+    // interval-merge state machine (order-robust across micro-batches)
+    // drained over the fixture must reproduce the user_sessions_batch
+    // LAG/SUM oracle exactly — same SQL, two execution modes.
+    QueryDef("user_sessions_stream",
+      (s, dir) => graft.streaming.EventStream.gapSessionsDrained(
+        s, Tables.events(s, dir)),
+      Some("""WITH x AS (SELECT user_id,
+             |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      > INTERVAL 30 MINUTE
+             |  THEN 1 ELSE 0 END AS new_s
+             |  FROM events)
+             |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS sessions,
+             |COUNT(*) AS events
+             |FROM x GROUP BY user_id""".stripMargin)),
+
     // STREAMING near-dup ingest made driver-visible: the probe-then-
     // admit foreachBatch loop runs 4 real micro-batches (one parquet
     // file per doc_id % 4 class) against a growing persisted index, in

@@ -87,6 +87,78 @@ object EventStream {
       }
   }
 
+  /** Per-user merged session intervals `[start, end]` in epoch micros
+    * plus the running event count — the state for [[gapSessions]].
+    * Bounded by the user's true session count, not their event count:
+    * every event lands in exactly one interval and intervals at most
+    * `gap` apart coalesce. */
+  final case class GapSessionState(bounds: List[(Long, Long)], events: Long)
+
+  final case class UserGapSessions(user_id: Long, sessions: Long, events: Long)
+
+  /** Gap-based sessionization as an ARRIVAL-ORDER-ROBUST streaming
+    * state machine: a session is a maximal run of a user's events with
+    * no silence > `gapMicros` (default 30 min — the same contract as
+    * the `user_sessions_batch` LAG query, strict `>`: a gap of exactly
+    * 30 min continues the session).
+    *
+    * The naive incremental formulation ("compare each event to the
+    * previous one") silently miscounts when events straddle
+    * micro-batches out of time order — file-source micro-batches carry
+    * no per-user ordering guarantee. Instead the state holds the
+    * user's MERGED session intervals: each event enters as a point
+    * interval, intervals ≤ gap apart coalesce, and the session count
+    * is simply the interval count — the same answer for every
+    * interleaving of arrivals, so stream ≡ batch holds by construction
+    * rather than by luck of file order. State is bounded by the true
+    * session count (production deployments cap it further by closing
+    * intervals older than the watermark; this finite-drain entry point
+    * keeps all of them so the result is exact).
+    *
+    * Emits a per-user snapshot every micro-batch that touches the user
+    * (Update mode); `events` strictly grows per emission, so the final
+    * state is the row with the max `events` per user. */
+  def gapSessions(spark: SparkSession, events: DataFrame,
+      gapMicros: Long = 30L * 60 * 1000000L): Dataset[UserGapSessions] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[GapSessionState, UserGapSessions](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[GapSessionState]) =>
+          val prev = state.getOption.getOrElse(GapSessionState(Nil, 0L))
+          var nEvents = prev.events
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          batch.foreach { e =>
+            nEvents += 1
+            val i = e.ts.toInstant
+            val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            fresh += ((us, us))
+          }
+          val merged = (prev.bounds ++ fresh).sortBy(_._1)
+            .foldLeft(List.empty[(Long, Long)]) {
+              case ((s0, e0) :: tail, (s1, e1)) if s1 - e0 <= gapMicros =>
+                (s0, math.max(e0, e1)) :: tail
+              case (acc, iv) => iv :: acc
+            }
+          state.update(GapSessionState(merged, nEvents))
+          UserGapSessions(userId, merged.size.toLong, nEvents)
+      }
+  }
+
+  /** Driver-visible face of [[gapSessions]] (the `user_sessions_stream`
+    * query): drain the event fixture through the streaming state
+    * machine in real micro-batches and reduce the Update-mode snapshot
+    * stream to each user's final state — hash-comparable against the
+    * same LAG/SUM SQL oracle as `user_sessions_batch`. */
+  def gapSessionsDrained(spark: SparkSession, events: DataFrame,
+      files: Int = 4): DataFrame =
+    drainEventsStaged(spark, events, files, OutputMode.Update)(stream =>
+      gapSessions(spark, stream).toDF())(sink =>
+      sink.groupBy(col("user_id"))
+        .agg(max_by(col("sessions"), col("events")).as("sessions"),
+          max(col("events")).as("events")))
+
   /** Streaming deduplication WITHIN the watermark horizon: keeps the
     * first document per 256-bit text digest among documents whose
     * event times fall inside the same `lateness` window. Uses
@@ -460,7 +532,33 @@ object EventStream {
     * point exists separately. Staging/sink names are unique per
     * (process, call) so concurrent verifies cannot collide. */
   def tumblingDrained(spark: SparkSession, events: DataFrame,
-      width: String = "1 hour", files: Int = 4): DataFrame = {
+      width: String = "1 hour", files: Int = 4): DataFrame =
+    drainEventsStaged(spark, events, files, OutputMode.Complete)(stream =>
+      stream
+        .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("val_sum"))
+        .select(col("w.start").as("ws"), col("event_type"),
+          col("cnt"), col("val_sum")))(identity)
+
+  /** Shared drain harness: stage `events` as a `files`-file parquet
+    * directory, stream it back with `maxFilesPerTrigger=1` (so `files`
+    * REAL micro-batches hit the state store — not one batch in
+    * disguise), run `plan` over the stream into a memory sink in
+    * `mode`, and return `finish(sink)` checkpoint-detached from the
+    * sink (results are bounded aggregate rows).
+    *
+    * Both cleanups live in a `finally`: a failed or interrupted stream
+    * must not leak the staged parquet copy NOR the catalog-registered
+    * memory table (repeated verify runs would accumulate both); the
+    * view drop is a no-op when the failure preceded sink creation, and
+    * on success it runs after the result is checkpoint-detached. A
+    * cleanup failure must never REPLACE a streaming failure: it is
+    * attached as suppressed so the root cause propagates. Staging/sink
+    * names are unique per (process, call) so concurrent verifies
+    * cannot collide. */
+  private def drainEventsStaged(spark: SparkSession, events: DataFrame,
+      files: Int, mode: OutputMode)(plan: DataFrame => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
     sweepOrphanedStaging()
     val id = ProcessHandle.current().pid() + "_" + drainCounter.incrementAndGet()
     val stage = new java.io.File(
@@ -469,13 +567,6 @@ object EventStream {
         col("event_type"), col("value"))
       .repartition(files)
       .write.mode("overwrite").parquet(stage)
-    // both cleanups in a finally: a failed or interrupted stream must
-    // not leak the staged parquet copy NOR the catalog-registered
-    // memory table (repeated verify runs would accumulate both); the
-    // view drop is a no-op when the failure preceded sink creation,
-    // and on success it runs after the result is checkpoint-detached.
-    // A cleanup failure must never REPLACE a streaming failure: it is
-    // attached as suppressed so the root cause propagates.
     val sinkName = s"graft_stream_drain_$id"
     var primary: Throwable = null
     try {
@@ -483,17 +574,10 @@ object EventStream {
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
-      val agg = stream
-        .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("val_sum"))
-        .select(col("w.start").as("ws"), col("event_type"),
-          col("cnt"), col("val_sum"))
-      val q = agg.writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Complete).start()
+      val q = plan(stream).writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
-      // the checkpointed result detaches from the sink and is a few
-      // thousand aggregate rows — bounded
-      spark.table(sinkName).localCheckpoint()
+      finish(spark.table(sinkName)).localCheckpoint()
     } catch {
       case t: Throwable => primary = t; throw t
     } finally {

@@ -91,6 +91,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("gap sessionization state machine is arrival-order-robust") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.gapSessions(spark, input.toDF()).toDF(),
+      "stream_gap", complete = false)
+    try {
+      // user 1 truth: 10:00, 10:20, 11:30 → 2 sessions (20 min gap
+      // continues, 70 min gap splits). Delivered OUT of time order
+      // across micro-batches: the bridging 10:20 event arrives last.
+      // user 2: exactly 30 min gap → SAME session (strict > contract).
+      // user 3: 30 min + 1 s gap → two sessions.
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "view", 1.0),
+        Event(4, ts(0), 2, "click", 1.0),
+        Event(5, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "view", 1.0),
+        Event(6, ts(0), 3, "click", 1.0),
+        Event(7, Timestamp.valueOf("2024-01-01 10:30:01"), 3, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("stream_gap")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("sessions"), col("events")).as("sessions"),
+          max(col("events")).as("events"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(last === Map(1L -> (2L, 3L), 2L -> (1L, 2L), 3L -> (2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("gapSessionsDrained equals the batch LAG sessionization on the fixture") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val streamed = EventStream.gapSessionsDrained(spark, ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val batch = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          graft.functions.Ts.epochMicros(col("ts")) -
+            graft.functions.Ts.epochMicros(col("prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming split assignment equals batch (stateless sampling ops stream as-is)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
