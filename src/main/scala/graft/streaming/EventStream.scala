@@ -24,18 +24,34 @@ object EventStream {
   final case class UserSession(user_id: Long, events: Long,
       value_sum: Double, closed: Boolean)
 
-  /** File-source stream over event parquet written with nanosecond
-    * timestamps (the fixture layout — pandas default): streaming
-    * sources cannot infer schemas and Spark rejects TIMESTAMP(NANOS)
-    * outright, so `ts` is declared LONG via the nanosAsLong legacy
-    * conf and floored to microseconds, exactly like the batch reader
-    * (graft.queries.Tables.events). */
+  /** File-source stream over the event parquet, robust to how the
+    * writer annotated `ts` — streaming sources cannot infer schemas,
+    * and declaring the wrong one is not always an analysis error:
+    * declaring LONG over a MICROS column hands back raw micros, which
+    * a nanos→micros `div 1000` then silently compresses 1000×
+    * (caught when the fixture switched NANOS→NTZ-micros; the spec now
+    * pins actual window timestamps, not just counts). So peek at the
+    * batch reader's resolved type for the SAME path first — one
+    * footer read — and declare the streaming schema to match:
+    * TIMESTAMP(NANOS) surfaces as LONG (nanosAsLong conf) and floors
+    * to micros like the batch reader (graft.queries.Tables.events);
+    * NTZ normalizes under the naive==UTC contract
+    * ([[graft.functions.Ts]]); UTC-adjusted passes through. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    def stream(tsDdl: String) = spark.readStream
+      .schema(s"event_id LONG, ts $tsDdl, user_id LONG, event_type STRING, value DOUBLE")
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream("LONG").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream("TIMESTAMP_NTZ")
+          .withColumn("ts", graft.functions.Ts.toUtcInstant(col("ts")))
+      case _ =>
+        stream("TIMESTAMP")
+    }
   }
 
   /** Tumbling window counts with a watermark: late events beyond

@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("file-source stream over the real nano-timestamp fixture matches batch") {
+  test("file-source stream over the raw fixture matches batch (any ts annotation)") {
     // file streams need a directory; stage the fixture into one
     val dir = java.nio.file.Paths.get("target/stream_events")
     java.nio.file.Files.createDirectories(dir)
@@ -69,10 +69,19 @@ class StreamingSpec extends SparkSpecBase {
       EventStream.tumblingCounts(stream, "1 hour", "2 hours"), "stream_file")
     try {
       q.processAllAvailable()
+      // pin the actual window TIMESTAMPS against the batch aggregation,
+      // not just counts: a mis-declared streaming schema can hand back
+      // raw micros that a nanos floor compresses 1000× — every event
+      // then lands in 1970 and a count-only assert still passes
       val streamed = spark.table("stream_file")
-        .agg(sum("cnt")).head().getLong(0)
-      val batch = graft.queries.Tables.events(spark, sf).count()
+        .collect().map(r => (anyTs(r, 0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start"), col("event_type"), col("cnt"))
+        .collect().map(r => (anyTs(r, 0), r.getString(1), r.getLong(2))).toSet
       assert(streamed === batch)
+      assert(streamed.nonEmpty)
     } finally q.stop()
   }
 
