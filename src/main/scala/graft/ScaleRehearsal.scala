@@ -224,6 +224,33 @@ object ScaleRehearsal {
           sum(col("bpe_tokens")).as("bpe_tokens")))
     }
 
+    if (selected("sessions")) {
+      // gapSessions state-bound evidence: per-user state is the MERGED
+      // interval list — bounded by the user's true session count, not
+      // their event count. Replicating the fixture's USER SPACE reps×
+      // (ids shifted; event structure per user identical) multiplies
+      // rows and state-store keys while leaving per-key state size
+      // constant — so the drain must scale with row volume and the
+      // reported max state must equal the fixture's own, proving the
+      // state never absorbs events.
+      val ev0 = Tables.events(spark, sfDir)
+      val ev = (0 until reps).map(r =>
+          ev0.select(col("event_id"), col("ts"),
+            (col("user_id") + lit(r * 10000001L)).as("user_id"),
+            col("event_type"), col("value")))
+        .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+      timed(s"sessions_stream drain (${reps}x users)") {
+        val out = graft.streaming.EventStream.gapSessionsDrained(spark, ev)
+          .localCheckpoint()
+        val st = out.agg(max(col("sessions")).as("mx"),
+          avg(col("sessions")).as("av"), max(col("events")).as("me")).head()
+        println(f"[rehearsal] sessions state: max_intervals=${st.getLong(0)} " +
+          f"avg=${st.getDouble(1)}%.1f max_events_per_user=${st.getLong(2)} " +
+          "(state rows = intervals, not events)")
+        forceCount(out)
+      }
+    }
+
     if (selected("skew")) {
     // Skew-guard evidence: rebuild the probe-leg bucket histogram with
     // the operator's ACTUAL derivation (`Similarity.derivedPlanes` /

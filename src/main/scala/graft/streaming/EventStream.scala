@@ -162,6 +162,68 @@ object EventStream {
       }
   }
 
+  /** State for [[gapSessionsWatermarked]]: open session intervals as
+    * (startMicros, endMicros, eventCount). */
+  final case class GapIntervals(intervals: List[(Long, Long, Long)])
+
+  /** One finished session: micro-exact bounds + its event count. */
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, events: Long)
+
+  /** PRODUCTION-shape gap sessionization: the same interval-merge
+    * state machine as [[gapSessions]], but UNBOUNDED-RUN safe — a
+    * session is emitted (Append mode) and evicted from the state store
+    * once the event-time watermark passes `end + gap`, at which point
+    * no non-late event can extend it (an event that could would be
+    * older than the watermark and is dropped at the source). An
+    * event-time timeout re-invokes idle users so sessions close on
+    * watermark progress alone, without waiting for the user's next
+    * event. State per user = OPEN intervals only — in steady state a
+    * handful of tuples, independent of history length, which is the
+    * difference between this and the finite-drain variant (that one
+    * keeps all intervals so a drain can report exact totals).
+    *
+    * Out-of-order arrivals WITHIN the allowed lateness merge exactly
+    * like the drain variant (intervals re-merge on every batch);
+    * arrivals beyond `lateness` are dropped by the watermark — the
+    * standard streaming accuracy/state tradeoff, chosen here by the
+    * caller via `lateness`. */
+  def gapSessionsWatermarked(spark: SparkSession, events: DataFrame,
+      gapMicros: Long = 30L * 60 * 1000000L,
+      lateness: String = "1 hour"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.withWatermark("ts", lateness).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapIntervals, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[GapIntervals]) =>
+          val prev = state.getOption.getOrElse(GapIntervals(Nil))
+          val fresh = batch.map { e =>
+            val i = e.ts.toInstant
+            val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            (us, us, 1L)
+          }.toList
+          val merged = (prev.intervals ++ fresh).sortBy(_._1)
+            .foldLeft(List.empty[(Long, Long, Long)]) {
+              case ((s0, e0, c0) :: tail, (s1, e1, c1)) if s1 - e0 <= gapMicros =>
+                (s0, math.max(e0, e1), c0 + c1) :: tail
+              case (acc, iv) => iv :: acc
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(iv => iv._2 + gapMicros < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(GapIntervals(open))
+            // strictly above the watermark by construction: every open
+            // interval has end + gap >= wm, and +1 ms breaks the tie
+            state.setTimeoutTimestamp(
+              (open.map(_._2).max + gapMicros) / 1000L + 1L)
+          }
+          closed.iterator.map { case (s, e, c) =>
+            ClosedSession(userId, s, e, c) }
+      }
+  }
+
   /** Driver-visible face of [[gapSessions]] (the `user_sessions_stream`
     * query): drain the event fixture through the streaming state
     * machine in real micro-batches and reduce the Update-mode snapshot

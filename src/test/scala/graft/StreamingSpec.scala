@@ -131,6 +131,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermarked gap sessions close exactly when the watermark passes end+gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.gapSessionsWatermarked(spark, input.toDF(),
+        lateness = "1 hour")
+      .toDF().writeStream.format("memory").queryName("stream_gap_wm")
+      .outputMode("append").start()
+    try {
+      def us(t: Timestamp): Long = {
+        val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      val t1000 = ts(0); val t1010 = ts(10)
+      // batch 1: user 1 session [10:00, 10:10]; nothing can close yet
+      input.addData(Event(1, t1000, 1, "click", 1.0),
+        Event(2, t1010, 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_gap_wm").count() === 0)
+      // batch 2 moves max event time to 20:00 → watermark 19:00 takes
+      // effect NEXT batch; 19:00 > 10:10 + 30 min, so batch 3 closes
+      // the first session (watermark progress via timeout or new data)
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 20:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 23:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("stream_gap_wm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(closed === Set((1L, us(t1000), us(t1010), 2L)))
+    } finally q.stop()
+  }
+
   test("gapSessionsDrained equals the batch LAG sessionization on the fixture") {
     val ev = graft.queries.Tables.events(spark, sf)
     val streamed = EventStream.gapSessionsDrained(spark, ev)
