@@ -1211,6 +1211,30 @@ object PipelineQueries {
              |                   doc_id) - 1 AS shuffle_pos
              |FROM documents""".stripMargin)),
 
+    // deterministic shard EXPORT assignment (sources.Shards): shard =
+    // shuffle rank / recordsPerShard — a pure function of (seed, key),
+    // so the oracle rebuilds the whole per-shard layout from scratch.
+    // Every shard but the last must hold exactly recordsPerShard rows;
+    // the oracle's count/lo/hi/id-sum per shard pin membership, not
+    // just sizes.
+    QueryDef("shard_manifest",
+      (s, dir) => graft.sources.Shards.assignShards(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          recordsPerShard = 100L, seed = "r14")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("shuffle_pos")).as("pos_lo"),
+          max(col("shuffle_pos")).as("pos_hi"),
+          sum(col("doc_id")).as("id_sum")),
+      Some("""WITH r AS (SELECT doc_id,
+             |  ROW_NUMBER() OVER (ORDER BY md5('r14' || CAST(doc_id AS VARCHAR)),
+             |                     doc_id) - 1 AS pos
+             |  FROM documents)
+             |SELECT pos // 100 AS shard, COUNT(*) AS n_docs,
+             |MIN(pos) AS pos_lo, MAX(pos) AS pos_hi,
+             |CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM r GROUP BY 1""".stripMargin)),
+
     QueryDef("rebalance_mix",
       (s, dir) => Sampling.rebalanceMix(Tables.documents(s, dir),
           "doc_id", "source",
