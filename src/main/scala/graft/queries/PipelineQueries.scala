@@ -1211,6 +1211,34 @@ object PipelineQueries {
              |                   doc_id) - 1 AS shuffle_pos
              |FROM documents""".stripMargin)),
 
+    // budget-constrained curation (operators.Selection): the best-
+    // quality prefix of the corpus that fits a token budget. The
+    // defined result is a cumulative window (the oracle); the engine
+    // computes the same prefix via bucket histogram + boundary-only
+    // sort — no global ordering pass.
+    QueryDef("select_token_budget",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .join(TextAnalysis.tokenCount(docs, "doc_id", "text")
+            .select(col("doc_id"), col("ws_tokens")), Seq("doc_id"))
+          .select(col("doc_id"), col("quality"), col("ws_tokens"))
+        graft.operators.Selection.selectByBudget(scored, "doc_id",
+          "quality", "ws_tokens", budget = 5000L)
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / len(string_split(text, ' '))
+             |    * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+             |        x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+             |      / len(string_split(text, ' '))), 6) AS quality,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+             |  FROM documents),
+             |r AS (SELECT doc_id, quality, ws_tokens,
+             |  SUM(ws_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+             |  FROM q)
+             |SELECT doc_id, quality, ws_tokens FROM r WHERE cum <= 5000""".stripMargin)),
+
     // deterministic shard EXPORT assignment (sources.Shards): shard =
     // shuffle rank / recordsPerShard — a pure function of (seed, key),
     // so the oracle rebuilds the whole per-shard layout from scratch.
