@@ -233,4 +233,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan(shuffled).contains("Window"),
       "window crept into the enumerated output")
   }
+
+  test("selectByBudget's only window runs over the boundary bucket, not the corpus") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.{Selection, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .join(TextAnalysis.tokenCount(docs, "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("ws_tokens"))
+    val out = Selection.selectByBudget(scored, "doc_id", "quality",
+      "ws_tokens", budget = 500L, buckets = 16)
+    // a bucket-equality filter must sit under every window (on at
+    // least one leg of the inner join — either bounds the output, and
+    // Catalyst pushes it into the scan): the exact cumulative sort
+    // pays for ~1/buckets of the corpus, never all of it
+    def bucketGuarded(p: SparkPlan): Boolean = p.collectFirst {
+      case f: FilterExec if f.condition.toString.contains("width_bucket") => f
+    }.nonEmpty
+    val ws = out.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "boundary window missing — did the budget not cross?")
+    ws.foreach(w => assert(bucketGuarded(w.child),
+      s"cumulative window consumes an unbucketed corpus:\n${out.queryExecution.sparkPlan}"))
+  }
 }
