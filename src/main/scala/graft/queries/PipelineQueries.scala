@@ -1263,6 +1263,49 @@ object PipelineQueries {
              |CAST(SUM(doc_id) AS BIGINT) AS id_sum
              |FROM r GROUP BY 1""".stripMargin)),
 
+    // CURATION capstone: score → budget-select → shard layout, each
+    // stage the already-proven operator, composed in ONE query whose
+    // oracle chains the three stage oracles as CTEs — the "cut a
+    // training corpus and lay it out for the trainer" end-to-end.
+    QueryDef("pipeline_curation",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .join(TextAnalysis.tokenCount(docs, "doc_id", "text")
+            .select(col("doc_id"), col("ws_tokens")), Seq("doc_id"))
+          .select(col("doc_id"), col("quality"), col("ws_tokens"))
+        val selected = graft.operators.Selection.selectByBudget(
+          scored, "doc_id", "quality", "ws_tokens", budget = 5000L)
+        graft.sources.Shards.assignShards(
+            selected.select(col("doc_id"), col("ws_tokens")), "doc_id",
+            recordsPerShard = 25L, seed = "cur")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("tokens"),
+            min(col("shuffle_pos")).as("pos_lo"),
+            max(col("shuffle_pos")).as("pos_hi"))
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / len(string_split(text, ' '))
+             |    * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+             |        x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+             |      / len(string_split(text, ' '))), 6) AS quality,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+             |  FROM documents),
+             |sel AS (SELECT doc_id, ws_tokens FROM (
+             |  SELECT doc_id, ws_tokens,
+             |    SUM(ws_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+             |  FROM q) WHERE cum <= 5000),
+             |o AS (SELECT doc_id, ws_tokens,
+             |  ROW_NUMBER() OVER (ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)),
+             |                     doc_id) - 1 AS pos
+             |  FROM sel)
+             |SELECT pos // 25 AS shard, COUNT(*) AS n_docs,
+             |CAST(SUM(ws_tokens) AS BIGINT) AS tokens,
+             |MIN(pos) AS pos_lo, MAX(pos) AS pos_hi
+             |FROM o GROUP BY 1""".stripMargin)),
+
     QueryDef("rebalance_mix",
       (s, dir) => Sampling.rebalanceMix(Tables.documents(s, dir),
           "doc_id", "source",
