@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, Packing, QualityModel, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -191,6 +191,37 @@ object PipelineQueries {
        |    FOR i IN range(1, len(v) + 1)] AS v
        |  FROM base WHERE vec_id < 16),
        |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)""".stripMargin
+
+  /** Documents labeled for the classifier gate: the oracle-proven
+    * tie-free heuristic quality label (`good`) plus the md5-portable
+    * 50/50 train/heldout assignment (`is_train`) — both recomputable
+    * verbatim in DuckDB. */
+  private def labeledQualityDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.join(TextAnalysis.qualityScore(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      .withColumn("good", col("quality") >= 0.451117)
+      .withColumn("is_train",
+        Sampling.hashDraw(col("doc_id")) <
+          lit(Sampling.hexThreshold(0.5)))
+  }
+
+  /** Frozen quality-classifier weights for `dir`: trained on a
+    * deterministic ≤2k sample of the train half only (the heldout
+    * half never reaches the trainer). Cheap enough (one bounded
+    * collect) to retrain per call — no memo, so there is no cache key
+    * to get wrong across sessions/dirs. */
+  private def trainedQualityWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): QualityModel.Weights = {
+    val feats = QualityModel.features(Tables.documents(s, dir),
+      "doc_id", "text")
+    val train = labeledQualityDocs(s, dir).filter(col("is_train"))
+      .select(col("doc_id"), col("good"))
+      .join(feats, Seq("doc_id"))
+    QualityModel.train(train, "doc_id",
+      QualityModel.featureColumns(col("text")).map(_._1), "good")
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1531,6 +1562,67 @@ object PipelineQueries {
            |  CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_contaminated,
            |  TRUE AS no_false_negatives, TRUE AS fp_bound_ok""".stripMargin
       }),
+
+    // ---------------- model-based quality filtering ----------------
+    // The classifier-gate curation stage (the learned counterpart of
+    // the heuristic quality gate): logistic regression trained
+    // driver-side on a deterministic ≤2k hash-ordered sample of the
+    // md5-assigned train half (constant cost in corpus size — the
+    // trainer discipline of trainIvfCentroids/trainBpeMerges), frozen,
+    // then applied distributed as pure Column arithmetic (dot product
+    // + sigmoid inside whole-stage codegen; no UDF, no shuffle).
+    // Labels come from the oracle-proven tie-free heuristic gate
+    // (quality >= 0.451117), so DuckDB recomputes the split sizes and
+    // heldout positives exactly, and the learned model's held-out
+    // accuracy rides as a certified boolean.
+    QueryDef("quality_classifier",
+      (s, dir) => {
+        // per-doc scores from the frozen model (no SQL oracle: the
+        // weights come from driver-side gradient descent; the model's
+        // quality is oracle-certified by quality_classifier_cert)
+        val docs = Tables.documents(s, dir)
+        val w = trainedQualityWeights(s, dir)
+        QualityModel.score(docs, "doc_id", "text", w)
+          .select(col("doc_id"), round(col("score"), 6).as("score"),
+            col("predicted_good"))
+      },
+      None),
+
+    QueryDef("quality_classifier_cert",
+      (s, dir) => {
+        val labeled = labeledQualityDocs(s, dir)
+        val w = trainedQualityWeights(s, dir)
+        val held = labeled.filter(!col("is_train"))
+          .join(QualityModel.score(Tables.documents(s, dir), "doc_id",
+            "text", w), Seq("doc_id"))
+        val agg = held.agg(
+          count(lit(1)).as("n_heldout"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("n_pos_heldout"),
+          avg(when(col("predicted_good") === col("good"), 1.0)
+            .otherwise(0.0)).as("acc"))
+        labeled.filter(col("is_train"))
+          .agg(count(lit(1)).as("n_train"))
+          .crossJoin(agg)
+          .select(col("n_train"), col("n_heldout"), col("n_pos_heldout"),
+            (col("acc") >= 0.85).as("acc_ok"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+              |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |      / len(string_split(text, ' '))
+              |    * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              |        x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+              |      / len(string_split(text, ' '))), 6) AS quality
+              |  FROM documents),
+              |l AS (SELECT doc_id, quality >= 0.451117 AS good,
+              |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              |    < '${Sampling.hexThreshold(0.5)}' AS is_train
+              |  FROM q)
+              |SELECT
+              |  CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              |  CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_heldout,
+              |  CAST(SUM(CASE WHEN NOT is_train AND good THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_heldout,
+              |  TRUE AS acc_ok
+              |FROM l""".stripMargin)),
 
     QueryDef("simhash_recall_cert",
       (s, dir) => {
