@@ -38,9 +38,17 @@ object QualityModel {
   def featureColumns(textCol: Column): Seq[(String, Column)] = {
     val t = split(textCol, " ")
     val nTok = size(t).cast("double")
-    val stops = Seq("a", "the", "and", "of", "to")
+    // stopword count via a lookahead regex, NOT size(filter(t, isin)):
+    // the higher-order ArrayFilter is CodegenFallback and drags the
+    // whole scoring Project out of whole-stage codegen; regexp_count
+    // keeps it in (spec-pinned equal to the HOF count, and pinned
+    // in-codegen). The lookahead (?= |$) lets consecutive stopwords
+    // ("of a") both match without consuming the shared delimiter.
+    val stopCount =
+      regexp_count(textCol, lit("(?:^| )(?:a|the|and|of|to)(?= |$)"))
+        .cast("double")
     val diversity = size(array_distinct(t)).cast("double") / nTok
-    val stopRatio = size(filter(t, x => x.isin(stops: _*))).cast("double") / nTok
+    val stopRatio = stopCount / nTok
     Seq(
       "f_diversity" -> diversity,
       "f_stop_ratio" -> stopRatio,

@@ -63,6 +63,28 @@ class QualityModelSpec extends SparkSpecBase {
     }
   }
 
+  test("regex stopword count == higher-order filter count (fixture-wide)") {
+    val docs = Tables.documents(spark, sf)
+    val t = split(col("text"), " ")
+    val hof = size(filter(t,
+      x => x.isin(Seq("a", "the", "and", "of", "to"): _*))).cast("double")
+    val regex = regexp_count(col("text"),
+      lit("(?:^| )(?:a|the|and|of|to)(?= |$)")).cast("double")
+    val mismatches = docs
+      .agg(sum(when(hof =!= regex, 1L).otherwise(0L))).head.getLong(0)
+    assert(mismatches == 0)
+  }
+
+  test("scoring stays inside whole-stage codegen (no fallback exprs)") {
+    val docs = Tables.documents(spark, sf)
+    val w = QualityModel.Weights(-1.0, Array(2.0, -3.0, 4.0, 0.25))
+    val plan = QualityModel.score(docs, "doc_id", "text", w)
+      .queryExecution.executedPlan.toString
+    // the scoring Project must carry the codegen star — a fallback
+    // expression (e.g. a higher-order ArrayFilter) would drop it
+    assert(plan.contains("*(1) Project"), s"scoring Project not codegen'd:\n$plan")
+  }
+
   test("fixture: heldout accuracy of the trained gate >= 0.9") {
     val docs = Tables.documents(spark, sf)
     val labeled = docs
