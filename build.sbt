@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output is inherited directly (no "[info] " log-prefix):
+// the driver parses graft.Bench's one-line JSON contract from stdout,
+// and sbt's default LoggedOutput decoration defeated that parse in
+// every round through r14 ("parsed": null). StdoutOutput routes the
+// forked process's stdout→stdout and stderr→stderr verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

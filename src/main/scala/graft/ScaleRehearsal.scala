@@ -234,9 +234,14 @@ object ScaleRehearsal {
       // reported max state must equal the fixture's own, proving the
       // state never absorbs events.
       val ev0 = Tables.events(spark, sfDir)
+      // offset derived from the fixture's own id range: a fixed
+      // constant would silently collide (and merge distinct users'
+      // state) the day user_ids outgrow it — which would invalidate
+      // the "max state equals the fixture's own" evidence below
+      val userOffset = ev0.agg(max(col("user_id"))).head().getLong(0) + 1L
       val ev = (0 until reps).map(r =>
           ev0.select(col("event_id"), col("ts"),
-            (col("user_id") + lit(r * 10000001L)).as("user_id"),
+            (col("user_id") + lit(r * userOffset)).as("user_id"),
             col("event_type"), col("value")))
         .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
       timed(s"sessions_stream drain (${reps}x users)") {

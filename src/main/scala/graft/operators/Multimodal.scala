@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * read. Formats this container lacks codecs for (JPEG is present in
   * the JDK too, but e.g. MP4/FLAC are not) would slot in behind the
   * same `decode*` functions without touching the Spark plumbing:
-  * range partitioning by media id and iterator-in/iterator-out
+  * hash partitioning by media id and iterator-in/iterator-out
   * `mapPartitions` batches (the JVM analogue of `mapInPandas`, so
   * per-partition codec setup amortizes).
   */
@@ -396,8 +396,10 @@ object Multimodal {
   /** Decode/feature-extract over a media relation: typed
     * `mapPartitions` — the whole partition streams through one
     * iterator (batch shape ≡ `mapInPandas`), so per-call codec setup
-    * amortizes across the partition. Repartitions by media_id range so
-    * decode work spreads evenly regardless of upstream file layout. */
+    * amortizes across the partition. Repartitions by media_id hash so
+    * decode work spreads evenly regardless of upstream file layout
+    * (hash, not range — see [[typedMedia]] for the double-evaluation
+    * trap in range's sampling pass). */
   def extractFeatures(spark: SparkSession, media: DataFrame,
       partitions: Int = 0, onError: String = "fail"): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -441,7 +443,15 @@ object Multimodal {
     val typed = media.select(col("media_id"), col("kind"), col("bytes"),
         col("width"), col("height"), col("sample_rate"), col("duration_ms"))
       .as[MediaFile]
-    if (partitions > 0) typed.repartitionByRange(partitions, col("media_id"))
+    // HASH repartition, not repartitionByRange: RangePartitioner runs a
+    // separate boundary-sampling pass over the child, which EVALUATES
+    // THE WHOLE UPSTREAM PIPELINE A SECOND TIME — for a media relation
+    // that upstream is the codec/encode path, the most expensive thing
+    // in the query (measured: the range shuffle doubled media_transcode
+    // at sf0.1, the r8→r14 bench drift). Hash on media_id spreads
+    // decode work just as evenly and plans a single exchange with no
+    // sampling job.
+    if (partitions > 0) typed.repartition(partitions, col("media_id"))
     else typed
   }
 

@@ -36,15 +36,22 @@ object Selection {
   /** Rows of `scored` whose running `costCol` total — accumulated in
     * (`scoreCol` DESC, `idCol` ASC) order — stays within `budget`.
     * Output columns = input columns; null scores/costs are excluded
-    * (they have no place in the ranking). */
+    * (they have no place in the ranking). Costs are integral (token
+    * counts — a fractional cost column is truncated by the explicit
+    * long cast, never a runtime ClassCastException) and must be
+    * non-negative: a negative cost breaks the monotone running-cost
+    * prefix the operator is defined by, so it is rejected up front. */
   def selectByBudget(scored: DataFrame, idCol: String, scoreCol: String,
       costCol: String, budget: Long, buckets: Int = 256): DataFrame = {
     require(budget >= 0L, "budget must be non-negative")
     require(buckets >= 1, "need at least one bucket")
     val in = scored.filter(col(scoreCol).isNotNull && col(costCol).isNotNull)
     val mm = in.agg(min(col(scoreCol)).cast("double").as("lo"),
-      max(col(scoreCol)).cast("double").as("hi")).head()
+      max(col(scoreCol)).cast("double").as("hi"),
+      min(col(costCol).cast("long")).as("minCost")).head()
     if (mm.isNullAt(0)) return in // empty input
+    require(mm.getLong(2) >= 0L,
+      s"negative $costCol (${mm.getLong(2)}) breaks the running-cost prefix")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     // width_bucket yields buckets+1 for v == hi; fold it into the top
     // bucket. A constant score column degenerates to one bucket — the
@@ -54,7 +61,7 @@ object Selection {
       else least(lit(buckets),
         width_bucket(col(scoreCol).cast("double"), lit(lo), lit(hi), lit(buckets)))
     val hist = in.groupBy(bucketOf.cast("long").as("__b"))
-      .agg(sum(col(costCol)).as("__t"))
+      .agg(sum(col(costCol).cast("long")).as("__t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // walk top-down: find the bucket where the running cost crosses
     var cum = 0L
@@ -71,7 +78,7 @@ object Selection {
     // single-ordering window runs over ~1/buckets of the corpus
     val w = Window.orderBy(col(scoreCol).desc, col(idCol))
     val sel = in.filter(bucketOf === boundary)
-      .withColumn("__cum", sum(col(costCol)).over(w))
+      .withColumn("__cum", sum(col(costCol).cast("long")).over(w))
       .filter(col("__cum") <= budget - aboveSum)
       .drop("__cum")
     above.unionByName(sel)

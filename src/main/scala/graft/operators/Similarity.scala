@@ -230,9 +230,35 @@ object Similarity {
       case leaf => leaf.children.isEmpty
     }
 
+  /** The staged, per-(corpus, parameters) intermediates of
+    * [[nearestDupLsh]]: the projected (vec_id, v) corpus view, the two
+    * CHECKPOINTED (vec_id, bucket) join legs, and the hot-bucket split
+    * map when the skew guard engaged. Everything here is computed by
+    * one derive pass and is identical across evaluations, so a session
+    * that evaluates the operator repeatedly (Bench's best-of reps; a
+    * verify pass consuming it from two queries) should stage ONCE —
+    * `PipelineQueries.stagedNearDupLsh` memoizes per (session, dir) the
+    * way the winnow pair relation is staged — and re-evaluate only the
+    * candidate join + scoring via [[nearestDupLshFrom]]. Single-shot
+    * callers use [[nearestDupLsh]], which stages-then-consumes in one
+    * call with behavior identical to the pre-staging implementation. */
+  private[graft] final case class LshStage(
+      c0: DataFrame, keyed: DataFrame, keyedProbe: DataFrame,
+      hot: Option[DataFrame], multiProbe: Int) {
+    /** The frames holding localCheckpoint blocks (for eviction). */
+    private[graft] def checkpointed: Seq[DataFrame] =
+      Seq(keyed) ++ (if (keyedProbe eq keyed) Nil else Seq(keyedProbe)) ++ hot
+  }
+
   def nearestDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = -1, tables: Int = 8, dim: Int = -1,
-      maxBucket: Int = 4096, multiProbe: Int = 2): DataFrame = {
+      maxBucket: Int = 4096, multiProbe: Int = 2): DataFrame =
+    nearestDupLshFrom(stageNearestDupLsh(corpus, idCol, vecCol,
+      planes, tables, dim, maxBucket, multiProbe))
+
+  private[graft] def stageNearestDupLsh(corpus: DataFrame, idCol: String,
+      vecCol: String, planes: Int = -1, tables: Int = 8, dim: Int = -1,
+      maxBucket: Int = 4096, multiProbe: Int = 2): LshStage = {
     val c0 = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     // bucket count tracks corpus size (~64 vectors per bucket), so
     // within-bucket pair counts stay bounded as N grows — a FIXED
@@ -320,17 +346,35 @@ object Similarity {
     // the same deterministic vec_id hash, so a hot-bucket pair is
     // found iff its endpoints share a sub-bucket — recall confinement
     // unchanged, salting strictly more conservative.
-    lazy val hot = (if (multiProbe <= 0) keyed else keyedProbe)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") > maxBucket)
-      .withColumn("__splits", ceil(col("__bc") / lit(maxBucket.toDouble)))
-      .select(col("bucket"), col("__splits"))
-    def saltOf(rel: DataFrame): DataFrame =
-      if (noSalt) rel.withColumn("__sub", lit(0L))
-      else rel.join(broadcast(hot), Seq("bucket"), "left")
+    val hot =
+      if (noSalt) None
+      else Some((if (multiProbe <= 0) keyed else keyedProbe)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("__bc"))
+        .filter(col("__bc") > maxBucket)
+        .withColumn("__splits", ceil(col("__bc") / lit(maxBucket.toDouble)))
+        .select(col("bucket"), col("__splits"))
+        // tiny (hot buckets only) and identical across evaluations —
+        // materialized at stage time so re-evaluations broadcast the
+        // blocks instead of re-running the histogram aggregate
+        .localCheckpoint())
+    LshStage(c0, keyed, keyedProbe, hot, multiProbe)
+  }
+
+  /** The per-evaluation half of [[nearestDupLsh]]: candidate self-join
+    * over the staged key legs, pair dedup, vector fetch, cosine, top-1.
+    * See [[stageNearestDupLsh]] for what is staged and why. */
+  private[graft] def nearestDupLshFrom(st: LshStage): DataFrame = {
+    val c0 = st.c0
+    val keyed = st.keyed
+    val keyedProbe = st.keyedProbe
+    val multiProbe = st.multiProbe
+    def saltOf(rel: DataFrame): DataFrame = st.hot match {
+      case None => rel.withColumn("__sub", lit(0L))
+      case Some(h) => rel.join(broadcast(h), Seq("bucket"), "left")
         .select(col("vec_id"), col("bucket"),
           coalesce(pmod(xxhash64(col("vec_id")), col("__splits")), lit(0L))
             .as("__sub"))
+    }
     val pairs = if (multiProbe <= 0) {
       val salted = saltOf(keyed)
       salted.as("a").join(salted.as("b"),

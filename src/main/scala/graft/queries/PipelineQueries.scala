@@ -87,8 +87,20 @@ object PipelineQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[
       org.apache.spark.sql.SparkSession]
 
-  private[graft] def stagedOverlapPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  /** Same staging discipline for the LSH nearest-dup key relations:
+    * the derive aggregate, the two checkpointed (vec_id, bucket) join
+    * legs and the hot-bucket map are identical across evaluations in a
+    * session, and before this memo every bench rep (and each of the
+    * two verify queries consuming the operator) re-materialized them —
+    * 3 extra jobs per evaluation whose scheduling jitter made this the
+    * bench's flakiest row three rounds running. Bench times the
+    * staging explicitly as its own cold row (`lsh_stage_keys`). */
+  private val nearDupStageCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      graft.operators.Similarity.LshStage]
+
+  private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
     if (overlapEvictionHooked.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
@@ -96,30 +108,52 @@ object PipelineQueries {
           evictOverlapPairs(s)
       })
     }
+
+  private[graft] def stagedOverlapPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    hookEviction(s)
     overlapPairsCache.computeIfAbsent((s, dir),
       _ => TextAnalysis.overlapPairs(
         Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
   }
 
-  /** Drop every staged pair relation owned by `s` and unpersist its
-    * localCheckpoint blocks (the checkpoint RDD surfaces as the
-    * LogicalRDD leaf of the memoized frame). Safe to call on a
-    * stopped context — unpersist failures are swallowed because the
-    * blocks die with the context anyway. */
+  private[graft] def stagedNearDupLsh(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.Similarity.LshStage = {
+    hookEviction(s)
+    nearDupStageCache.computeIfAbsent((s, dir),
+      _ => graft.operators.Similarity.stageNearestDupLsh(
+        Tables.embeddings(s, dir), "vec_id", "embedding"))
+  }
+
+  /** Drop every staged relation owned by `s` (winnow pairs AND the
+    * LSH key stage) and unpersist their localCheckpoint blocks (the
+    * checkpoint RDD surfaces as the LogicalRDD leaf of the memoized
+    * frame). Safe to call on a stopped context — unpersist failures
+    * are swallowed because the blocks die with the context anyway. */
   private[graft] def evictOverlapPairs(
       s: org.apache.spark.sql.SparkSession): Unit = {
     overlapEvictionHooked.remove(s)
+    def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          try l.rdd.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        case _ => ()
+      }
     val it = overlapPairsCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
-        e.getValue.queryExecution.analyzed match {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
-            try l.rdd.unpersist(blocking = false)
-            catch { case _: Exception => () }
-          case _ => ()
-        }
+        unpersistCheckpoint(e.getValue)
         it.remove()
+      }
+    }
+    val jt = nearDupStageCache.entrySet().iterator()
+    while (jt.hasNext) {
+      val e = jt.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.checkpointed.foreach(unpersistCheckpoint)
+        jt.remove()
       }
     }
   }
@@ -129,6 +163,14 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession): Int = {
     var n = 0
     overlapPairsCache.forEach((k, _) => if (k._1 eq s) n += 1)
+    n
+  }
+
+  /** Test hook: staged LSH key stages currently held for `s`. */
+  private[graft] def stagedNearDupCount(
+      s: org.apache.spark.sql.SparkSession): Int = {
+    var n = 0
+    nearDupStageCache.forEach((k, _) => if (k._1 eq s) n += 1)
     n
   }
 
@@ -533,8 +575,12 @@ object PipelineQueries {
         // exact query above whose plan is a cartesian product. Bucket
         // membership depends on the hash planes, so no SQL oracle;
         // recall vs the exact 1-NN is ScalaTest-floored AND surfaced
-        // driver-visibly by embed_ann_recall below.
-        Similarity.nearestDupLsh(Tables.embeddings(s, dir), "vec_id", "embedding"),
+        // driver-visibly by embed_ann_recall below. The key legs are
+        // STAGED once per (session, dir) — see stagedNearDupLsh — so
+        // repeated evaluations time the candidate join + scoring;
+        // Bench reports the staging cost as its own `lsh_stage_keys`
+        // row.
+        Similarity.nearestDupLshFrom(stagedNearDupLsh(s, dir)),
       None),
 
     QueryDef("embed_ann_recall",
@@ -574,7 +620,7 @@ object PipelineQueries {
             k = 1, broadcastQueries = false)
           .select(col("qid"), col("vec_id"))
         val nnHits = exact1nn.join(
-            Similarity.nearestDupLsh(emb, "vec_id", "embedding")
+            Similarity.nearestDupLshFrom(stagedNearDupLsh(s, dir))
               .select(col("qid"), col("nn").as("vec_id")),
             Seq("qid", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))

@@ -214,10 +214,15 @@ object EventStream {
           if (open.isEmpty) state.remove()
           else {
             state.update(GapIntervals(open))
-            // strictly above the watermark by construction: every open
-            // interval has end + gap >= wm, and +1 ms breaks the tie
+            // fire at the EARLIEST close time among open intervals:
+            // with several open intervals, keying the timeout off the
+            // max would hold the earlier session in state until the
+            // latest one's close time even though the watermark had
+            // already passed its own end + gap. Strictly above the
+            // watermark by construction (every open interval has
+            // end + gap >= wm), and +1 ms breaks the tie.
             state.setTimeoutTimestamp(
-              (open.map(_._2).max + gapMicros) / 1000L + 1L)
+              (open.map(_._2).min + gapMicros) / 1000L + 1L)
           }
           closed.iterator.map { case (s, e, c) =>
             ClosedSession(userId, s, e, c) }

@@ -1347,4 +1347,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rddIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
       "evicted checkpoint blocks must be unpersisted")
   }
+
+  test("staged LSH key legs: memoized per session, equivalent to the direct call, evicted") {
+    import graft.queries.PipelineQueries
+    val child = spark.newSession()
+    val st1 = PipelineQueries.stagedNearDupLsh(child, sf)
+    val st2 = PipelineQueries.stagedNearDupLsh(child, sf)
+    assert(st1 eq st2, "second lookup must hit the memo")
+    assert(PipelineQueries.stagedNearDupCount(child) === 1)
+    // staged-then-consumed ≡ the single-shot operator (same planes,
+    // same seeds, same salting decision) — the bench row's restructure
+    // must not change the registered query's output
+    val viaStage = Similarity.nearestDupLshFrom(st1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.nearestDupLsh(
+        graft.queries.Tables.embeddings(child, sf), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStage === direct)
+    // the consumed plan still never degenerates to all-pairs
+    val plan = Similarity.nearestDupLshFrom(st1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+    // eviction drops the stage AND unpersists its checkpointed legs
+    val rddIds = st1.checkpointed.map(_.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case p => fail(s"staged leg should be a LogicalRDD leaf, got $p")
+    })
+    assert(rddIds.nonEmpty)
+    assert(rddIds.forall(spark.sparkContext.getPersistentRDDs.contains))
+    PipelineQueries.evictOverlapPairs(child)
+    assert(PipelineQueries.stagedNearDupCount(child) === 0)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (rddIds.exists(spark.sparkContext.getPersistentRDDs.contains)
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(rddIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "evicted stage checkpoints must be unpersisted")
+  }
 }

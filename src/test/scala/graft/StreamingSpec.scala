@@ -154,12 +154,21 @@ class StreamingSpec extends SparkSpecBase {
       // the first session (watermark progress via timeout or new data)
       input.addData(Event(3, Timestamp.valueOf("2024-01-01 20:00:00"), 1, "view", 1.0))
       q.processAllAvailable()
+      // batch 3's 23:00 event advances the watermark to 22:00, which
+      // passes the [20:00, 20:00] interval's close time (20:30). The
+      // state timeout fires off the EARLIEST open close time, so that
+      // session closes right here — before the user's next event —
+      // while [23:00, 23:00] stays open (23:30 > 22:00). A timeout
+      // keyed off the max open close time would hold it until 23:30,
+      // the laggard-session bug this pins against.
       input.addData(Event(4, Timestamp.valueOf("2024-01-01 23:00:00"), 1, "view", 1.0))
       q.processAllAvailable()
+      val t2000us = us(Timestamp.valueOf("2024-01-01 20:00:00"))
       val closed = spark.table("stream_gap_wm")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
-      assert(closed === Set((1L, us(t1000), us(t1010), 2L)))
+      assert(closed === Set((1L, us(t1000), us(t1010), 2L),
+        (1L, t2000us, t2000us, 1L)))
     } finally q.stop()
   }
 
