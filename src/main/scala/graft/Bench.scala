@@ -217,6 +217,22 @@ object Bench {
       }
     }
 
+    // OBSERVED cert metrics (round 15): the floored booleans in the
+    // cert queries only fail on a cliff; emitting the measured values
+    // here makes a slow recall slide visible round-over-round in the
+    // BENCH_r{N} series. Not timed rows — computed once after the
+    // loop, excluded from "value".
+    val certs: Seq[(String, Double)] =
+      try graft.queries.PipelineQueries.certObserved(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] certObserved failed: ${e.getMessage}")
+        Seq.empty
+      }
+    certs.foreach { case (k, v) =>
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] cert %-24s %.4f", k, Double.box(v)))
+    }
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -231,10 +247,12 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val cs = certs.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qs,"errors":$es,"reps":$reps,"sf":${jstr(sfDir)}}"""
+        s""""queries":$qs,"errors":$es,"certs":$cs,"reps":$reps,"sf":${jstr(sfDir)}}"""
     println(line)
     // sbt decorates stdout with "[info] ", which defeats the driver's
     // line parse — also drop the bare line where it can be read back

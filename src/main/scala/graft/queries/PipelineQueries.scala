@@ -174,6 +174,134 @@ object PipelineQueries {
     n
   }
 
+  /** The ANN recall certificate's legs — THE single definition of
+    * which approximate paths are gated, at which parameters, against
+    * which exact ground truth. `embed_ann_recall` (the driver-visible
+    * boolean gate) and [[certObserved]] (the machine-readable observed
+    * series Bench emits) both consume this, so a parameter retune can
+    * never make the two silently measure different things.
+    * `methods` = (name, floor, approx top-10 frame with qid/vec_id);
+    * `nearestDup` reads the per-session staged key legs. */
+  private[graft] final case class AnnRecallLegs(
+      exactTop10: org.apache.spark.sql.DataFrame,
+      exact1nn: org.apache.spark.sql.DataFrame,
+      nearestDup: org.apache.spark.sql.DataFrame,
+      methods: Seq[(String, Double, org.apache.spark.sql.DataFrame)])
+
+  private[graft] def annRecallLegs(s: org.apache.spark.sql.SparkSession,
+      dir: String): AnnRecallLegs = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries,
+        k = 10)
+      .select(col("qid"), col("vec_id"))
+    val exact1nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.select(col("vec_id").as("qid"),
+          Similarity.asDouble(col("embedding")).as("qv")),
+        k = 1, broadcastQueries = false)
+      .select(col("qid"), col("vec_id"))
+    val nearestDup = Similarity.nearestDupLshFrom(stagedNearDupLsh(s, dir))
+      .select(col("qid"), col("nn").as("vec_id"))
+    // both IVF paths share one trained quantizer (identical to what
+    // each would train itself — deterministic sample/seeds)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 32)
+    val methods = Seq(
+      ("lsh", 0.8,
+        Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10)),
+      ("ivf", 0.75,
+        Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
+          centroids = cents)),
+      ("sq8", 0.9,
+        Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10)),
+      ("ivf_sq8", 0.75,
+        Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10,
+          centroids = cents)),
+      // PQ: observed 0.93-1.0 across sf0.001-0.1 at the default
+      // m=8/ksub=256/refine=8 — floor 0.7 keeps >=30% margin
+      ("pq", 0.7,
+        Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10)),
+      // IVF-PQ: recall is bounded by the SAME cell pruning as the
+      // plain ivf/ivf_sq8 paths (shared cents, nprobe 16 of 32 —
+      // measured 0.875/0.888/0.900 at sf0.1/0.01/0.001, within a hit
+      // or two of plain ivf's 0.888-0.900: the residual-PQ layer is
+      // near-lossless at refine=8) — same 0.75 floor as the other IVF
+      // paths, >=16% margin
+      ("ivf_pq", 0.75,
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 10,
+          centroids = cents,
+          codebooks = Similarity.trainIvfPqCodebooks(
+            emb, "vec_id", "embedding", cents))))
+    AnnRecallLegs(exact, exact1nn, nearestDup, methods)
+  }
+
+  /** OBSERVED certificate metrics — the values whose floored booleans
+    * gate the 12 hash-dependent rows. The floors only fail on a cliff;
+    * this emits the underlying measurements so a slow recall slide is
+    * visible round-over-round in the bench JSON (`"certs"` object)
+    * instead of surfacing only when a floor finally breaks. Keys are
+    * stable; every computation reuses the exact operator calls (and
+    * per-session staged relations) the cert queries themselves run.
+    * Recall ratios are vs-certificate-ground-truth (1.0 = perfect);
+    * `hll_max_rel_err` is an error (lower is better);
+    * `quality_heldout_acc` is held-out accuracy. */
+  private[graft] def certObserved(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val docs = Tables.documents(s, dir)
+    def ratio(num: Long, den: Long): Double =
+      if (den == 0L) 1.0 else num.toDouble / den
+    // planted ground truth shared by the overlap + simhash certs
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nPlanted = planted.count()
+    def plantedHits(found: org.apache.spark.sql.DataFrame): Long =
+      planted.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    val overlapRecall = ratio(plantedHits(
+      stagedOverlapPairs(s, dir).select(col("doc_a"), col("doc_b"))), nPlanted)
+    val topkRecall = ratio(plantedHits(
+      TextAnalysis.overlapTopKOf(stagedOverlapPairs(s, dir), 5)
+        .select(least(col("doc"), col("partner")).as("doc_a"),
+          greatest(col("doc"), col("partner")).as("doc_b"))
+        .distinct()), nPlanted)
+    val simhashRecall = ratio(plantedHits(
+      Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))), nPlanted)
+    val legs = annRecallLegs(s, dir)
+    val exact10 = legs.exactTop10.localCheckpoint()
+    val tot10 = exact10.count()
+    val ann = legs.methods.map { case (m, _, approx) =>
+      s"ann_${m}_recall" -> ratio(
+        exact10.join(approx.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count(), tot10)
+    }
+    val exact1 = legs.exact1nn.localCheckpoint()
+    val nnRecall = ratio(
+      exact1.join(legs.nearestDup, Seq("qid", "vec_id"), "left_semi").count(),
+      exact1.count())
+    val hllErr = Windows.distinctUsersExact(Tables.events(s, dir)).as("e")
+      .join(Windows.distinctUsersApprox(Tables.events(s, dir)).as("a"),
+        col("e.event_type") <=> col("a.event_type"))
+      .select((abs(col("users_approx") - col("users")) /
+        col("users").cast("double")).as("re"))
+      .agg(max(col("re"))).head().getDouble(0)
+    val qualityAcc = labeledQualityDocs(s, dir).filter(!col("is_train"))
+      .join(QualityModel.score(docs, "doc_id", "text",
+        trainedQualityWeights(s, dir)), Seq("doc_id"))
+      .agg(avg(when(col("predicted_good") === col("good"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    Seq("overlap_recall" -> overlapRecall,
+      "overlap_topk_recall" -> topkRecall,
+      "simhash_recall" -> simhashRecall) ++
+      ann ++ Seq(
+      "nearest_dup_lsh_recall" -> nnRecall,
+      "hll_max_rel_err" -> hllErr,
+      "quality_heldout_acc" -> qualityAcc)
+  }
+
   private[graft] def plantedNearDups(base: org.apache.spark.sql.DataFrame,
       offset: Long): org.apache.spark.sql.DataFrame =
     base.filter(col("vec_id") < 16)
@@ -599,63 +727,24 @@ object PipelineQueries {
         // base-only) — floors 0.8/0.75/0.7 hold everywhere with
         // >=15-40% margin while still failing on any genuine recall
         // collapse.
-        val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"),
-            Similarity.asDouble(col("embedding")).as("qv"))
-        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
-          .select(col("qid"), col("vec_id"))
+        val legs = annRecallLegs(s, dir)
         def recallOk(method: String, approx: org.apache.spark.sql.DataFrame,
             floor: Double) = {
-          val hits = exact.join(approx.select(col("qid"), col("vec_id")),
+          val hits = legs.exactTop10.join(approx.select(col("qid"), col("vec_id")),
               Seq("qid", "vec_id"), "left_semi")
             .agg(count(lit(1)).as("hits"))
-          exact.agg(count(lit(1)).as("tot")).crossJoin(hits)
+          legs.exactTop10.agg(count(lit(1)).as("tot")).crossJoin(hits)
             .select(lit(method).as("method"),
               (col("hits") >= col("tot") * floor).as("recall_ok"))
         }
-        val exact1nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-            emb.select(col("vec_id").as("qid"),
-              Similarity.asDouble(col("embedding")).as("qv")),
-            k = 1, broadcastQueries = false)
-          .select(col("qid"), col("vec_id"))
-        val nnHits = exact1nn.join(
-            Similarity.nearestDupLshFrom(stagedNearDupLsh(s, dir))
-              .select(col("qid"), col("nn").as("vec_id")),
+        val nnHits = legs.exact1nn.join(legs.nearestDup,
             Seq("qid", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
-        val nnOk = exact1nn.agg(count(lit(1)).as("tot")).crossJoin(nnHits)
+        val nnOk = legs.exact1nn.agg(count(lit(1)).as("tot")).crossJoin(nnHits)
           .select(lit("nearest_dup_lsh").as("method"),
             (col("hits") >= col("tot") * 0.7).as("recall_ok"))
-        // both IVF paths share one trained quantizer (identical to
-        // what each would train itself — deterministic sample/seeds)
-        val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
-          nlist = 32)
-        recallOk("lsh",
-            Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10), 0.8)
-          .unionByName(recallOk("ivf",
-            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
-              centroids = cents), 0.75))
-          .unionByName(recallOk("sq8",
-            Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10), 0.9))
-          .unionByName(recallOk("ivf_sq8",
-            Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10,
-              centroids = cents), 0.75))
-          // PQ: observed 0.93-1.0 across sf0.001-0.1 at the default
-          // m=8/ksub=256/refine=8 — floor 0.7 keeps >=30% margin
-          .unionByName(recallOk("pq",
-            Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10), 0.7))
-          // IVF-PQ: recall is bounded by the SAME cell pruning as the
-          // plain ivf/ivf_sq8 paths (shared cents, nprobe 16 of 32 —
-          // measured 0.875/0.888/0.900 at sf0.1/0.01/0.001, within a
-          // hit or two of plain ivf's 0.888-0.900: the residual-PQ
-          // layer is near-lossless at refine=8) — same 0.75 floor as
-          // the other IVF paths, >=16% margin
-          .unionByName(recallOk("ivf_pq",
-            Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 10,
-              centroids = cents,
-              codebooks = Similarity.trainIvfPqCodebooks(
-                emb, "vec_id", "embedding", cents)), 0.75))
+        legs.methods.map { case (m, floor, approx) => recallOk(m, approx, floor) }
+          .reduce(_ unionByName _)
           .unionByName(nnOk)
       },
       Some("""SELECT 'lsh' AS method, TRUE AS recall_ok

@@ -1384,4 +1384,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rddIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
       "evicted stage checkpoints must be unpersisted")
   }
+
+  test("certObserved emits every gated metric and clears the registered floors") {
+    import graft.queries.PipelineQueries
+    val m = PipelineQueries.certObserved(spark, sf).toMap
+    // stable key set — the round-over-round series the bench JSON
+    // carries; a key rename would silently break the trend record
+    assert(m.keySet === Set(
+      "overlap_recall", "overlap_topk_recall", "simhash_recall",
+      "ann_lsh_recall", "ann_ivf_recall", "ann_sq8_recall",
+      "ann_ivf_sq8_recall", "ann_pq_recall", "ann_ivf_pq_recall",
+      "nearest_dup_lsh_recall", "hll_max_rel_err", "quality_heldout_acc"))
+    // the observed values must clear the same floors the cert queries
+    // gate on — if a cert would fail the driver gate, this fails first
+    assert(m("overlap_recall") >= 0.8)
+    assert(m("overlap_topk_recall") >= 0.8)
+    assert(m("simhash_recall") >= 0.6)
+    assert(m("ann_lsh_recall") >= 0.8)
+    assert(m("ann_ivf_recall") >= 0.75)
+    assert(m("ann_sq8_recall") >= 0.9)
+    assert(m("ann_ivf_sq8_recall") >= 0.75)
+    assert(m("ann_pq_recall") >= 0.7)
+    assert(m("ann_ivf_pq_recall") >= 0.75)
+    assert(m("nearest_dup_lsh_recall") >= 0.7)
+    // hll cert bound is |approx-exact| <= 0.06*users + 1; with the
+    // tiny per-type user counts at sf0.001 the +1 slack dominates, so
+    // the relative form is loose here — 0.2 still catches a sketch
+    // regression while tolerating one-off integer jumps
+    assert(m("hll_max_rel_err") >= 0.0 && m("hll_max_rel_err") <= 0.2)
+    assert(m("quality_heldout_acc") >= 0.85)
+  }
 }
