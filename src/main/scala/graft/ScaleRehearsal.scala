@@ -224,7 +224,7 @@ object ScaleRehearsal {
           sum(col("bpe_tokens")).as("bpe_tokens")))
     }
 
-    if (selected("sessions")) {
+    if (selected("sessions") || selected("sessions_wm")) {
       // gapSessions state-bound evidence: per-user state is the MERGED
       // interval list — bounded by the user's true session count, not
       // their event count. Replicating the fixture's USER SPACE reps×
@@ -244,7 +244,7 @@ object ScaleRehearsal {
             (col("user_id") + lit(r * userOffset)).as("user_id"),
             col("event_type"), col("value")))
         .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
-      timed(s"sessions_stream drain (${reps}x users)") {
+      if (selected("sessions")) timed(s"sessions_stream drain (${reps}x users)") {
         val out = graft.streaming.EventStream.gapSessionsDrained(spark, ev)
           .localCheckpoint()
         val st = out.agg(max(col("sessions")).as("mx"),
@@ -253,6 +253,103 @@ object ScaleRehearsal {
           f"avg=${st.getDouble(1)}%.1f max_events_per_user=${st.getLong(2)} " +
           "(state rows = intervals, not events)")
         forceCount(out)
+      }
+      // the PRODUCTION watermarked shape: peak state-store rows across
+      // the drain's micro-batches must track users × open-intervals
+      // (a small per-user constant), never the event volume — drained
+      // at 1× and reps×, the per-user peak must be ~equal while events
+      // grow reps×.
+      if (selected("sessions_wm")) timed(s"sessions_wm drain (${reps}x users, append)") {
+        val users1 = ev0.select(col("user_id")).distinct().count()
+        val (c1, s1) = graft.streaming.EventStream
+          .gapSessionsWatermarkedDrained(spark, ev0)
+        val closed1 = c1.count()
+        val (cN, sN) = graft.streaming.EventStream
+          .gapSessionsWatermarkedDrained(spark, ev)
+        val closedN = cN.count()
+        println(f"[rehearsal] sessions_wm state: 1x maxStateRows=$s1 " +
+          f"(users=$users1, closed=$closed1, state/user=${s1.toDouble / users1}%.2f); " +
+          f"${reps}x maxStateRows=$sN (users=${users1 * reps}, closed=$closedN, " +
+          f"state/user=${sN.toDouble / (users1 * reps)}%.2f; events=${ev.count()})")
+        closedN
+      }
+    }
+
+    // selectByBudget at reps×: the histogram pass is sort-free and the
+    // exact cumulative window touches ONLY the boundary bucket — the
+    // windowed-row diagnostic must stay a small fraction of the corpus
+    // as it grows (the whole point of refusing the global sort).
+    timed(s"select_budget (${reps}x docs, budget x$reps)") {
+      val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .join(TextAnalysis.tokenCount(docs, "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("ws_tokens"))
+      val n = forceCount(graft.operators.Selection.selectByBudget(
+        scored, "doc_id", "quality", "ws_tokens", budget = 5000L * reps))
+      val (bk, bRows, tRows) = graft.operators.Selection.lastDiag.get()
+      println(f"[rehearsal] select_budget boundary: buckets=$bk " +
+        f"windowed=$bRows of $tRows rows (${bRows.toDouble / math.max(tRows, 1L)}%.4f " +
+        f"of corpus; uniform share would be ${1.0 / math.max(bk, 1)}%.4f)")
+      n
+    }
+
+    // shard export at reps×: one parquet file per shard directory,
+    // every shard but the last exactly full, manifest ≡ disk — the
+    // manifest is computed from the files as written, so equality of
+    // its row total with the input count certifies the layout.
+    if (selected("shards")) {
+      val shardPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rehearsal_shards_${ProcessHandle.current().pid()}").getAbsolutePath
+      try {
+        timed(s"shards write+manifest (${reps}x docs, 5000/shard)") {
+          val manifest = graft.sources.Shards.writeTrainingShards(
+            docs.select(col("doc_id"), col("text")), "doc_id", shardPath,
+            recordsPerShard = 5000L, seed = "rehearsal")
+          val m = manifest.orderBy(col("shard")).collect()
+          val fullExceptLast = m.dropRight(1).forall(_.getAs[Long]("n_rows") == 5000L)
+          val totalRows = m.map(_.getAs[Long]("n_rows")).sum
+          val fs = new org.apache.hadoop.fs.Path(shardPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shardPath))
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+          val maxFiles = shardDirs.map(d => fs.listStatus(d.getPath)
+            .count(f => f.getPath.getName.endsWith(".parquet"))).max
+          val inRows = docs.count()
+          println(s"[rehearsal] shards: nShards=${m.length} dirs=${shardDirs.length} " +
+            s"totalRows=$totalRows inputRows=$inRows fullExceptLast=$fullExceptLast " +
+            s"maxFilesPerShard=$maxFiles (manifest==disk: ${totalRows == inRows}, " +
+            "one file per shard expected)")
+          m.length.toLong
+        }
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(shardPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+
+    // quality classifier at reps×: the trainer reads a bounded
+    // deterministic sample (top-k by hash order — the corpus scan
+    // grows, the sample and the GD cost do not), scoring is one
+    // codegen map stage that tracks the corpus linearly.
+    if (selected("quality")) {
+      import graft.operators.QualityModel
+      def weightsOf(d: DataFrame): (QualityModel.Weights, Double) = {
+        val t0 = System.nanoTime()
+        val labeled = TextAnalysis.qualityScore(d, "doc_id", "text")
+          .withColumn("good", col("quality") >= 0.451117)
+          .select(col("doc_id"), col("good"))
+          .join(QualityModel.features(d, "doc_id", "text"), Seq("doc_id"))
+        val w = QualityModel.train(labeled, "doc_id",
+          QualityModel.featureColumns(col("text")).map(_._1), "good")
+        (w, (System.nanoTime() - t0) / 1e9)
+      }
+      val (w1, t1) = weightsOf(docs0)
+      val (wN, tN) = weightsOf(docs)
+      println(f"[rehearsal] quality train: 1x=$t1%.2f s, ${reps}x=$tN%.2f s " +
+        f"(bounded-sample trainer; ratio=${tN / t1}%.2f — must stay far " +
+        f"under $reps; weights dim=${wN.w.length})")
+      timed(s"quality score (${reps}x corpus, frozen 1x weights)") {
+        forceCount(QualityModel.score(docs, "doc_id", "text", w1))
       }
     }
 
