@@ -353,6 +353,99 @@ object ScaleRehearsal {
       }
     }
 
+    // Flagship COO-algebra rehearsal — the core §2 path
+    // (scan→one_hot→groupby_sum, add_outer, join_axis1), the one
+    // family that had no scale evidence beyond sf0.1. Unlike the
+    // in-memory replication above, this stage writes a real ON-DISK
+    // parquet fixture per scale (user AND event id spaces shifted per
+    // replica, so row count and key cardinality both grow — the
+    // realistic scale-up), because the claim under test includes the
+    // scan itself: column pruning reaches parquet and the chain stays
+    // one shuffle as the fixture grows. At reps=30 over sf0.1 this is
+    // the ~sf3 smoke (3M events). Prints per-scale wall time, output
+    // rows (closed-form: users×types for groupby legs), and the
+    // SHUFFLE COUNT of each executed plan — linearity plus a constant
+    // exchange count is the 100 TB argument for the core algebra.
+    if (selected("coo")) {
+      import graft.core.{AlignHow, ColUniverse, SparseRel}
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      // counts shuffle exchanges in the EXECUTED plan (post-AQE):
+      // AQE materializes exchanges as QueryStageExec LEAF nodes (their
+      // children list is empty), so the walk must descend into each
+      // stage's wrapped plan; a ReusedExchange or AQEShuffleRead
+      // wrapper is not a second shuffle — only ShuffleExchangeLike
+      // nodes count
+      def shuffles(df: DataFrame): Int = {
+        def walk(p: SparkPlan): Int = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case q =>
+            (if (q.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+              q.children.map(walk).sum
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+      def timedPlan(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val frame = df
+        val rows = forceCount(frame)
+        println(f"[rehearsal] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+          f"rows=$rows shuffles=${shuffles(frame)}")
+      }
+      val evSrc = Tables.events(spark, sfDir)
+      val offs = evSrc.agg(max(col("event_id")).as("e"), max(col("user_id")).as("u")).head()
+      val (eventOffset, userOffset) = (offs.getLong(0) + 1L, offs.getLong(1) + 1L)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rehearsal_coo_${ProcessHandle.current().pid()}").getAbsolutePath
+      try {
+        // 1× / ~sf1 / ~sf3 (reps=30 over sf0.1) — a three-point
+        // series so linearity is a measured slope, not a two-point line
+        Seq(1, math.max(reps / 3, 2), reps).distinct.foreach { scale =>
+          val path = s"$base/x$scale"
+          val tW0 = System.nanoTime()
+          (0 until scale).map(r => evSrc
+              .withColumn("event_id", col("event_id") + lit(r * eventOffset))
+              .withColumn("user_id", col("user_id") + lit(r * userOffset)))
+            .reduce(_ unionByName _)
+            .repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(path)
+          val ev = spark.read.parquet(path)
+          println(f"[rehearsal] coo fixture x$scale written in " +
+            f"${(System.nanoTime() - tW0) / 1e9}%.2f s (${ev.count()} events)")
+          def half(even: Boolean, prefix: String): SparseRel = {
+            val parity = if (even) 0 else 1
+            SparseRel(ev.filter(col("event_id") % 2 === parity)
+                .select(col("user_id"),
+                  concat(lit(prefix), col("event_type")).as(SparseRel.COL),
+                  lit(1.0).as(SparseRel.VALUE)),
+              Seq("user_id"),
+              ColUniverse.Explicit(Tables.EventTypes.map(prefix + _)))
+              .groupbySum()
+          }
+          timedPlan(s"coo x$scale flagship scan->coo->groupby_sum") {
+            SparseRel.scanEvents(ev, "event_type", Seq("user_id"),
+              Some(Tables.EventTypes)).groupbySum().df
+          }
+          timedPlan(s"coo x$scale one_hot") {
+            SparseRel.oneHot(ev, "event_type", Tables.EventTypesPlusZero,
+              Seq("event_id")).df
+          }
+          timedPlan(s"coo x$scale add_outer (aligned halves)") {
+            half(even = true, "").add(half(even = false, ""), AlignHow.Outer).df
+          }
+          timedPlan(s"coo x$scale join_axis1_outer") {
+            half(even = true, "a_")
+              .joinAxis1(half(even = false, "b_"), AlignHow.Outer).df
+          }
+        }
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+
     if (selected("skew")) {
     // Skew-guard evidence: rebuild the probe-leg bucket histogram with
     // the operator's ACTUAL derivation (`Similarity.derivedPlanes` /

@@ -535,6 +535,14 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5,
       chunks: Int = 4): DataFrame = {
     val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    jaccardOf(simhashCandidatesOf(sig, chunks), sig)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash chunk-equality candidates over an already-staged
+    * (doc, sh) signature relation — both self-join legs read the
+    * staged arrays, same contract as [[lshCandidatesOf]]. */
+  private def simhashCandidatesOf(sig: DataFrame, chunks: Int): DataFrame = {
     val withSim = sig.select(col("doc"), HashExprs.simhash(col("sh")).as("sim"))
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
@@ -542,12 +550,72 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sim"), c * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "cv")))
-    val cands = chunked.as("x").join(chunked.as("y"),
+    chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    jaccardOf(cands, sig)
+  }
+
+  /** [[simhashNearDuplicates]] with the same DETERMINISTIC-gate shape
+    * as [[nearDuplicatesChecked]]: returns the exact prefix-filtered
+    * pair set (doc_a, doc_b, jaccard) at `threshold`, plus a constant
+    * `simhash_ok` column asserting inside the query that
+    *
+    *  - the simhash pair set is a SUBSET of the exact set (structural
+    *    — simhash candidates are exact-verified on the same staged
+    *    signature relation at the same threshold — but asserted via an
+    *    `n_extra == 0` anti-join so drift between the two verification
+    *    paths cannot go unnoticed), and
+    *  - simhash recovered ≥ `recallFloor` of the PLANTED pairs (exact
+    *    Jaccard ≥ `plantedThreshold`). Unlike banded MinHash, simhash
+    *    recall is not tunable to near-certainty — a Hamming-distance
+    *    bucketing catches high-Jaccard pairs with observed recall
+    *    0.68–0.85 on the deterministic fixtures — so the floor is the
+    *    measured-margin 0.6 rather than minhash's 0.9.
+    *
+    * The row VALUES are reproducible SQL (the same prefix-filter sweep
+    * DuckDB can replay), while a genuine simhash recall collapse flips
+    * `simhash_ok` red against the oracle's constant TRUE. On a
+    * pair-free corpus with a violated certificate a single sentinel
+    * row (-1, -1, -1.0, false) is emitted so the gate can never pass
+    * vacuously. One staged signature pass feeds the chunked self-join,
+    * the prefix-filter sweep, and all verification legs.
+    *
+    * At warehouse scale the exact sweep is verification-grade, not
+    * free: run [[simhashNearDuplicates]] as the production operator
+    * and this variant on the audit slice where deterministic values
+    * are worth the sweep. */
+  def simhashNearDuplicatesChecked(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, threshold: Double = 0.5,
+      chunks: Int = 4, plantedThreshold: Double = 0.9,
+      recallFloor: Double = 0.6): DataFrame = {
+    val sig = stagedSignatures(docs, idCol, textCol, shingleN)
+    // staged like nearDuplicatesChecked's legs: sim and exact each
+    // feed multiple aggregates, and the self-join/sweep behind them
+    // must run once, not once per certificate leg
+    val sim = jaccardOf(simhashCandidatesOf(sig, chunks), sig)
       .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val exact = ngramJaccardPairsOf(sig, threshold).localCheckpoint()
+    val extra = sim.join(exact.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    val planted = exact.filter(col("jaccard") >= plantedThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val missed = planted.join(sim, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val ok = planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(extra).crossJoin(missed)
+      .select((col("n_extra") === 0 &&
+        col("n_missed") <= (lit(1.0) - recallFloor) * col("n_planted"))
+        .as("simhash_ok"))
+    val sentinel = exact.agg(count(lit(1)).as("__n")).crossJoin(ok)
+      .filter(col("__n") === 0 && !col("simhash_ok"))
+      .select(lit(-1L).cast(exact.schema("doc_a").dataType).as("doc_a"),
+        lit(-1L).cast(exact.schema("doc_b").dataType).as("doc_b"),
+        lit(-1.0).as("jaccard"), col("simhash_ok"))
+    exact.crossJoin(broadcast(ok)).unionByName(sentinel)
   }
 }

@@ -568,10 +568,19 @@ object PipelineQueries {
               |ON l.doc = d.doc_id
               |WHERE l.doc IS NULL""".stripMargin)),
 
+    // Same DETERMINISTIC-gate shape as dedup_minhash_lsh: the row
+    // values are the exact prefix-filtered pair set at threshold 0.5
+    // (reproducible SQL), while the simhash path is asserted IN-QUERY
+    // by the constant simhash_ok column — pairs ⊆ exact AND recall
+    // ≥ 0.6 over planted pairs (j ≥ 0.9; observed 0.68–0.85 across
+    // the deterministic fixtures). Retires the last rows-only check
+    // in the dedup family (the pre-r15 registration had no oracle
+    // because the candidate set depends on xxhash64).
     QueryDef("dedup_simhash",
-      (s, dir) => Dedup.simhashNearDuplicates(Tables.documents(s, dir),
+      (s, dir) => Dedup.simhashNearDuplicatesChecked(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, threshold = 0.5),
-      None), // candidate set depends on xxhash64 — ScalaTest-verified instead
+      Some(s"""SELECT doc_a, doc_b, jaccard, TRUE AS simhash_ok
+              |FROM (${jaccardOracle(3, "0.5")})""".stripMargin)),
 
     // ---------------- embedding similarity ----------------
 

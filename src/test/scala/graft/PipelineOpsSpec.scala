@@ -79,6 +79,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"simhash planted recall $recall too low")
   }
 
+  test("simhashNearDuplicatesChecked returns the exact pair set with a green simhash_ok flag") {
+    val checked = Dedup.simhashNearDuplicatesChecked(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    val rows = checked.collect()
+    assert(rows.nonEmpty, "fixture should contain pairs at j >= 0.5")
+    // certificate column constant true: simhash ⊆ exact AND planted
+    // (j ≥ 0.9) recall ≥ 0.6
+    assert(rows.forall(_.getBoolean(3)), "simhash_ok must hold on the fixture")
+    // row values are the DETERMINISTIC exact prefix-filter pair set —
+    // the oracle contract; simhash misses cannot perturb them
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === exact)
+  }
+
   test("duplicateClusters resolves chains and stars to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
