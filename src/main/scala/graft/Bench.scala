@@ -60,8 +60,8 @@ object Bench {
     "q1_agg", "q3_join", "price_quantiles", "label_centroids",
     "dedup_exact", "dedup_paragraph", "dedup_minhash_lsh",
     "dedup_survivors", "dedup_semantic", "dedup_incremental",
-    "text_stats", "token_count", "token_count_bpe", "chunk_documents",
-    "fingerprint_rolling",
+    "text_stats", "token_count", "token_count_bpe", "lm_perplexity",
+    "chunk_documents", "fingerprint_rolling",
     "overlap_recall_cert", "overlap_topk", "decontaminate_bloom_cert",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
     "embed_ann_pq", "embed_ann_ivf_pq",

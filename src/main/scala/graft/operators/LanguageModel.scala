@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model perplexity scoring — the CCNet-style fluency
+  * filter of LLM data pipelines (score every document against a small
+  * LM trained on the corpus; drop the high-perplexity tail). Not a
+  * reference operator: part of the training-data layer this engine
+  * adds on top of the sparsity surface.
+  *
+  * Scale design (the quality-classifier / IVF-trainer discipline):
+  *
+  *  - TRAINING is two hash aggregations with map-side partials whose
+  *    OUTPUT is bounded: the vocab pass keeps the top-`vocabSize`
+  *    tokens (deterministic count-desc/token tie-break), and after
+  *    OOV-mapping to `<unk>` the bigram alphabet is closed — at most
+  *    (|vocab|+1)² keys regardless of corpus size, so the driver-side
+  *    collect is model-sized, never corpus-sized.
+  *  - SCORING is one codegen map stage: the frozen counts ride the
+  *    plan as literal maps (`typedLit`), each document's
+  *    log-probability is an `aggregate` fold over its own token
+  *    array (deterministic left-to-right summation — reproducible in
+  *    SQL as an ordered list fold), no UDF, no shuffle, no join.
+  *
+  * Smoothing is add-α over the closed mapped alphabet:
+  * P(b|a) = (c(a b) + α) / (c(a) + α·S) with S = |vocab| + 1.
+  */
+object LanguageModel {
+
+  val Unk = "<unk>"
+
+  /** Frozen bigram model: top-`vocabSize` raw vocab, mapped-token
+    * unigram counts (vocab ∪ <unk>), mapped bigram counts keyed
+    * "a b" (tokens cannot contain the space they were split on), the
+    * closed alphabet size S = |vocab| + 1, and the smoothing α. */
+  final case class BigramLm(
+      vocab: Seq[String],
+      unigrams: Map[String, Long],
+      bigrams: Map[String, Long],
+      alphabetSize: Int,
+      alpha: Double)
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** OOV-map a token array against the model vocab. */
+  private def mapped(t: Column, vocab: Seq[String]): Column = {
+    val v = typedLit(vocab)
+    transform(t, w => when(array_contains(v, w), w).otherwise(lit(Unk)))
+  }
+
+  private def bigramKeys(m: Column): Column = {
+    val n1 = greatest(size(m) - 1, lit(0))
+    zip_with(slice(m, lit(1), n1), slice(m, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Train the bigram model over `docs`. Three distributed jobs
+    * (vocab, mapped unigrams, mapped bigrams), each one shuffle with
+    * partial aggregation; every collect is bounded by the closed
+    * alphabet, not the corpus. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 64, alpha: Double = 0.5): BigramLm = {
+    val t = toks(col(textCol))
+    val vocab = docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val m = mapped(t, vocab)
+    val unigrams = docs.select(explode(m).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigrams = docs.select(explode(bigramKeys(m)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    BigramLm(vocab, unigrams, bigrams, vocab.size + 1, alpha)
+  }
+
+  /** Token-distribution drift between two corpus snapshots — the mix
+    * monitor of a recurring ingestion pipeline (did this week's crawl
+    * shift against last week's?). Returns one row per mapped token
+    * (shared top-`vocabSize` vocab over BOTH snapshots, OOV→<unk>):
+    * each side's probability and the token's Jensen–Shannon
+    * contribution, plus the constant `js_total` (Σ terms, ln base —
+    * bounded by ln 2). All rounded to 6.
+    *
+    * Scale shape: one union scan → one bounded hash aggregation
+    * (side-conditional sums, map-side partials), totals broadcast
+    * back over the (V+1)-row table — output and every join side are
+    * model-sized, never corpus-sized. */
+  def divergence(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 64): DataFrame = {
+    val t = toks(col(textCol))
+    val tagged = a.select(lit("a").as("side"), t.as("t"))
+      .unionByName(b.select(lit("b").as("side"), t.as("t")))
+    val vocab = tagged.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val counts = tagged
+      .select(col("side"), explode(mapped(col("t"), vocab)).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+      // the bounded count table feeds THREE plan legs (rows, totals,
+      // js_total) — stage it or each leg re-scans the corpus
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val probs = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (col("ca") / col("ta")).as("p"), (col("cb") / col("tb")).as("q"))
+    val m = (col("p") + col("q")) / 2
+    val term = when(col("p") > 0, col("p") * log(col("p") / m) / 2).otherwise(0.0) +
+      when(col("q") > 0, col("q") * log(col("q") / m) / 2).otherwise(0.0)
+    val terms = probs.select(col("tok"),
+      round(col("p"), 6).as("p_a"), round(col("q"), 6).as("p_b"),
+      round(term, 6).as("js_term"), term.as("__t"))
+    val total = terms.agg(round(sum(col("__t")), 6).as("js_total"))
+    terms.drop("__t").crossJoin(broadcast(total))
+  }
+
+  /** Per-document mean negative log-likelihood under the frozen
+    * model: (doc_id, n_bigrams, nll). `nll` is NULL for documents
+    * with fewer than two tokens (no bigram evidence), else
+    * round(−Σ ln P(bᵢ|aᵢ) / n_bigrams, 6). Pure Column arithmetic —
+    * whole-stage codegen, zero shuffle. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    val uniMap = typedLit(lm.unigrams.map { case (k, v) => k -> v.toDouble })
+    val bigMap = typedLit(lm.bigrams.map { case (k, v) => k -> v.toDouble })
+    val m = mapped(toks(col(textCol)), lm.vocab)
+    val n1 = greatest(size(m) - 1, lit(0))
+    // coalesce on the unigram lookup only matters when scoring a
+    // corpus the model was not trained on (a mapped token unseen in
+    // training); smoothing keeps the denominator positive either way
+    val terms = zip_with(slice(m, lit(1), n1), slice(m, lit(2), n1), (a, b) =>
+      log((coalesce(element_at(bigMap, concat(a, lit(" "), b)), lit(0.0))
+            + lm.alpha) /
+          (coalesce(element_at(uniMap, a), lit(0.0))
+            + lm.alpha * lm.alphabetSize)))
+    docs.select(col(idCol),
+      n1.cast("long").as("n_bigrams"),
+      when(n1 === 0, lit(null).cast("double"))
+        .otherwise(round(-aggregate(terms, lit(0.0), (acc, x) => acc + x) / n1, 6))
+        .as("nll"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, Packing, QualityModel, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, LanguageModel, Multimodal, Packing, QualityModel, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -952,6 +952,86 @@ object PipelineQueries {
              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              |      FROM documents)
              |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
+
+    // CCNet-style fluency scoring: a bounded bigram LM (top-64 vocab,
+    // OOV→<unk>, add-0.5 smoothing over the closed alphabet) trained
+    // on the corpus, every document scored with mean negative
+    // log-likelihood. The model is fully deterministic (count-desc/
+    // token tie-break), so DuckDB retrains it in SQL and replays the
+    // exact per-document ordered fold. Training = bounded-output hash
+    // aggregations; scoring = one codegen map stage with literal maps
+    // (no UDF, no shuffle, no join) — see operators/LanguageModel.
+    QueryDef("lm_perplexity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lm = LanguageModel.train(docs, "doc_id", "text",
+          vocabSize = 64, alpha = 0.5)
+        LanguageModel.perplexity(docs, "doc_id", "text", lm)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pos AS (SELECT doc_id, i, t[i] AS w
+             |        FROM tok, unnest(range(1, len(t) + 1)) AS r(i)),
+             |uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+             |vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 64),
+             |s AS (SELECT COUNT(*) + 1 AS s FROM vocab),
+             |m AS (SELECT p.doc_id, p.i,
+             |        CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS w
+             |      FROM pos p LEFT JOIN vocab v ON v.w = p.w),
+             |u2 AS (SELECT w, COUNT(*) AS c FROM m GROUP BY w),
+             |big AS (SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c
+             |        FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |        GROUP BY 1, 2),
+             |terms AS (SELECT a.doc_id,
+             |            LN((COALESCE(big.c, 0) + 0.5) / (u.c + 0.5 * s.s)) AS term
+             |          FROM m a JOIN m b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |          JOIN u2 u ON u.w = a.w
+             |          LEFT JOIN big ON big.wa = a.w AND big.wb = b.w
+             |          CROSS JOIN s),
+             |nb AS (SELECT doc_id, GREATEST(len(string_split(text, ' ')) - 1, 0) AS n1
+             |       FROM documents)
+             |SELECT nb.doc_id, CAST(nb.n1 AS BIGINT) AS n_bigrams,
+             |       CASE WHEN nb.n1 = 0 THEN NULL
+             |            ELSE ROUND(-SUM(t.term) / nb.n1, 6) END AS nll
+             |FROM nb LEFT JOIN terms t USING (doc_id)
+             |GROUP BY nb.doc_id, nb.n1""".stripMargin)),
+
+    // Snapshot drift monitor: Jensen–Shannon divergence between two
+    // corpus snapshots' token distributions over the shared bounded
+    // vocab (top-64 + <unk> — the alphabet is closed, so output and
+    // every join side are model-sized). Snapshots here = even/odd
+    // doc_id halves; production swaps in last week's table.
+    QueryDef("corpus_divergence",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        LanguageModel.divergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", vocabSize = 64)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+             |        CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+             |      FROM documents),
+             |pos AS (SELECT side, unnest(t) AS w FROM d),
+             |uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+             |vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 64),
+             |mp AS (SELECT side, CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS tok
+             |       FROM pos p LEFT JOIN vocab v ON v.w = p.w),
+             |counts AS (SELECT tok,
+             |    SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+             |  FROM mp GROUP BY tok),
+             |tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta,
+             |               CAST(SUM(cb) AS DOUBLE) AS tb FROM counts),
+             |pr AS (SELECT tok, ca / ta AS p, cb / tb AS q
+             |       FROM counts CROSS JOIN tot),
+             |tm AS (SELECT tok, p, q,
+             |    (CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) / 2 ELSE 0 END +
+             |     CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) / 2 ELSE 0 END) AS t
+             |  FROM pr)
+             |SELECT tok, ROUND(p, 6) AS p_a, ROUND(q, 6) AS p_b,
+             |  ROUND(t, 6) AS js_term,
+             |  (SELECT ROUND(SUM(t), 6) FROM tm) AS js_total
+             |FROM tm""".stripMargin)),
 
     QueryDef("idf",
       (s, dir) => TextAnalysis.idf(Tables.documents(s, dir), "doc_id", "text"),

@@ -95,6 +95,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === exact)
   }
 
+  test("bigram LM: hand-computed model and per-doc NLL on a toy corpus") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // tokens: doc1 [a,b,a], doc2 [a,c], doc3 [a]. unigram counts
+    // a:4 b:1 c:1 — top-2 tie (b,c) breaks by token asc → vocab [a,b],
+    // S=3. mapped: [a,b,a], [a,<unk>], [a]. u2: a:4 b:1 <unk>:1.
+    // bigrams: "a b":1 "b a":1 "a <unk>":1.
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "a")).toDF("doc_id", "text")
+    val lm = LanguageModel.train(docs, "doc_id", "text", vocabSize = 2, alpha = 0.5)
+    assert(lm.vocab === Seq("a", "b"))
+    assert(lm.alphabetSize === 3)
+    assert(lm.unigrams === Map("a" -> 4L, "b" -> 1L, LanguageModel.Unk -> 1L))
+    assert(lm.bigrams === Map("a b" -> 1L, "b a" -> 1L, s"a ${LanguageModel.Unk}" -> 1L))
+    val out = LanguageModel.perplexity(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // doc1: -(ln((1+.5)/(4+1.5)) + ln((1+.5)/(1+1.5)))/2
+    val d1 = -(math.log(1.5 / 5.5) + math.log(1.5 / 2.5)) / 2
+    // doc2: -ln((1+.5)/(4+1.5))
+    val d2 = -math.log(1.5 / 5.5)
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2.get - math.rint(d1 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out(2L)._2.get - math.rint(d2 * 1e6) / 1e6) < 1e-9)
+    // single-token doc: no bigram evidence → NULL nll
+    assert(out(3L) === ((0L, None)))
+  }
+
+  test("bigram LM: frozen model scores an unseen corpus (OOV + unseen-unigram path)") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val trainDocs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val lm = LanguageModel.train(trainDocs, "doc_id", "text", vocabSize = 2, alpha = 0.5)
+    // training corpus has no OOV, so <unk> is absent from unigrams —
+    // scoring text with OOV tokens exercises the coalesce(0) fallback
+    assert(!lm.unigrams.contains(LanguageModel.Unk))
+    val out = LanguageModel.perplexity(
+        Seq((9L, "z z")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    // term = ln((0+.5)/(0+.5*3)) = ln(1/3)
+    assert(out.getLong(1) === 1L)
+    assert(math.abs(out.getDouble(2) - math.rint(-math.log(1.0 / 3) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("corpus divergence: identical snapshots give 0, disjoint give ln 2") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val same = LanguageModel.divergence(a, a, "doc_id", "text", vocabSize = 4)
+      .collect()
+    assert(same.nonEmpty)
+    assert(same.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
+    val b = Seq((2L, "z z z")).toDF("doc_id", "text")
+    val disj = LanguageModel.divergence(a, b, "doc_id", "text", vocabSize = 4)
+      .collect()
+    // fully disjoint supports: JS divergence = ln 2 (nat base)
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    assert(disj.forall(r => math.abs(r.getDouble(4) - ln2) < 1e-9),
+      s"expected js_total=ln2, got ${disj.map(_.getDouble(4)).toSeq}")
+    // per-token p/q sanity: every token probability mass sits on one side
+    assert(disj.forall(r => r.getDouble(1) == 0.0 || r.getDouble(2) == 0.0))
+  }
+
   test("duplicateClusters resolves chains and stars to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}

@@ -162,6 +162,16 @@ class PlanSpec extends SparkSpecBase {
       s"BPE apply must be a native expression, not a UDF:\n$p")
   }
 
+  test("LM perplexity scoring is one narrow map stage — no shuffle, no UDF") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sf)
+    val lm = LanguageModel.train(docs, "doc_id", "text", vocabSize = 16)
+    val p = plan(LanguageModel.perplexity(docs, "doc_id", "text", lm))
+    assert(!p.contains("Exchange"), s"LM scoring must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
+      s"LM scoring must be pure Column arithmetic, not a UDF:\n$p")
+  }
+
   test("ANN ranking windows consume only bucket/cell/shortlist-bounded relations") {
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
     import org.apache.spark.sql.execution.window.WindowExec
