@@ -353,6 +353,37 @@ object ScaleRehearsal {
       }
     }
 
+    // LM family at reps×: training is two linear corpus scans whose
+    // aggregation OUTPUT is closed-alphabet-bounded (unlike the
+    // sampled trainers it is not constant-cost, but the shuffle
+    // carries ≤(V+1)² keys with map-side partials — the collect can
+    // never grow); scoring with a frozen 1× model is one shuffle-free
+    // codegen map stage, so it must track the corpus linearly.
+    // Divergence is one union scan + one bounded aggregation.
+    if (selected("lm")) {
+      import graft.operators.LanguageModel
+      def lmTrain(d: DataFrame): (LanguageModel.BigramLm, Double) = {
+        val t0 = System.nanoTime()
+        val lm = LanguageModel.train(d, "doc_id", "text")
+        (lm, (System.nanoTime() - t0) / 1e9)
+      }
+      val (lm1, t1) = lmTrain(docs0)
+      val (lmN, tN) = lmTrain(docs)
+      println(f"[rehearsal] lm train: 1x=$t1%.2f s, ${reps}x=$tN%.2f s " +
+        f"(ratio=${tN / t1}%.2f vs corpus ratio $reps; model sizes " +
+        s"uni=${lm1.unigrams.size}/${lmN.unigrams.size} " +
+        s"big=${lm1.bigrams.size}/${lmN.bigrams.size} — bounded by the " +
+        "closed alphabet, not the corpus)")
+      timed(s"lm score (${reps}x corpus, frozen 1x model)") {
+        forceCount(LanguageModel.perplexity(docs, "doc_id", "text", lm1))
+      }
+      timed(s"lm divergence (${reps}x even/odd halves)") {
+        forceCount(LanguageModel.divergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+      }
+    }
+
     // Flagship COO-algebra rehearsal — the core §2 path
     // (scan→one_hot→groupby_sum, add_outer, join_axis1), the one
     // family that had no scale evidence beyond sf0.1. Unlike the
