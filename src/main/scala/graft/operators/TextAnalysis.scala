@@ -197,6 +197,46 @@ object TextAnalysis {
         size(col("__chunk")).cast("long").as("chunk_tokens"))
   }
 
+  /** C4-style boilerplate removal: drop every non-overlapping
+    * `spanTokens`-token span that occurs in more than `maxDf` distinct
+    * documents (navigation chrome, license footers, templated headers
+    * — the spans cross-document duplication identifies), then
+    * reassemble each document from its surviving spans in order.
+    * Returns (id, n_spans, kept_spans, clean_text); a fully-
+    * boilerplate document keeps an empty string, not NULL, so
+    * downstream filters can treat the column uniformly.
+    *
+    * Scale shape: the span relation is a narrow map (recomputed per
+    * plan leg — cheaper at scale than materializing a corpus-sized
+    * intermediate), the document-frequency aggregate and anti-join key
+    * on the span text, and the per-document reassembly is ONE shuffle
+    * of the corpus by document key (`collect_list` + `array_sort` —
+    * the same cost class as any repartition-by-doc; there is no
+    * global order anywhere). */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 32, maxDf: Long = 1): DataFrame = {
+    val spans = chunkDocuments(docs, idCol, textCol, spanTokens, 0)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"))
+    val bad = spans.groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("chunk_text"))
+    val kept = spans.join(bad, Seq("chunk_text"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_spans"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+    val totals = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Repetition score: frequency of the most common word n-gram over
     * the total n-gram count (1.0 = the document is one repeated
     * phrase) — a standard low-quality/generated-text signal. */

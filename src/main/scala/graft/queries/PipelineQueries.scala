@@ -936,6 +936,36 @@ object PipelineQueries {
              |ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition
              |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // C4-style boilerplate strip: spans duplicated across documents
+    // (df > 1) are dropped, documents reassembled from the survivors
+    // in span order — exercised on the same 32-token non-overlapping
+    // span unit as dedup_paragraph.
+    QueryDef("strip_boilerplate",
+      (s, dir) => TextAnalysis.stripBoilerplate(Tables.documents(s, dir),
+        "doc_id", "text", spanTokens = 32, maxDf = 1),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |starts AS (SELECT doc_id, l,
+             |    unnest(range(0, GREATEST(len(l) - 1, 0) + 1, 32)) AS st FROM t),
+             |numbered AS (SELECT doc_id, st,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS chunk_id,
+             |    array_to_string(l[st + 1 : st + 32], ' ') AS chunk_text
+             |  FROM starts WHERE len(l) - st > 0),
+             |df AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS df
+             |       FROM numbered GROUP BY chunk_text),
+             |kept AS (SELECT n.doc_id, n.chunk_id, n.chunk_text
+             |         FROM numbered n JOIN df ON df.chunk_text = n.chunk_text
+             |         WHERE df.df <= 1),
+             |agg AS (SELECT doc_id, COUNT(*) AS kept_spans,
+             |        string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+             |        FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM numbered GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(tot.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(COALESCE(agg.kept_spans, 0) AS BIGINT) AS kept_spans,
+             |  COALESCE(agg.clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
+             |LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin)),
+
     QueryDef("redact_pii",
       (s, dir) => TextAnalysis.redactPii(Tables.documents(s, dir), "doc_id", "text"),
       Some("""SELECT doc_id,

@@ -157,6 +157,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(disj.forall(r => r.getDouble(1) == 0.0 || r.getDouble(2) == 0.0))
   }
 
+  test("stripBoilerplate drops cross-doc spans, keeps unique content in order, empties pure-boilerplate docs") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "nav bar unique1 a tail1 x"),
+      (2L, "nav bar unique2 b tail2 y"),
+      (3L, "nav bar")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(toy, "doc_id", "text",
+        spanTokens = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "nav bar" appears in all three docs → dropped everywhere; the
+    // unique middle/tail spans survive in original order
+    assert(out(1L) === ((3L, 2L, "unique1 a tail1 x")))
+    assert(out(2L) === ((3L, 2L, "unique2 b tail2 y")))
+    // a document that is ALL boilerplate keeps an empty string, not null
+    assert(out(3L) === ((1L, 0L, "")))
+  }
+
   test("duplicateClusters resolves chains and stars to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
