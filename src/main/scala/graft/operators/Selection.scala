@@ -97,4 +97,68 @@ object Selection {
       .drop("__cum")
     above.unionByName(sel)
   }
+
+  /** Token-budgeted MIXTURE construction: for each label (domain,
+    * source, language) keep the deterministic md5-ordered prefix of
+    * its rows whose running `costCol` total stays within that label's
+    * budget — "20 B tokens of web, 5 B of code, all of books", the
+    * step that turns per-domain corpora into a training mix. Labels
+    * absent from `budgets` are dropped; a label whose corpus fits its
+    * budget is kept whole. The defined result is the per-label
+    * cumulative-sum window over (md5(id), id) order — which is what
+    * the oracle runs — but, like [[selectByBudget]], the
+    * implementation refuses to window whole label partitions (one
+    * task per domain at warehouse scale):
+    *
+    *   1. the md5 draw's first two hex chars bucket each row 0..255;
+    *      because the bucket is a PREFIX of the order key, bucket
+    *      ascending = draw ascending, so per-(label, bucket) cost
+    *      sums — one shuffle of ≤ labels×256 rows — locate each
+    *      label's boundary bucket on the driver;
+    *   2. buckets below the boundary are kept wholesale; only the
+    *      boundary bucket (~1/256 of the label) pays the exact
+    *      cumulative window for the residual budget.
+    *
+    * Costs must be non-negative for the same reason as
+    * [[selectByBudget]]; fractional costs truncate via the long cast. */
+  def mixTokenBudget(docs: DataFrame, idCol: String, labelCol: String,
+      costCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
+    val base = docs.filter(col(costCol).isNotNull &&
+      col(labelCol).isin(budgets.keys.toSeq: _*))
+    val minCost = base.agg(min(col(costCol).cast("long"))).head()
+    if (minCost.isNullAt(0)) return base // no rows under any budgeted label
+    require(minCost.getLong(0) >= 0L,
+      s"negative $costCol breaks the running-cost prefix")
+    val h = md5(col(idCol).cast("string"))
+    val bk = conv(substring(h, 1, 2), 16, 10).cast("long")
+    val hist = base.groupBy(col(labelCol).as("__l"), bk.as("__b"))
+      .agg(sum(col(costCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // per label: walk buckets in draw order; boundary = first bucket
+    // where the running cost crosses the label's budget (256 = fits)
+    val ctl = budgets.toSeq.map { case (label, budget) =>
+      var cum = 0L
+      var boundary = 256L
+      var belowSum = 0L
+      (0L until 256L).foreach { b =>
+        val t = hist.getOrElse((label, b), 0L)
+        if (boundary == 256L && cum + t > budget) { boundary = b; belowSum = cum }
+        cum += t
+      }
+      (label, boundary, budget - belowSum)
+    }
+    val ctlDf = docs.sparkSession.createDataFrame(ctl)
+      .toDF("__l", "__boundary", "__residual")
+    val joined = base.withColumn("__b", bk)
+      .join(broadcast(ctlDf), col(labelCol) === col("__l"))
+    val below = joined.filter(col("__b") < col("__boundary"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(h, col(idCol))
+    val atBoundary = joined.filter(col("__b") === col("__boundary"))
+      .withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__residual"))
+      .drop("__cum")
+    below.unionByName(atBoundary)
+      .drop("__b", "__l", "__boundary", "__residual")
+  }
 }

@@ -1613,6 +1613,25 @@ object PipelineQueries {
              |   OR CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
              |      < ROUND(r.rate * 4294967296.0)""".stripMargin)),
 
+    // Token-budgeted mixture: per-source deterministic md5-prefix
+    // under per-source cost budgets ("20k chars of src0, 8k of src1,
+    // all of src2") — the grouped generalization of
+    // select_token_budget, boundary-bucket windowed per label.
+    QueryDef("mix_token_budget",
+      (s, dir) => graft.operators.Selection.mixTokenBudget(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars",
+        Map("src0" -> 20000L, "src1" -> 8000L, "src2" -> 1000000000L)),
+      Some("""WITH b(source, budget) AS (VALUES
+             |  ('src0', 20000), ('src1', 8000), ('src2', 1000000000)),
+             |j AS (SELECT d.doc_id, d.source, d.n_chars, b.budget,
+             |      md5(CAST(d.doc_id AS VARCHAR)) AS h
+             |      FROM documents d JOIN b ON b.source = d.source),
+             |c AS (SELECT *, SUM(n_chars) OVER
+             |        (PARTITION BY source ORDER BY h, doc_id) AS cum FROM j)
+             |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+             |FROM c WHERE cum <= budget""".stripMargin)),
+
     QueryDef("distinct_users_exact",
       (s, dir) => Windows.distinctUsersExact(Tables.events(s, dir)),
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users

@@ -267,4 +267,24 @@ class PlanSpec extends SparkSpecBase {
     ws.foreach(w => assert(bucketGuarded(w.child),
       s"cumulative window consumes an unbucketed corpus:\n${out.queryExecution.sparkPlan}"))
   }
+
+  test("mixTokenBudget windows only each label's boundary bucket, never whole labels") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.Selection
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = Selection.mixTokenBudget(docs, "doc_id", "source", "n_chars",
+      Map("src0" -> 2000L, "src1" -> 2000L, "src2" -> 2000L))
+    // the per-label cumulative window must sit above a boundary-bucket
+    // equality filter (the md5-prefix conv() bucketing), so each label
+    // pays the sort for ~1/256 of its rows, not the whole partition
+    def bucketGuarded(p: SparkPlan): Boolean = p.collectFirst {
+      case f: FilterExec if f.condition.toString.contains("conv") => f
+    }.nonEmpty
+    val ws = out.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "boundary window missing — did no budget cross?")
+    ws.foreach(w => assert(bucketGuarded(w.child),
+      s"label window consumes unbucketed label partitions:\n${out.queryExecution.sparkPlan}"))
+  }
 }

@@ -49,6 +49,50 @@ class SelectionSpec extends SparkSpecBase {
     }
   }
 
+  /** Reference for the mixture variant: the definitional per-label
+    * window prefix over (md5(id), id) order. */
+  private def mixPrefix(df: DataFrame, budgets: Map[String, Long]): Set[Long] = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val b = spark.createDataFrame(budgets.toSeq).toDF("label", "__budget")
+    df.join(b, Seq("label"))
+      .withColumn("__cum", sum(col("cost")).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .collect().map(_.getAs[Long]("id")).toSet
+  }
+
+  test("mixTokenBudget equals the per-label window-prefix definition") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+        (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", 10L))
+      .toDF("id", "label", "cost")
+    val cases = Seq(
+      Map("a" -> 200L, "b" -> 555L, "c" -> 1000000L), // binding, mid-row, all
+      Map("a" -> 0L, "b" -> 10L),                     // empty / one row / dropped label
+      Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+    cases.foreach { budgets =>
+      val got = Selection.mixTokenBudget(df, "id", "label", "cost", budgets)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got === mixPrefix(df, budgets), s"budgets $budgets diverged")
+      // labels outside the budget map must not leak through
+      assert(Selection.mixTokenBudget(df, "id", "label", "cost", budgets)
+        .select(col("label")).distinct().collect().map(_.getString(0)).toSet
+        .subsetOf(budgets.keySet))
+    }
+  }
+
+  test("mixTokenBudget rejects negative costs and preserves input columns") {
+    import spark.implicits._
+    val bad = Seq((1L, "a", -5L)).toDF("id", "label", "cost")
+    assertThrows[IllegalArgumentException] {
+      Selection.mixTokenBudget(bad, "id", "label", "cost", Map("a" -> 10L))
+    }
+    val ok = Seq((1L, "a", 5L, "extra")).toDF("id", "label", "cost", "payload")
+    val out = Selection.mixTokenBudget(ok, "id", "label", "cost", Map("a" -> 10L))
+    assert(out.columns.toSeq === Seq("id", "label", "cost", "payload"))
+    assert(out.count() === 1L)
+  }
+
   test("degenerate shapes: constant score, everything fits, zero-cost rows") {
     import spark.implicits._
     val const = (1L to 9L).map(i => (i, 1.0, 5L)).toDF("id", "score", "cost")
