@@ -384,6 +384,36 @@ object ScaleRehearsal {
       }
     }
 
+    // r15 curation operators at reps×: boilerplate strip (df
+    // aggregate + one corpus reshuffle by doc — must scale like the
+    // dedup family; on the replicated corpus EVERY span is cross-doc
+    // duplicated, the maximum-drop stress case) and the token-budget
+    // mixture (per-label boundary-bucket windows — the windowed
+    // fraction must stay ~1/256 of each label as the corpus grows).
+    if (selected("curate")) {
+      timed(s"curate strip_boilerplate (${reps}x, max-drop stress)") {
+        val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text")
+          .localCheckpoint()
+        val st = out.agg(sum(col("n_spans")).as("n"),
+          sum(col("kept_spans")).as("k")).head()
+        println(s"[rehearsal] strip_boilerplate: spans=${st.getLong(0)} " +
+          s"kept=${st.getLong(1)} (every 32-aligned span is shared across " +
+          "replicas and must drop; only each doc's final span — carrying " +
+          "the unique rep suffix — survives, so kept ≈ docs)")
+        forceCount(out)
+      }
+      timed(s"curate mix_token_budget (${reps}x, 3 labels)") {
+        val labeled = docs.select(col("doc_id"),
+          concat(lit("src"), pmod(col("doc_id"), lit(3))).as("label"),
+          length(col("text")).cast("long").as("cost"))
+        val n = forceCount(graft.operators.Selection.mixTokenBudget(
+          labeled, "doc_id", "label", "cost",
+          Map("src0" -> 50000L * reps, "src1" -> 20000L * reps,
+            "src2" -> Long.MaxValue / 4)))
+        n
+      }
+    }
+
     // Flagship COO-algebra rehearsal — the core §2 path
     // (scan→one_hot→groupby_sum, add_outer, join_axis1), the one
     // family that had no scale evidence beyond sf0.1. Unlike the
