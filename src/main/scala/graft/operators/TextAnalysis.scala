@@ -216,12 +216,16 @@ object TextAnalysis {
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 32, maxDf: Long = 1): DataFrame = {
     val spans = chunkDocuments(docs, idCol, textCol, spanTokens, 0)
-      .select(col(idCol), col("chunk_id"), col("chunk_text"))
-    val bad = spans.groupBy(col("chunk_text"))
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        sha2(col("chunk_text"), 256).as("__dg"))
+    // document frequency aggregates over the 64-hex DIGEST, so raw
+    // span text never enters the df shuffle (the paragraphDuplicates
+    // discipline); the anti-join keys on the digest too
+    val bad = spans.groupBy(col("__dg"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > maxDf)
-      .select(col("chunk_text"))
-    val kept = spans.join(bad, Seq("chunk_text"), "left_anti")
+      .select(col("__dg"))
+    val kept = spans.join(bad, Seq("__dg"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("kept_spans"),
         array_join(transform(
