@@ -1632,6 +1632,78 @@ object PipelineQueries {
              |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
              |FROM c WHERE cum <= budget""".stripMargin)),
 
+    // r15 capstone: the quality stack end-to-end — boilerplate strip
+    // (docs with ≥1 unique span survive) → bigram-LM fluency gate
+    // (nll ≤ 3.43, binding at every SF) → token-budgeted mixture by
+    // source → per-source summary. Every stage is individually
+    // oracle-checked above; this row pins the COMPOSITION (the oracle
+    // replays the whole chain in one SQL statement).
+    QueryDef("pipeline_quality_stack",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clean = TextAnalysis.stripBoilerplate(docs, "doc_id", "text")
+          .filter(col("kept_spans") > 0).select(col("doc_id"))
+        val lm = LanguageModel.train(docs, "doc_id", "text")
+        val fluent = LanguageModel.perplexity(docs, "doc_id", "text", lm)
+          .filter(col("nll").isNotNull && col("nll") <= 3.43)
+          .select(col("doc_id"))
+        val kept = docs.join(clean, Seq("doc_id"), "left_semi")
+          .join(fluent, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.operators.Selection.mixTokenBudget(kept, "doc_id", "source",
+            "n_chars",
+            Map("src0" -> 20000L, "src1" -> 8000L, "src2" -> 1000000000L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+      },
+      Some("""WITH bp_t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |bp_starts AS (SELECT doc_id, l,
+             |    unnest(range(0, GREATEST(len(l) - 1, 0) + 1, 32)) AS st FROM bp_t),
+             |bp_spans AS (SELECT doc_id, array_to_string(l[st + 1 : st + 32], ' ') AS ctext
+             |  FROM bp_starts WHERE len(l) - st > 0),
+             |bp_df AS (SELECT ctext, COUNT(DISTINCT doc_id) AS df
+             |  FROM bp_spans GROUP BY ctext),
+             |bp_keep AS (SELECT DISTINCT s.doc_id FROM bp_spans s
+             |  JOIN bp_df d ON d.ctext = s.ctext WHERE d.df <= 1),
+             |lm_tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |lm_pos AS (SELECT doc_id, i, t[i] AS w
+             |  FROM lm_tok, unnest(range(1, len(t) + 1)) AS r(i)),
+             |lm_uni AS (SELECT w, COUNT(*) AS c FROM lm_pos GROUP BY w),
+             |lm_vocab AS (SELECT w FROM lm_uni ORDER BY c DESC, w LIMIT 64),
+             |lm_s AS (SELECT COUNT(*) + 1 AS s FROM lm_vocab),
+             |lm_m AS (SELECT p.doc_id, p.i,
+             |    CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS w
+             |  FROM lm_pos p LEFT JOIN lm_vocab v ON v.w = p.w),
+             |lm_u2 AS (SELECT w, COUNT(*) AS c FROM lm_m GROUP BY w),
+             |lm_big AS (SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c
+             |  FROM lm_m a JOIN lm_m b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |  GROUP BY 1, 2),
+             |lm_terms AS (SELECT a.doc_id,
+             |    LN((COALESCE(g.c, 0) + 0.5) / (u.c + 0.5 * s.s)) AS term
+             |  FROM lm_m a JOIN lm_m b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |  JOIN lm_u2 u ON u.w = a.w
+             |  LEFT JOIN lm_big g ON g.wa = a.w AND g.wb = b.w CROSS JOIN lm_s s),
+             |lm_nb AS (SELECT doc_id, GREATEST(len(string_split(text, ' ')) - 1, 0) AS n1
+             |  FROM documents),
+             |lm_nll AS (SELECT nb.doc_id,
+             |    CASE WHEN nb.n1 = 0 THEN NULL
+             |         ELSE ROUND(-SUM(t.term) / nb.n1, 6) END AS nll
+             |  FROM lm_nb nb LEFT JOIN lm_terms t USING (doc_id)
+             |  GROUP BY nb.doc_id, nb.n1),
+             |kept AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d
+             |  JOIN bp_keep USING (doc_id) JOIN lm_nll USING (doc_id)
+             |  WHERE nll IS NOT NULL AND nll <= 3.43),
+             |b(source, budget) AS (VALUES
+             |  ('src0', 20000), ('src1', 8000), ('src2', 1000000000)),
+             |j AS (SELECT k.*, b.budget, md5(CAST(k.doc_id AS VARCHAR)) AS h
+             |  FROM kept k JOIN b ON b.source = k.source),
+             |c AS (SELECT *, SUM(n_chars) OVER
+             |    (PARTITION BY source ORDER BY h, doc_id) AS cum FROM j)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM c WHERE cum <= budget GROUP BY source""".stripMargin)),
+
     QueryDef("distinct_users_exact",
       (s, dir) => Windows.distinctUsersExact(Tables.events(s, dir)),
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users
