@@ -189,6 +189,28 @@ object Bench {
       }
     }
 
+    // Same discipline for the bigram-LM trainer (added round 15 with
+    // the lm_perplexity row): training is two corpus aggregations
+    // whose result is deterministic per (session, dir) — staged once,
+    // timed cold here; the per-rep row times the codegen scoring map
+    // alone. Subtract this row when comparing totals to rounds <= 14.
+    if (names.contains("lm_perplexity")) {
+      try {
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.queries.PipelineQueries.stagedLm(spark, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] %-28s cold=%.3f (bigram model trained; lm_perplexity reads the memo)",
+          "lm_stage_train", Double.box(t)))
+        timings("lm_stage_train") = t
+      } catch {
+        case e: Throwable =>
+          errors("lm_stage_train") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200)
+      }
+    }
+
     names.foreach { name =>
       try {
         // GC-settle OUTSIDE the timed region: in a single-JVM bench a

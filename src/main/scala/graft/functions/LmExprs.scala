@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document mean negative log-likelihood under a FROZEN bigram
+  * model (see [[graft.operators.LanguageModel]]) — the corpus-sized
+  * apply side of the CCNet-style fluency filter as ONE primitive pass
+  * per row with HASHED count lookups.
+  *
+  * Exists because the Column-composed formulation (literal maps +
+  * `element_at`) evaluates each lookup as a linear scan of the
+  * ~(V+1)² bigram map — O(tokens × model) per document; this kernel
+  * is O(tokens) with the same value to the bit: identical
+  * tokenization (`split(text, " ")` semantics, trailing empties
+  * kept), identical OOV→<unk> mapping, identical left-to-right
+  * summation order, identical HALF_UP rounding to 6. The
+  * `LanguageModel` spec pins a hand-computed toy model and the DuckDB
+  * oracle replays the fold, so a divergence in any of those contracts
+  * turns a gate red.
+  *
+  * NULL text → NULL; fewer than two tokens (no bigram evidence) →
+  * NULL, matching the Column version's `when(n1 === 0, null)`. */
+case class BigramNll(child: Expression, vocab: Array[String],
+    unigrams: Array[(String, Long)], bigrams: Array[(String, Long)],
+    alphabetSize: Int, alpha: Double)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val uniMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](unigrams.length * 2)
+    unigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  @transient private lazy val bigMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](bigrams.length * 2)
+    bigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  private val unk = "<unk>"
+
+  private def mapTok(w: String): String = if (vocabSet.contains(w)) w else unk
+
+  private def uniCount(w: String): Double = {
+    val c = uniMap.get(w)
+    if (c == null) 0.0 else c.doubleValue()
+  }
+
+  private def bigCount(a: String, b: String): Double = {
+    val c = bigMap.get(a + " " + b)
+    if (c == null) 0.0 else c.doubleValue()
+  }
+
+  // alpha·S precomputed once, exactly as the Column version's Scala
+  // constant `lm.alpha * lm.alphabetSize`
+  private val denomAdd: Double = alpha * alphabetSize
+
+  def compute(text: UTF8String): Any = {
+    // split on the single-space regex with trailing empties kept —
+    // the exact `split(text, " ")` contract the trainer and the
+    // DuckDB string_split oracle share
+    val toks = text.toString.split(" ", -1)
+    val n1 = toks.length - 1
+    if (n1 <= 0) return null
+    var acc = 0.0
+    var prev = mapTok(toks(0))
+    var i = 1
+    while (i <= n1) {
+      val cur = mapTok(toks(i))
+      acc += Math.log((bigCount(prev, cur) + alpha) / (uniCount(prev) + denomAdd))
+      prev = cur
+      i += 1
+    }
+    val nll = -acc / n1
+    java.math.BigDecimal.valueOf(nll)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramNllExpr", this, classOf[BigramNll].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.compute($c);
+      if (r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ((Double) r).doubleValue();
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramNll =
+    copy(child = newChild)
+
+  override def prettyName: String = "bigram_nll"
+}
+
+object LmExprs {
+  /** Column API: mean negative log-likelihood of `text` under the
+    * frozen bigram counts. */
+  def bigramNll(text: Column, vocab: Array[String],
+      unigrams: Array[(String, Long)], bigrams: Array[(String, Long)],
+      alphabetSize: Int, alpha: Double): Column =
+    ColumnBridge.column(BigramNll(ColumnBridge.expression(text),
+      vocab, unigrams, bigrams, alphabetSize, alpha))
+}

@@ -122,26 +122,20 @@ object LanguageModel {
   /** Per-document mean negative log-likelihood under the frozen
     * model: (doc_id, n_bigrams, nll). `nll` is NULL for documents
     * with fewer than two tokens (no bigram evidence), else
-    * round(−Σ ln P(bᵢ|aᵢ) / n_bigrams, 6). Pure Column arithmetic —
-    * whole-stage codegen, zero shuffle. */
+    * round(−Σ ln P(bᵢ|aᵢ) / n_bigrams, 6). One shuffle-free codegen
+    * map stage: the scoring kernel is the native
+    * [[graft.functions.LmExprs.bigramNll]] expression — O(tokens) per
+    * document with hashed count lookups (a literal-map `element_at`
+    * formulation measured O(tokens × model): each lookup linearly
+    * scans the ~(V+1)² map). Value-identical to the Column-composed
+    * fold (spec + oracle pinned). */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
       lm: BigramLm): DataFrame = {
-    val uniMap = typedLit(lm.unigrams.map { case (k, v) => k -> v.toDouble })
-    val bigMap = typedLit(lm.bigrams.map { case (k, v) => k -> v.toDouble })
-    val m = mapped(toks(col(textCol)), lm.vocab)
-    val n1 = greatest(size(m) - 1, lit(0))
-    // coalesce on the unigram lookup only matters when scoring a
-    // corpus the model was not trained on (a mapped token unseen in
-    // training); smoothing keeps the denominator positive either way
-    val terms = zip_with(slice(m, lit(1), n1), slice(m, lit(2), n1), (a, b) =>
-      log((coalesce(element_at(bigMap, concat(a, lit(" "), b)), lit(0.0))
-            + lm.alpha) /
-          (coalesce(element_at(uniMap, a), lit(0.0))
-            + lm.alpha * lm.alphabetSize)))
+    val n1 = greatest(size(toks(col(textCol))) - 1, lit(0))
     docs.select(col(idCol),
       n1.cast("long").as("n_bigrams"),
-      when(n1 === 0, lit(null).cast("double"))
-        .otherwise(round(-aggregate(terms, lit(0.0), (acc, x) => acc + x) / n1, 6))
+      graft.functions.LmExprs.bigramNll(col(textCol), lm.vocab.toArray,
+        lm.unigrams.toArray, lm.bigrams.toArray, lm.alphabetSize, lm.alpha)
         .as("nll"))
   }
 }
