@@ -138,6 +138,60 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(math.abs(out.getDouble(2) - math.rint(-math.log(1.0 / 3) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("native BigramNll equals the Column-composed reference fold on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.LanguageModel
+    // the Column-composed formulation the native kernel replaced —
+    // kept here as the executable reference (the LshKeys discipline:
+    // a native expression is pinned value-identical to the
+    // builtin-composed definition it optimizes)
+    def referenceNll(docs: org.apache.spark.sql.DataFrame,
+        lm: LanguageModel.BigramLm): Map[Long, Option[Double]] = {
+      val uniMap = typedLit(lm.unigrams.map { case (k, v) => k -> v.toDouble })
+      val bigMap = typedLit(lm.bigrams.map { case (k, v) => k -> v.toDouble })
+      val v = typedLit(lm.vocab)
+      val m = transform(split(col("text"), " "),
+        w => when(array_contains(v, w), w).otherwise(lit(LanguageModel.Unk)))
+      val n1 = greatest(size(m) - 1, lit(0))
+      val terms = zip_with(slice(m, lit(1), n1), slice(m, lit(2), n1), (a, b) =>
+        log((coalesce(element_at(bigMap, concat(a, lit(" "), b)), lit(0.0))
+              + lm.alpha) /
+            (coalesce(element_at(uniMap, a), lit(0.0))
+              + lm.alpha * lm.alphabetSize)))
+      docs.select(col("doc_id"),
+        when(n1 === 0, lit(null).cast("double"))
+          .otherwise(round(-aggregate(terms, lit(0.0), (acc, x) => acc + x) / n1, 6))
+          .as("nll"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    }
+    // random corpora over a tiny alphabet (dense bigram coverage) plus
+    // adversarial whitespace shapes: empty text, leading/trailing/
+    // double spaces (split(" ") keeps those empties — the kernel must
+    // treat "" as a token exactly like the reference)
+    val word = Gen.oneOf("a", "b", "cc", "ddd", "é")
+    val genDoc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val genCorpus = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, genDoc))
+      .map(_ ++ Seq("", " ", "a  b", " a", "b "))
+    (0 until 4).foreach { i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+          .toDF("doc_id", "text")
+        val lm = LanguageModel.train(docs, "doc_id", "text", vocabSize = 3)
+        val native = LanguageModel.perplexity(docs, "doc_id", "text", lm)
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        assert(native === referenceNll(docs, lm), s"seed $i diverged")
+      }
+    }
+  }
+
   test("corpus divergence: identical snapshots give 0, disjoint give ln 2") {
     import spark.implicits._
     import graft.operators.LanguageModel
