@@ -557,6 +557,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-substring duplication measurement (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * signal, distributed): every STRIDE-1 window of `k` tokens is
+    * digested, windows whose text occurs in more than one distinct
+    * document are duplicated substrings, and each document reports
+    * how many of its tokens are covered by the union of its
+    * duplicated windows (merged intervals — overlapping windows are
+    * not double-counted). Returns (id, n_tokens, dup_windows,
+    * covered_tokens); callers drop or trim documents above a coverage
+    * ratio. Unlike [[paragraphDuplicates]] (32-token ALIGNED spans)
+    * this catches duplication at arbitrary alignment — the case
+    * aligned chunking structurally misses.
+    *
+    * Scale shape: the window relation is O(total tokens) rows but
+    * only (digest, doc, start) ever shuffles — span text stays in the
+    * narrow map that digested it (sha2, the [[paragraphDuplicates]]
+    * discipline). The per-document coverage is a sorted-starts
+    * interval-merge FOLD (one `aggregate` over the collected start
+    * list — no exploded position set), so a duplication-dense doc
+    * costs O(its dup windows), not O(windows × k). At warehouse scale
+    * stride-1 on the full corpus is the exact audit pass; run the
+    * winnowing sampler ([[graft.operators.TextAnalysis.overlapPairs]])
+    * as the cheap screen and this operator on the flagged slice —
+    * the same exact-vs-screen split as suffix-array pipelines. */
+  def substringDuplication(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 25): DataFrame = {
+    require(k >= 1, "window length must be positive")
+    val t = tokens(col(textCol))
+    // guard: sequence(0, negative) counts DOWN (same pitfall as
+    // [[shingles]]) — docs shorter than k tokens have zero windows
+    val wins = docs.select(col(idCol), posexplode(
+        when(size(t) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(t) - k),
+            i => sha2(concat_ws(" ", slice(t, i + 1, lit(k))), 256))))
+        .as(Seq("start", "__dg")))
+    val dup = wins.groupBy(col("__dg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("__dg"))
+    val dupStarts = wins.join(dup, Seq("__dg"), "left_semi")
+    val perDoc = dupStarts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_windows"),
+        sort_array(collect_list(col("start"))).as("__s"))
+      .select(col(idCol), col("dup_windows"),
+        // interval-merge fold over sorted starts: each window [s, s+k)
+        // contributes the part past the furthest end seen so far
+        aggregate(col("__s"),
+          struct(lit(0L).as("cov"), lit(-1L).as("end")),
+          (acc, s) => struct(
+            (acc("cov") + when(s + k > acc("end"),
+              s + lit(k) - greatest(s.cast("long"), acc("end")))
+              .otherwise(lit(0L))).as("cov"),
+            greatest(acc("end"), (s + k).cast("long")).as("end")),
+          acc => acc("cov")).as("covered_tokens"))
+    docs.select(col(idCol), size(t).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   /** [[simhashNearDuplicates]] with the same DETERMINISTIC-gate shape
     * as [[nearDuplicatesChecked]]: returns the exact prefix-filtered
     * pair set (doc_a, doc_b, jaccard) at `threshold`, plus a constant

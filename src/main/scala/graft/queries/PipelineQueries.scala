@@ -589,6 +589,28 @@ object PipelineQueries {
               |ON l.doc = d.doc_id
               |WHERE l.doc IS NULL""".stripMargin)),
 
+    // Exact-substring duplication (Lee et al. 2022 signal): stride-1
+    // 25-token windows, cross-doc duplicated window text, per-doc
+    // merged-interval token coverage. The oracle rebuilds windows by
+    // TEXT (Spark keys the same set by sha2 digest so span text never
+    // enters the df shuffle) and counts covered positions by explode —
+    // value-identical to the interval-merge fold.
+    QueryDef("dedup_substring",
+      (s, dir) => Dedup.substringDuplication(Tables.documents(s, dir),
+        "doc_id", "text", k = 25),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |w AS (SELECT doc_id, i, array_to_string(l[i + 1 : i + 25], ' ') AS wt
+             |      FROM t, unnest(range(0, GREATEST(len(l) - 25, -1) + 1)) AS r(i)),
+             |d AS (SELECT wt FROM w GROUP BY wt HAVING COUNT(DISTINCT doc_id) > 1),
+             |ds AS (SELECT w.doc_id, w.i FROM w JOIN d USING (wt)),
+             |cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered
+             |        FROM ds, unnest(range(i, i + 25)) AS rr(p) GROUP BY doc_id),
+             |cnt AS (SELECT doc_id, COUNT(*) AS dw FROM ds GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(cnt.dw, 0) AS BIGINT) AS dup_windows,
+             |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
+             |FROM t LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin)),
+
     // Same DETERMINISTIC-gate shape as dedup_minhash_lsh: the row
     // values are the exact prefix-filtered pair set at threshold 0.5
     // (reproducible SQL), while the simhash path is asserted IN-QUERY

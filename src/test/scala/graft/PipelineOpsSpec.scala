@@ -211,6 +211,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(disj.forall(r => r.getDouble(1) == 0.0 || r.getDouble(2) == 0.0))
   }
 
+  test("substringDuplication catches arbitrary-alignment dups and merges overlapping windows") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "x p q r y"),           // shares "p q r" with doc 2 at offset 1
+      (2L, "a p q r b"),
+      (3L, "s t u v s t u v"),     // shares every 3-window with doc 4
+      (4L, "s t u v s t u v q"),
+      (5L, "z z")).toDF("doc_id", "text") // shorter than k → no windows
+    val out = Dedup.substringDuplication(toy, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the shared substring sits at a NON-32-aligned offset — the case
+    // aligned paragraph dedup structurally misses
+    assert(out(1L) === ((5L, 1L, 3L)))
+    assert(out(2L) === ((5L, 1L, 3L)))
+    // six overlapping dup windows merge to one covered interval:
+    // counted once (8 tokens), not 6×3
+    assert(out(3L) === ((8L, 6L, 8L)))
+    assert(out(4L) === ((9L, 6L, 8L)))
+    assert(out(5L) === ((2L, 0L, 0L)))
+  }
+
   test("stripBoilerplate drops cross-doc spans, keeps unique content in order, empties pure-boilerplate docs") {
     import spark.implicits._
     val toy = Seq(
