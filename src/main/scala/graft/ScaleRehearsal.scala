@@ -402,6 +402,20 @@ object ScaleRehearsal {
           "the unique rep suffix — survives, so kept ≈ docs)")
         forceCount(out)
       }
+      // stride-1 substring duplication under maximum duplication
+      // density: every window of every replica collides cross-replica,
+      // so the dup-start set is the ENTIRE window set — the interval-
+      // merge fold and the digest shuffle carry their worst case
+      timed(s"curate dedup_substring (${reps}x, max dup density)") {
+        val out = Dedup.substringDuplication(docs, "doc_id", "text")
+          .localCheckpoint()
+        val st = out.agg(sum(col("dup_windows")).as("w"),
+          sum(col("covered_tokens")).as("c"), sum(col("n_tokens")).as("n")).head()
+        println(s"[rehearsal] dedup_substring: dup_windows=${st.getLong(0)} " +
+          s"covered=${st.getLong(1)} of ${st.getLong(2)} tokens " +
+          "(replica bodies fully covered expected)")
+        forceCount(out)
+      }
       timed(s"curate mix_token_budget (${reps}x, 3 labels)") {
         val labeled = docs.select(col("doc_id"),
           concat(lit("src"), pmod(col("doc_id"), lit(3))).as("label"),
