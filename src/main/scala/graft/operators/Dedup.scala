@@ -618,6 +618,70 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
   }
 
+  /** The removal side of [[substringDuplication]]: rewrite each
+    * document with every token covered by a cross-document duplicated
+    * `k`-window dropped (the Lee et al. pipeline's second half —
+    * measure, then cut the duplicated substrings out). Returns
+    * (id, n_tokens, kept_tokens, clean_text); a fully-duplicated
+    * document keeps an empty string. Duplicated windows are first
+    * MERGED into disjoint intervals per document (a sorted-starts
+    * fold, O(dup windows)), so the per-token membership test runs
+    * against the island list — typically a handful of ranges — not
+    * the raw window set. Token order is preserved; the reassembly is
+    * the same one corpus shuffle by document key as
+    * [[graft.operators.TextAnalysis.stripBoilerplate]]. */
+  def removeDuplicateSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 25): DataFrame = {
+    require(k >= 1, "window length must be positive")
+    val t = tokens(col(textCol))
+    val wins = docs.select(col(idCol), posexplode(
+        when(size(t) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(t) - k),
+            i => sha2(concat_ws(" ", slice(t, i + 1, lit(k))), 256))))
+        .as(Seq("start", "__dg")))
+    val dup = wins.groupBy(col("__dg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("__dg"))
+    // merged disjoint intervals [lo, hi) per doc from the sorted
+    // dup-window starts — the island list the membership test reads
+    val islands = wins.join(dup, Seq("__dg"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start"))).as("__s"))
+      .select(col(idCol),
+        aggregate(col("__s"),
+          struct(array().cast("array<struct<lo:long,hi:long>>").as("iv"),
+            lit(-1L).as("lo"), lit(-1L).as("hi")),
+          (acc, s) => {
+            val sL = s.cast("long")
+            val extend = sL <= acc("hi")
+            struct(
+              when(extend || acc("lo") < 0, acc("iv"))
+                .otherwise(concat(acc("iv"),
+                  array(struct(acc("lo").as("lo"), acc("hi").as("hi"))))).as("iv"),
+              when(extend, acc("lo")).otherwise(sL).as("lo"),
+              greatest(acc("hi"), sL + k).as("hi"))
+          },
+          acc => when(acc("lo") < 0, acc("iv"))
+            .otherwise(concat(acc("iv"),
+              array(struct(acc("lo").as("lo"), acc("hi").as("hi"))))))
+          .as("__iv"))
+    docs.select(col(idCol), t.as("__t"))
+      .join(islands, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(col("__iv"),
+          array().cast("array<struct<lo:long,hi:long>>")).as("__iv"),
+        col("__t"))
+      .select(col(idCol), col("n_tokens"),
+        filter(col("__t"), (w, i) => !exists(col("__iv"),
+          iv => i.cast("long") >= iv("lo") && i.cast("long") < iv("hi")))
+          .as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** [[simhashNearDuplicates]] with the same DETERMINISTIC-gate shape
     * as [[nearDuplicatesChecked]]: returns the exact prefix-filtered
     * pair set (doc_a, doc_b, jaccard) at `threshold`, plus a constant

@@ -611,6 +611,29 @@ object PipelineQueries {
              |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
              |FROM t LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin)),
 
+    // The removal side of dedup_substring: documents rewritten with
+    // every duplicated-window-covered token cut out (order preserved;
+    // fully-duplicated docs keep an empty string).
+    QueryDef("dedup_substring_clean",
+      (s, dir) => Dedup.removeDuplicateSubstrings(Tables.documents(s, dir),
+        "doc_id", "text", k = 25),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |w AS (SELECT doc_id, i, array_to_string(l[i + 1 : i + 25], ' ') AS wt
+             |      FROM t, unnest(range(0, GREATEST(len(l) - 25, -1) + 1)) AS r(i)),
+             |d AS (SELECT wt FROM w GROUP BY wt HAVING COUNT(DISTINCT doc_id) > 1),
+             |ds AS (SELECT w.doc_id, w.i FROM w JOIN d USING (wt)),
+             |pos AS (SELECT doc_id, p, l[p + 1] AS tok
+             |        FROM t, unnest(range(0, len(l))) AS rr(p)),
+             |kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
+             |         WHERE NOT EXISTS (SELECT 1 FROM ds
+             |           WHERE ds.doc_id = p.doc_id
+             |             AND p.p >= ds.i AND p.p < ds.i + 25))
+             |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(k.p) AS BIGINT) AS kept_tokens,
+             |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+             |FROM t LEFT JOIN kept k USING (doc_id)
+             |GROUP BY t.doc_id, len(t.l)""".stripMargin)),
+
     // Same DETERMINISTIC-gate shape as dedup_minhash_lsh: the row
     // values are the exact prefix-filtered pair set at threshold 0.5
     // (reproducible SQL), while the simhash path is asserted IN-QUERY

@@ -233,6 +233,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(5L) === ((2L, 0L, 0L)))
   }
 
+  test("removeDuplicateSubstrings cuts covered spans, keeps order, empties fully-duplicated docs") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "x p q r y"),           // "p q r" shared with doc 2 → cut
+      (2L, "a p q r b"),
+      (3L, "s t u v s t u v"),     // fully covered by shared windows
+      (4L, "s t u v s t u v q"),   // all but the trailing token covered
+      (5L, "z z")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSubstrings(toy, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((5L, 2L, "x y")))
+    assert(out(2L) === ((5L, 2L, "a b")))
+    assert(out(3L) === ((8L, 0L, "")))
+    assert(out(4L) === ((9L, 1L, "q")))
+    assert(out(5L) === ((2L, 2L, "z z")))
+  }
+
   test("stripBoilerplate drops cross-doc spans, keeps unique content in order, empties pure-boilerplate docs") {
     import spark.implicits._
     val toy = Seq(
