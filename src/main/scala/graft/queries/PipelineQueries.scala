@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, LanguageModel, Multimodal, Packing, QualityModel, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, ImportanceSampling, LanguageModel, Multimodal, Packing, QualityModel, RangeJoin, Sampling, Similarity, TextAnalysis, Windows}
 
 /** Training-data-pipeline operator queries (builder brief): dedup
   * family, embedding similarity, text analysis, windowed/sketch
@@ -119,6 +119,22 @@ object PipelineQueries {
       _ => LanguageModel.train(Tables.documents(s, dir), "doc_id", "text",
         vocabSize = 64, alpha = 0.5))
   }
+
+  /** Staged DSIR ratio model per (session, dir) — same discipline as
+    * [[stagedLm]]: training (two bounded aggregations) is
+    * deterministic, so `select_importance` and its certificate share
+    * one frozen model per session. Target = `lang = 'en'` documents;
+    * raw = the whole corpus. */
+  private val ratioCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      graft.operators.ImportanceSampling.RatioModel]
+
+  private[graft] def stagedRatio(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.ImportanceSampling.RatioModel =
+    ratioCache.computeIfAbsent((s, dir),
+      _ => ImportanceSampling.train(Tables.documents(s, dir),
+        col("lang") === "en", "text", vocabSize = 64, alpha = 0.5))
 
   private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
     if (overlapEvictionHooked.add(s)) {
@@ -1585,6 +1601,108 @@ object PipelineQueries {
              |  SUM(ws_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
              |  FROM q)
              |SELECT doc_id, quality, ws_tokens FROM r WHERE cum <= 5000""".stripMargin)),
+
+    // DSIR importance resampling (operators.ImportanceSampling):
+    // sample k docs without replacement ∝ p_target/q_raw via Gumbel
+    // top-k, every draw a pure function of (seed, doc_id). The oracle
+    // retrains the identical closed-alphabet model and rebuilds the
+    // identical md5 Gumbel draw (('0x'||hex)::UBIGINT is DuckDB's
+    // conv(hex,16,10)), so the whole selection is hash-matched.
+    QueryDef("select_importance",
+      (s, dir) => {
+        val lw = ImportanceSampling.logWeights(Tables.documents(s, dir),
+          "doc_id", "text", stagedRatio(s, dir))
+        ImportanceSampling.resampleTopK(lw, "doc_id", k = 100, seed = "dsir")
+          .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+            round(col("gumbel_score"), 6).as("gumbel_score"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w FROM tok),
+             |uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+             |vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 64),
+             |s AS (SELECT COUNT(*) + 1 AS s FROM vocab),
+             |m AS (SELECT p.doc_id, CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS w,
+             |        d.lang = 'en' AS is_t
+             |      FROM pos p LEFT JOIN vocab v ON v.w = p.w
+             |      JOIN documents d ON d.doc_id = p.doc_id),
+             |cnt AS (SELECT w, COUNT(*) AS cr,
+             |          SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+             |        FROM m GROUP BY w),
+             |tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+             |               CAST(SUM(ct) AS DOUBLE) AS nt FROM cnt),
+             |ratio AS (SELECT w,
+             |    LN((ct + 0.5) / (nt + 0.5 * s.s)) - LN((cr + 0.5) / (nr + 0.5 * s.s)) AS r
+             |  FROM cnt CROSS JOIN tot CROSS JOIN s),
+             |lw AS (SELECT m.doc_id, SUM(r.r) AS logw
+             |       FROM m JOIN ratio r ON r.w = m.w GROUP BY m.doc_id),
+             |g AS (SELECT doc_id, logw, logw - LN(-LN(
+             |        ((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT) + 0.5)
+             |        / 4294967296.0)) AS score
+             |      FROM lw)
+             |SELECT doc_id, ROUND(logw, 6) AS log_weight,
+             |       ROUND(score, 6) AS gumbel_score
+             |FROM g ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // the certificate row for select_importance: the resampled subset
+    // must have moved toward the target — higher mean log importance
+    // weight AND a target-language fraction at or above the raw
+    // corpus's. Everything is closed-form, so the cert itself is a
+    // full SQL oracle row, not a weaker rows-only check.
+    QueryDef("select_importance_cert",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lw = ImportanceSampling.logWeights(docs, "doc_id", "text",
+            stagedRatio(s, dir))
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("double").as("is_t")), Seq("doc_id"))
+        val sel = ImportanceSampling.resampleTopK(lw, "doc_id",
+          k = 100, seed = "dsir")
+        val rawStats = lw.agg(avg(col("log_weight")).as("raw_mean_lw"),
+          avg(col("is_t")).as("raw_target_frac"))
+        val selStats = sel.agg(avg(col("log_weight")).as("sel_mean_lw"),
+          avg(col("is_t")).as("sel_target_frac"))
+        rawStats.crossJoin(broadcast(selStats))
+          .select(round(col("raw_mean_lw"), 6).as("raw_mean_lw"),
+            round(col("sel_mean_lw"), 6).as("sel_mean_lw"),
+            round(col("raw_target_frac"), 6).as("raw_target_frac"),
+            round(col("sel_target_frac"), 6).as("sel_target_frac"),
+            (col("sel_mean_lw") > col("raw_mean_lw")).as("lift_ok"),
+            (col("sel_target_frac") >= col("raw_target_frac")).as("shift_ok"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w FROM tok),
+             |uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+             |vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 64),
+             |s AS (SELECT COUNT(*) + 1 AS s FROM vocab),
+             |m AS (SELECT p.doc_id, CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS w,
+             |        d.lang = 'en' AS is_t
+             |      FROM pos p LEFT JOIN vocab v ON v.w = p.w
+             |      JOIN documents d ON d.doc_id = p.doc_id),
+             |cnt AS (SELECT w, COUNT(*) AS cr,
+             |          SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+             |        FROM m GROUP BY w),
+             |tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+             |               CAST(SUM(ct) AS DOUBLE) AS nt FROM cnt),
+             |ratio AS (SELECT w,
+             |    LN((ct + 0.5) / (nt + 0.5 * s.s)) - LN((cr + 0.5) / (nr + 0.5 * s.s)) AS r
+             |  FROM cnt CROSS JOIN tot CROSS JOIN s),
+             |lw AS (SELECT m.doc_id, SUM(r.r) AS logw,
+             |         CAST(MAX(CASE WHEN m.is_t THEN 1 ELSE 0 END) AS DOUBLE) AS is_t
+             |       FROM m JOIN ratio r ON r.w = m.w GROUP BY m.doc_id),
+             |g AS (SELECT doc_id, logw, is_t, logw - LN(-LN(
+             |        ((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT) + 0.5)
+             |        / 4294967296.0)) AS score
+             |      FROM lw),
+             |sel AS (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 100),
+             |rs AS (SELECT AVG(logw) AS raw_mean_lw, AVG(is_t) AS raw_target_frac FROM g),
+             |ss AS (SELECT AVG(logw) AS sel_mean_lw, AVG(is_t) AS sel_target_frac FROM sel)
+             |SELECT ROUND(raw_mean_lw, 6) AS raw_mean_lw,
+             |       ROUND(sel_mean_lw, 6) AS sel_mean_lw,
+             |       ROUND(raw_target_frac, 6) AS raw_target_frac,
+             |       ROUND(sel_target_frac, 6) AS sel_target_frac,
+             |       sel_mean_lw > raw_mean_lw AS lift_ok,
+             |       sel_target_frac >= raw_target_frac AS shift_ok
+             |FROM rs CROSS JOIN ss""".stripMargin)),
 
     // deterministic shard EXPORT assignment (sources.Shards): shard =
     // shuffle rank / recordsPerShard — a pure function of (seed, key),
