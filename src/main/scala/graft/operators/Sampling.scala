@@ -151,4 +151,69 @@ object Sampling {
     }
     stratifiedSample(df, keyCol, sourceCol, rates)
   }
+
+  /** Deterministic Rademacher sketch planes: `nPlanes` hyperplanes of
+    * ±1 components, each bit drawn from chained md5 blocks of
+    * (seed, plane, block) — a pure function of the seed, so the SAME
+    * literal arrays can ride both the Spark plan and a SQL oracle.
+    * Random-±1 projections preserve angular structure the same way
+    * Gaussian planes do (Achlioptas 2003, database-friendly random
+    * projections; the sign-sketch is Charikar 2002's SimHash), which
+    * is all bucketing needs. */
+  def sketchPlanes(nPlanes: Int, dim: Int, seed: String): Seq[Seq[Double]] = {
+    require(nPlanes >= 1 && nPlanes <= 20, s"nPlanes $nPlanes not in [1,20]")
+    require(dim >= 1, s"dim must be positive, got $dim")
+    (0 until nPlanes).map { p =>
+      val bits = Iterator.from(0).flatMap { blk =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$p:$blk".getBytes("UTF-8"))
+          .iterator.flatMap(b => (0 until 8).map(i => (b >> i) & 1))
+      }
+      bits.take(dim).map(b => if (b == 1) 1.0 else -1.0).toSeq
+    }
+  }
+
+  /** Cluster-balanced sampling: partition the corpus into 2^planes
+    * sketch cells (sign pattern of the vector against the Rademacher
+    * planes — deterministic topic-ish buckets) and keep at most `k`
+    * rows per cell, chosen by the md5 draw — the diversity-preserving
+    * downsampling of curation pipelines (a uniform sample mirrors the
+    * corpus's cluster skew; a balanced sample caps every cluster, so
+    * dominant topics can't crowd out the tail). Production swaps the
+    * sketch cells for trained IVF cells ([[Similarity]]'s k-means
+    * machinery) — the balancing machinery is identical; the sketch
+    * variant keeps the whole operator a closed form an oracle can
+    * rebuild.
+    *
+    * Scale shape: cluster id + draw are one codegen map stage (the
+    * native dot-product expression per plane); the per-cell cap is
+    * [[graft.functions.TopKAgg]] — partial aggregation bounds every
+    * task's state to ≤k rows per cell BEFORE the exchange, so the
+    * shuffle is O(cells·k) per partition regardless of cluster skew —
+    * never a `row_number` window funneling whole cells through single
+    * partitions. Returns (cluster, key, rank), rank 1..k in draw
+    * order. `keyCol` must be integral (it rides the primitive-long
+    * aggregate buffer). */
+  def clusterBalancedSample(df: DataFrame, keyCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], k: Int, seed: String): DataFrame = {
+    require(planes.nonEmpty, "need at least one sketch plane")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = Similarity.asDouble(col(vecCol))
+    val cluster = planes.zipWithIndex.map { case (p, i) =>
+      when(Similarity.dot(v, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // the long value of the 8-hex-char draw orders exactly like the
+    // hex string (fixed width, lowercase); negate so TopKAgg's
+    // weight-DESC keeps the SMALLEST draws, its partner-ASC tie-break
+    // matching the (draw, key) oracle order
+    val drawLong = conv(substring(md5(concat(lit(seed),
+      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    df.select(cluster.as("cluster"), col(keyCol), (-drawLong).as("__nd"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKAgg.top_partners(k)(
+        col(keyCol).cast("long"), col("__nd")).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("cluster"), col("p._1").as(keyCol),
+        (col("r0") + 1).cast("long").as("rank"))
+  }
 }

@@ -1563,6 +1563,42 @@ object PipelineQueries {
              |ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
              |LIMIT 50""".stripMargin)),
 
+    // cluster-balanced sampling (Sampling.clusterBalancedSample): cap
+    // every sketch cell at k rows so dominant clusters can't crowd out
+    // the tail. The ±1 planes are a pure function of the seed, so the
+    // IDENTICAL literal arrays ride the Spark plan and this VALUES
+    // list — the oracle rebuilds cells, draws, and caps from scratch.
+    QueryDef("sample_cluster_balanced",
+      (s, dir) => Sampling.clusterBalancedSample(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        Sampling.sketchPlanes(3, 64, "cb"), k = 25, seed = "cbs"),
+      Some {
+        val planeValues = Sampling.sketchPlanes(3, 64, "cb").zipWithIndex
+          .flatMap { case (p, i) =>
+            p.zipWithIndex.map { case (w, d) =>
+              s"(${i + 1}, ${d + 1}, ${if (w > 0) "1.0" else "-1.0"})"
+            }
+          }.mkString(", ")
+        s"""WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+           |            generate_subscripts(embedding, 1) AS pos
+           |           FROM embeddings),
+           |p(plane, pos, w) AS (VALUES $planeValues),
+           |dot AS (SELECT e.vec_id, p.plane, SUM(e.v * p.w) AS d
+           |        FROM e JOIN p ON p.pos = e.pos GROUP BY 1, 2),
+           |bits AS (SELECT vec_id,
+           |    CAST(SUM(CASE WHEN d >= 0
+           |        THEN CAST(POWER(2, plane - 1) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS cluster
+           |  FROM dot GROUP BY vec_id),
+           |r AS (SELECT cluster, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster
+           |      ORDER BY substr(md5('cbs' || CAST(vec_id AS VARCHAR)), 1, 8),
+           |               vec_id) AS rnk
+           |  FROM bits)
+           |SELECT cluster, vec_id, CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= 25""".stripMargin
+      }),
+
     QueryDef("shuffle_order",
       (s, dir) => Sampling.shuffleOrder(Tables.documents(s, dir)
             .select(col("doc_id")), "doc_id", seed = "r6")
