@@ -53,7 +53,11 @@ object Bench {
     * `overlap_recall_cert` but O(N·k) output: the pair the two rows
     * make is the quadratic-output vs capped-output comparison).
     * Round 12 adds `embed_ann_ivf_pq` (the full FAISS IndexIVFPQ
-    * composition: cell-pruned scan × residual-PQ ADC scoring). */
+    * composition: cell-pruned scan × residual-PQ ADC scoring).
+    * Round 15 adds `select_importance` (DSIR Gumbel-top-k resampling —
+    * the scoring map + partial top-k; its ratio trainer is staged as
+    * the `isr_stage_train` cold row) and `sample_cluster_balanced`
+    * (sketch-cell balanced cap via the bounded TopKAgg). */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
@@ -68,7 +72,8 @@ object Bench {
     "embed_nearest_dup_lsh", "media_features", "media_transcode",
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "stream_semantic_dup",
-    "asof_join", "range_join", "sample_split", "shuffle_order",
+    "asof_join", "range_join", "sample_split", "sample_cluster_balanced",
+    "shuffle_order", "select_importance",
     "pack_sequences", "pipeline_training_mix")
 
   def main(args: Array[String]): Unit = {
@@ -207,6 +212,27 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors("lm_stage_train") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200)
+      }
+    }
+
+    // Same discipline for the DSIR ratio trainer (added round 15 with
+    // the select_importance row): two bounded aggregations, staged per
+    // (session, dir); the per-rep row times scoring + Gumbel top-k.
+    // Subtract this row when comparing totals to rounds <= 14.
+    if (names.contains("select_importance")) {
+      try {
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.queries.PipelineQueries.stagedRatio(spark, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] %-28s cold=%.3f (ratio model trained; select_importance reads the memo)",
+          "isr_stage_train", Double.box(t)))
+        timings("isr_stage_train") = t
+      } catch {
+        case e: Throwable =>
+          errors("isr_stage_train") = Option(e.getMessage)
             .getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200)
       }
     }

@@ -428,6 +428,64 @@ object ScaleRehearsal {
       }
     }
 
+    // r15b: DSIR importance resampling at reps× — the trainer's
+    // aggregation output (and collect) is closed-alphabet-bounded
+    // like the LM trainer's, scoring with a frozen 1× model is one
+    // shuffle-free codegen map stage, and the selection is
+    // TakeOrdered top-k, so the output is EXACTLY k at any scale.
+    // The replicated corpus has no lang column; doc_id parity is the
+    // synthetic target (replica offsets keep ~half of each replica in
+    // the target, so the distributions stay non-degenerate).
+    if (selected("importance")) {
+      import graft.operators.ImportanceSampling
+      def isrTrain(d: DataFrame): (ImportanceSampling.RatioModel, Double) = {
+        val t0 = System.nanoTime()
+        val m = ImportanceSampling.train(d, pmod(col("doc_id"), lit(2)) === 0,
+          "text")
+        (m, (System.nanoTime() - t0) / 1e9)
+      }
+      val (m1, t1) = isrTrain(docs0)
+      val (mN, tN) = isrTrain(docs)
+      println(f"[rehearsal] importance train: 1x=$t1%.2f s, ${reps}x=$tN%.2f s " +
+        f"(ratio=${tN / t1}%.2f vs corpus ratio $reps; model sizes " +
+        s"${m1.ratio.size}/${mN.ratio.size} — bounded by the closed " +
+        "alphabet, not the corpus)")
+      timed(s"importance score+resample (${reps}x corpus, k=100)") {
+        val sel = ImportanceSampling.resampleTopK(
+          ImportanceSampling.logWeights(docs, "doc_id", "text", m1),
+          "doc_id", k = 100, seed = "dsir")
+        val n = forceCount(sel)
+        require(n == 100L, s"top-k must stay k rows, got $n")
+        n
+      }
+    }
+
+    // r15b: cluster-balanced sampling at reps× — replicas share every
+    // vector DIRECTION, so each replica lands in its original's sketch
+    // cell: cell sizes scale ×reps while the capped output stays
+    // EXACTLY cells×k — the closed-form row count, with the bounded
+    // TopKAgg carrying reps× input through the same O(cells·k)
+    // shuffle.
+    if (selected("cluster_sample")) {
+      timed(s"cluster_sample balanced (${reps}x vectors, k=25)") {
+        val planes = Sampling.sketchPlanes(3, 64, "cb")
+        val out = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+          planes, k = 25, seed = "cbs").localCheckpoint()
+        val cells1 = Sampling.clusterBalancedSample(emb0
+            .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding")),
+          "vec_id", "embedding", planes, k = 25, seed = "cbs")
+          .select(col("cluster")).distinct().count()
+        val n = out.count()
+        val cellsN = out.select(col("cluster")).distinct().count()
+        println(s"[rehearsal] cluster_balanced: cells 1x=$cells1 ${reps}x=$cellsN " +
+          s"rows=$n (closed form: cells x 25 — replicas keep direction, " +
+          "so the cell set cannot grow)")
+        require(cellsN == cells1 && n == cells1 * 25,
+          s"expected ${cells1 * 25} rows in $cells1 cells, got $n in $cellsN")
+        n
+      }
+    }
+
     // Flagship COO-algebra rehearsal — the core §2 path
     // (scan→one_hot→groupby_sum, add_outer, join_axis1), the one
     // family that had no scale evidence beyond sf0.1. Unlike the

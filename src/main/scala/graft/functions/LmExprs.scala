@@ -114,6 +114,82 @@ case class BigramNll(child: Expression, vocab: Array[String],
   override def prettyName: String = "bigram_nll"
 }
 
+/** Per-document sum of FROZEN per-token log-ratio weights (see
+  * [[graft.operators.ImportanceSampling]]) — the corpus-sized apply
+  * side of DSIR importance scoring as one primitive pass per row with
+  * a HASHED ratio lookup.
+  *
+  * Same motivation and same contracts as [[BigramNll]]: the
+  * Column-composed formulation (`transform` OOV-map + `aggregate`
+  * fold over a literal map) evaluates interpreted (higher-order
+  * functions are CodegenFallback) and each `element_at` linearly
+  * scans the (V+1)-entry map — O(tokens × V) per document; this
+  * kernel is O(tokens) inside whole-stage codegen with the value
+  * identical to the bit: identical `split(text, " ")` tokenization
+  * (trailing empties kept), identical OOV→<unk> mapping, identical
+  * left-to-right summation order. NULL text → NULL; a token whose
+  * mapped key is missing from the ratio map → NULL (mirroring the
+  * Column fold's `acc + NULL` absorption — unreachable when the map
+  * covers vocab ∪ <unk>, but the contract must match). */
+case class RatioSum(child: Expression, vocab: Array[String],
+    ratio: Array[(String, Double)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val ratioMap: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](ratio.length * 2)
+    ratio.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  private val unk = "<unk>"
+
+  def compute(text: UTF8String): Any = {
+    val toks = text.toString.split(" ", -1)
+    var acc = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      val r = ratioMap.get(if (vocabSet.contains(w)) w else unk)
+      if (r == null) return null
+      acc += r.doubleValue()
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ratioSumExpr", this, classOf[RatioSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.compute($c);
+      if (r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ((Double) r).doubleValue();
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RatioSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "ratio_sum"
+}
+
 object LmExprs {
   /** Column API: mean negative log-likelihood of `text` under the
     * frozen bigram counts. */
@@ -122,4 +198,11 @@ object LmExprs {
       alphabetSize: Int, alpha: Double): Column =
     ColumnBridge.column(BigramNll(ColumnBridge.expression(text),
       vocab, unigrams, bigrams, alphabetSize, alpha))
+
+  /** Column API: sum of frozen log-ratio weights over `text`'s
+    * OOV-mapped tokens. */
+  def ratioSum(text: Column, vocab: Array[String],
+      ratio: Array[(String, Double)]): Column =
+    ColumnBridge.column(RatioSum(ColumnBridge.expression(text),
+      vocab, ratio))
 }

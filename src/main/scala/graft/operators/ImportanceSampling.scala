@@ -87,21 +87,20 @@ object ImportanceSampling {
 
   /** Per-document log importance weight under the frozen model:
     * (id, n_tokens, log_weight) with log_weight = Σ r(mapped tok) —
-    * a deterministic left-to-right `aggregate` fold over the
-    * document's own token array. One codegen map stage: no UDF, no
-    * shuffle, no join. The literal-map `element_at` lookup is O(S)
-    * per token — fine at the bounded S = V+1 = 65; a corpus wanting
-    * V in the thousands swaps in an [[graft.functions.LmExprs]]-style
-    * hashed native kernel (the bigramNll precedent). */
+    * a deterministic left-to-right fold over the document's own token
+    * array. One shuffle-free map stage through the native
+    * [[graft.functions.LmExprs.ratioSum]] kernel — O(tokens) per
+    * document with hashed lookups inside whole-stage codegen (the
+    * Column-composed `aggregate` + literal-map `element_at`
+    * formulation evaluates interpreted and scans the (V+1)-entry map
+    * per token; it remains the executable reference the kernel is
+    * spec-pinned against). */
   def logWeights(docs: DataFrame, idCol: String, textCol: String,
-      m: RatioModel): DataFrame = {
-    val r = typedLit(m.ratio)
-    val t = mapped(toks(col(textCol)), m.vocab)
+      m: RatioModel): DataFrame =
     docs.select(col(idCol),
       size(toks(col(textCol))).cast("long").as("n_tokens"),
-      aggregate(t, lit(0.0), (acc, w) => acc + element_at(r, w))
-        .as("log_weight"))
-  }
+      graft.functions.LmExprs.ratioSum(col(textCol), m.vocab.toArray,
+        m.ratio.toArray).as("log_weight"))
 
   /** The Gumbel perturbation for `key`: g = −ln(−ln u) with
     * u = (md5-draw + 0.5) / 2^32 — deterministic in (seed, key). */

@@ -92,6 +92,51 @@ class ImportanceSamplingSpec extends SparkSpecBase {
     assert(selFrac >= rawFrac, s"no shift: sel=$selFrac raw=$rawFrac")
   }
 
+  test("native RatioSum equals the Column-composed reference fold on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the Column-composed formulation the native kernel replaced —
+    // kept as the executable reference (the BigramNll discipline)
+    def referenceLw(docs: org.apache.spark.sql.DataFrame,
+        m: ImportanceSampling.RatioModel): Map[Long, Option[Double]] = {
+      val r = typedLit(m.ratio)
+      val v = typedLit(m.vocab)
+      val t = transform(split(col("text"), " "),
+        w => when(array_contains(v, w), w).otherwise(lit("<unk>")))
+      docs.select(col("id"),
+          aggregate(t, lit(0.0), (acc, w) => acc + element_at(r, w)).as("lw"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    }
+    val word = Gen.oneOf("a", "b", "cc", "ddd", "é")
+    val genDoc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val genCorpus = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, genDoc))
+      .map(_ ++ Seq("", " ", "a  b", " a", "b "))
+    (0 until 4).foreach { i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+          .toDF("id", "text")
+        val m = ImportanceSampling.train(docs, col("id") % 2 === 0, "text",
+          vocabSize = 3)
+        val native = ImportanceSampling.logWeights(docs, "id", "text", m)
+          .collect().map(r2 => r2.getLong(0) ->
+            (if (r2.isNullAt(2)) None else Some(r2.getDouble(2)))).toMap
+        assert(native === referenceLw(docs, m), s"seed $i diverged")
+      }
+    }
+  }
+
+  test("scoring stays inside whole-stage codegen (no fallback exprs)") {
+    // a parquet-backed frame: a local relation would be constant-folded
+    // into a LocalTableScan with no Project to inspect
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val plan = ImportanceSampling.logWeights(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"scoring Project not codegen'd:\n$plan")
+  }
+
   test("resample plans as partial top-k, not a global sort") {
     val lw = ImportanceSampling.logWeights(tiny, "id", "text", model)
     val p = ImportanceSampling.resampleTopK(lw, "id", k = 3, seed = "t")
