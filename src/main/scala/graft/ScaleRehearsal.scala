@@ -467,14 +467,16 @@ object ScaleRehearsal {
     // TopKAgg carrying reps× input through the same O(cells·k)
     // shuffle.
     if (selected("cluster_sample")) {
+      // the 1× cell-set reference runs OUTSIDE the timed region — the
+      // timed number must be the reps× workload alone
+      val planes = Sampling.sketchPlanes(3, 64, "cb")
+      val cells1 = Sampling.clusterBalancedSample(emb0
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding")),
+        "vec_id", "embedding", planes, k = 25, seed = "cbs")
+        .select(col("cluster")).distinct().count()
       timed(s"cluster_sample balanced (${reps}x vectors, k=25)") {
-        val planes = Sampling.sketchPlanes(3, 64, "cb")
         val out = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
           planes, k = 25, seed = "cbs").localCheckpoint()
-        val cells1 = Sampling.clusterBalancedSample(emb0
-            .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding")),
-          "vec_id", "embedding", planes, k = 25, seed = "cbs")
-          .select(col("cluster")).distinct().count()
         val n = out.count()
         val cellsN = out.select(col("cluster")).distinct().count()
         println(s"[rehearsal] cluster_balanced: cells 1x=$cells1 ${reps}x=$cellsN " +

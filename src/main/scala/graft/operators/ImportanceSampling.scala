@@ -103,10 +103,11 @@ object ImportanceSampling {
         m.ratio.toArray).as("log_weight"))
 
   /** The Gumbel perturbation for `key`: g = −ln(−ln u) with
-    * u = (md5-draw + 0.5) / 2^32 — deterministic in (seed, key). */
+    * u = (md5-draw + 0.5) / 2^32 — deterministic in (seed, key); the
+    * draw is [[Sampling.seededDrawLong]], the engine's one seeded
+    * numeric-draw definition. */
   def gumbel(key: Column, seed: String): Column = {
-    val draw = conv(substring(md5(concat(lit(seed), key.cast("string"))),
-      1, 8), 16, 10).cast("double")
+    val draw = Sampling.seededDrawLong(key, seed).cast("double")
     -log(-log((draw + lit(0.5)) / lit(4294967296.0)))
   }
 

@@ -24,6 +24,19 @@ object Sampling {
   def hashDraw(key: Column): Column =
     substring(md5(key.cast("string")), 1, 8)
 
+  /** The seeded draw as its numeric value: `md5(seed ‖ key)`'s first
+    * 8 hex chars read base-16. Fixed-width lowercase hex orders
+    * identically to its numeric value, so ordering by this long ≡
+    * ordering by the [[hashDraw]]-style string — THE single
+    * definition of the seeded numeric draw (consumers:
+    * [[clusterBalancedSample]]'s per-cell rank,
+    * [[graft.operators.ImportanceSampling.gumbel]]'s uniform);
+    * every oracle rebuilds it as `('0x' ‖ hex)::UBIGINT`, DuckDB's
+    * spelling of Spark's `conv(hex, 16, 10)`. */
+  def seededDrawLong(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   /** The threshold hex string t such that P[draw < t] = fraction. */
   def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
@@ -196,18 +209,23 @@ object Sampling {
     * aggregate buffer). */
   def clusterBalancedSample(df: DataFrame, keyCol: String, vecCol: String,
       planes: Seq[Seq[Double]], k: Int, seed: String): DataFrame = {
-    require(planes.nonEmpty, "need at least one sketch plane")
+    require(planes.nonEmpty && planes.size <= 20,
+      s"need 1..20 sketch planes (cluster bits), got ${planes.size}")
     require(k >= 1, s"k must be >= 1, got $k")
     val v = Similarity.asDouble(col(vecCol))
+    // sign test on the ROUNDED dot: the oracle's SUM accumulates in
+    // an unpinned order, and an ulp-level disagreement on a
+    // near-zero dot would flip a cluster bit — rounding first shrinks
+    // the divergence window to the same rounding-boundary class as
+    // every other ROUND comparison in the oracle suite
     val cluster = planes.zipWithIndex.map { case (p, i) =>
-      when(Similarity.dot(v, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(round(Similarity.dot(v, typedLit(p)), 6) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
-    // the long value of the 8-hex-char draw orders exactly like the
-    // hex string (fixed width, lowercase); negate so TopKAgg's
-    // weight-DESC keeps the SMALLEST draws, its partner-ASC tie-break
-    // matching the (draw, key) oracle order
-    val drawLong = conv(substring(md5(concat(lit(seed),
-      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    // negate the numeric draw so TopKAgg's weight-DESC keeps the
+    // SMALLEST draws, its partner-ASC tie-break matching the
+    // (draw, key) oracle order
+    val drawLong = seededDrawLong(col(keyCol), seed)
     df.select(cluster.as("cluster"), col(keyCol), (-drawLong).as("__nd"))
       .groupBy(col("cluster"))
       .agg(graft.functions.TopKAgg.top_partners(k)(

@@ -131,10 +131,12 @@ object PipelineQueries {
       graft.operators.ImportanceSampling.RatioModel]
 
   private[graft] def stagedRatio(s: org.apache.spark.sql.SparkSession,
-      dir: String): graft.operators.ImportanceSampling.RatioModel =
+      dir: String): graft.operators.ImportanceSampling.RatioModel = {
+    hookEviction(s)
     ratioCache.computeIfAbsent((s, dir),
       _ => ImportanceSampling.train(Tables.documents(s, dir),
         col("lang") === "en", "text", vocabSize = 64, alpha = 0.5))
+  }
 
   private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
     if (overlapEvictionHooked.add(s)) {
@@ -193,6 +195,7 @@ object PipelineQueries {
       }
     }
     lmCache.keySet().removeIf(k => k._1 eq s)
+    ratioCache.keySet().removeIf(k => k._1 eq s)
   }
 
   /** Test hook: staged entries currently held for `s`. */
@@ -1586,7 +1589,7 @@ object PipelineQueries {
            |dot AS (SELECT e.vec_id, p.plane, SUM(e.v * p.w) AS d
            |        FROM e JOIN p ON p.pos = e.pos GROUP BY 1, 2),
            |bits AS (SELECT vec_id,
-           |    CAST(SUM(CASE WHEN d >= 0
+           |    CAST(SUM(CASE WHEN ROUND(d, 6) >= 0
            |        THEN CAST(POWER(2, plane - 1) AS BIGINT) ELSE 0 END)
            |      AS BIGINT) AS cluster
            |  FROM dot GROUP BY vec_id),

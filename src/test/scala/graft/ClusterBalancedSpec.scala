@@ -29,7 +29,7 @@ class ClusterBalancedSpec extends SparkSpecBase {
     // reference: same cluster ids, ROW_NUMBER window per cluster
     val v = graft.operators.Similarity.asDouble(col("embedding"))
     val cluster = planes.zipWithIndex.map { case (p, i) =>
-      when(graft.operators.Similarity.dot(v, typedLit(p)) >= 0,
+      when(round(graft.operators.Similarity.dot(v, typedLit(p)), 6) >= 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val w = Window.partitionBy(col("cluster"))
