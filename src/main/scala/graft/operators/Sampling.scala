@@ -211,7 +211,6 @@ object Sampling {
       planes: Seq[Seq[Double]], k: Int, seed: String): DataFrame = {
     require(planes.nonEmpty && planes.size <= 20,
       s"need 1..20 sketch planes (cluster bits), got ${planes.size}")
-    require(k >= 1, s"k must be >= 1, got $k")
     val v = Similarity.asDouble(col(vecCol))
     // sign test on the ROUNDED dot: the oracle's SUM accumulates in
     // an unpinned order, and an ulp-level disagreement on a
@@ -222,11 +221,43 @@ object Sampling {
       when(round(Similarity.dot(v, typedLit(p)), 6) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+    capPerCluster(df.select(cluster.as("cluster"), col(keyCol)), keyCol, k, seed)
+  }
+
+  /** The production-cluster variant of [[clusterBalancedSample]]:
+    * the cells are TRAINED IVF centroids
+    * ([[Similarity.trainIvfCentroids]] — the same frozen quantizer
+    * the ANN family probes), so the cap balances across data-derived
+    * topic cells instead of data-independent sketch cells. Assignment
+    * is one native `IvfCells` pass per row (argmax dot, deterministic
+    * ties); the cap machinery is identical. The output cannot have a
+    * SQL oracle (cells depend on the trained model), so the
+    * registered query emits the per-cell cap INVARIANT alongside the
+    * counts — the spec pins semantics against the window definition. */
+  def clusterBalancedSampleCells(df: DataFrame, keyCol: String,
+      vecCol: String, centroids: Array[Array[Double]], k: Int,
+      seed: String): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cell = element_at(graft.functions.IvfCells.cells(
+      Similarity.asDouble(col(vecCol)), centroids, 1), 1)
+    capPerCluster(df.select(cell.cast("long").as("cluster"), col(keyCol)),
+      keyCol, k, seed)
+  }
+
+  /** Shared per-cluster cap: keep the k smallest seeded draws in each
+    * cluster via the bounded [[graft.functions.TopKAgg]] — map-side
+    * partials hold ≤k rows per cluster BEFORE the exchange, so the
+    * shuffle is O(clusters·k) per partition regardless of cluster
+    * skew. Returns (cluster, key, rank 1..k in draw order). */
+  private def capPerCluster(assigned: DataFrame, keyCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     // negate the numeric draw so TopKAgg's weight-DESC keeps the
     // SMALLEST draws, its partner-ASC tie-break matching the
     // (draw, key) oracle order
-    val drawLong = seededDrawLong(col(keyCol), seed)
-    df.select(cluster.as("cluster"), col(keyCol), (-drawLong).as("__nd"))
+    assigned
+      .select(col("cluster"), col(keyCol),
+        (-seededDrawLong(col(keyCol), seed)).as("__nd"))
       .groupBy(col("cluster"))
       .agg(graft.functions.TopKAgg.top_partners(k)(
         col(keyCol).cast("long"), col("__nd")).as("top"))

@@ -1602,6 +1602,31 @@ object PipelineQueries {
            |FROM r WHERE rnk <= 25""".stripMargin
       }),
 
+    // the PRODUCTION cluster variant: the same balanced cap over
+    // TRAINED IVF cells (the ANN family's quantizer). Cells depend on
+    // the trained model, so no SQL oracle exists; instead the output
+    // IS the per-cell cap invariant — n_kept must equal
+    // min(cell_size, k) in every cell (`cap_ok`), with the spec
+    // pinning semantics against the per-cluster window definition.
+    QueryDef("sample_cluster_balanced_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+          nlist = 8)
+        val kept = Sampling.clusterBalancedSampleCells(emb, "vec_id",
+          "embedding", cents, k = 25, seed = "cbi")
+        val sizes = emb.select(
+            element_at(graft.functions.IvfCells.cells(
+              Similarity.asDouble(col("embedding")), cents, 1), 1)
+              .cast("long").as("cluster"))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("cell_size"))
+        kept.groupBy(col("cluster")).agg(count(lit(1)).as("n_kept"))
+          .join(sizes, Seq("cluster"))
+          .select(col("cluster"), col("cell_size"), col("n_kept"),
+            (col("n_kept") === least(col("cell_size"), lit(25L))).as("cap_ok"))
+      },
+      None),
+
     QueryDef("shuffle_order",
       (s, dir) => Sampling.shuffleOrder(Tables.documents(s, dir)
             .select(col("doc_id")), "doc_id", seed = "r6")

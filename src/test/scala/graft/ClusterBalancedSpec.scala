@@ -65,6 +65,32 @@ class ClusterBalancedSpec extends SparkSpecBase {
     assert(re === got)
   }
 
+  test("IVF-cell variant equals the per-cell window prefix on trained cells") {
+    import graft.operators.Similarity
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 4)
+    val got = Sampling.clusterBalancedSampleCells(emb, "vec_id", "embedding",
+        cents, k = 7, seed = "ti")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cell = element_at(graft.functions.IvfCells.cells(
+      Similarity.asDouble(col("embedding")), cents, 1), 1).cast("long")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(substring(md5(concat(lit("ti"), col("vec_id").cast("string"))),
+        1, 8), col("vec_id"))
+    val ref = emb.select(cell.as("cluster"), col("vec_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref)
+    // every trained cell holds min(k, cell size) rows
+    val sizes = emb.select(cell.as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(kept.keySet === sizes.keySet)
+    kept.foreach { case (c, n) => assert(n === math.min(7L, sizes(c))) }
+  }
+
   test("plans as a bounded partial aggregate, never a window") {
     val p = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
         planes, k = 7, seed = "t")
