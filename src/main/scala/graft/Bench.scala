@@ -67,6 +67,7 @@ object Bench {
     "text_stats", "token_count", "token_count_bpe", "lm_perplexity",
     "chunk_documents", "fingerprint_rolling",
     "overlap_recall_cert", "overlap_topk", "decontaminate_bloom_cert",
+    "decontaminate_fuzzy",
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
     "embed_ann_pq", "embed_ann_ivf_pq",
     "embed_nearest_dup_lsh", "media_features", "media_transcode",

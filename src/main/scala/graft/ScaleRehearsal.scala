@@ -428,6 +428,28 @@ object ScaleRehearsal {
       }
     }
 
+    // r15b: fuzzy decontamination at reps× — the corpus side grows,
+    // the eval side stays benchmark-sized (the production asymmetry).
+    // On the replicated corpus every replica of an eval-slice doc is a
+    // planted near-dup of its original (suffix-shifted J ≈ 0.9), so
+    // hits must track reps × |slice| — output linear in corpus, join
+    // legs bounded by the eval prefix index.
+    if (selected("decon")) {
+      val eval0 = docs0.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      timed(s"decon fuzzy (${reps}x corpus vs fixed eval slice)") {
+        val out = Dedup.crossNgramJaccard(docs, "doc_id", eval0, "eval_id",
+            "text")
+          .filter(col("doc_id") =!= col("eval_id")).localCheckpoint()
+        val n = out.count()
+        val evN = eval0.count()
+        println(s"[rehearsal] decon_fuzzy: hits=$n eval=$evN " +
+          s"(every replica of an eval doc is a planted leak: expect " +
+          s"≥ ${(reps - 1)} per eval doc)")
+        n
+      }
+    }
+
     // r15b: DSIR importance resampling at reps× — the trainer's
     // aggregation output (and collect) is closed-alphabet-bounded
     // like the LM trainer's, scoring with a frozen 1× model is one

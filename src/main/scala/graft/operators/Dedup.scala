@@ -306,6 +306,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus FUZZY decontamination — the near-dup analog of the
+    * exact shingle screens ([[TextAnalysis.decontaminate]]'s Bloom
+    * pass, `contamination_check`'s n-gram join): EXACT n-gram Jaccard
+    * ≥ `threshold` between corpus documents and an EVAL set, the
+    * "remove training docs that nearly contain a benchmark item"
+    * stage of an LLM pipeline (exact screens miss paraphrased or
+    * lightly-edited leakage; this catches anything above the Jaccard
+    * floor, with no false positives — candidates are exact-verified).
+    *
+    * Same All-Pairs/PPJoin prefix bound as [[ngramJaccardPairs]],
+    * cross-relation: the global shingle order is document-frequency
+    * ascending over the UNION of both sides (the bound only needs a
+    * common total order), each side indexes only its length-derived
+    * prefix, and candidates are verified against the full staged
+    * signatures. Scale shape is the eval-set-bounded asymmetric join:
+    * the eval side is benchmark-sized, so its prefix leg is tiny and
+    * every corpus shingle outside eval prefixes never joins.
+    * Returns (`corpusIdCol`, `evalIdCol`, jaccard); self-pairs (an
+    * eval slice drawn FROM the corpus) are the caller's filter —
+    * id spaces are in general unrelated. */
+  def crossNgramJaccard(corpus: DataFrame, corpusIdCol: String,
+      evalDocs: DataFrame, evalIdCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      stage: Boolean = true): DataFrame = {
+    require(corpusIdCol != evalIdCol,
+      s"corpus and eval id columns must differ, both are '$corpusIdCol'")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold not in (0,1]")
+    def sigOf(d: DataFrame, idCol: String): DataFrame = {
+      val s = d.filter(size(tokens(col(textCol))) >= shingleN)
+        .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
+      if (stage) s.localCheckpoint() else s
+    }
+    val sigC = sigOf(corpus, corpusIdCol)
+    val sigE = sigOf(evalDocs, evalIdCol)
+    val shC = sigC.select(col("doc"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val shE = sigE.select(col("doc"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val df = shC.select(col("s")).unionAll(shE.select(col("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
+    def prefixOf(sh: DataFrame): DataFrame = sh.join(df, Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      // df==1 pruning stays valid cross-relation: a shingle seen once
+      // across BOTH sides cannot be shared by a cross pair
+      .filter(col("__df") >= 2)
+      .select(col("doc"), col("n"), col("s"))
+    val cands = prefixOf(shC).as("x").join(prefixOf(shE).as("y"),
+        col("x.s") === col("y.s") &&
+          col("x.n") * threshold <= col("y.n") &&
+          col("y.n") * threshold <= col("x.n"))
+      .select(col("x.doc").as("__dc"), col("y.doc").as("__de"))
+      .distinct()
+    cands
+      .join(sigC.select(col("doc").as("__dc"), col("sh").as("sh_c")), Seq("__dc"))
+      .join(sigE.select(col("doc").as("__de"), col("sh").as("sh_e")), Seq("__de"))
+      .select(col("__dc").as(corpusIdCol), col("__de").as(evalIdCol),
+        jaccardExpr(col("sh_c"), col("sh_e")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Persist the corpus's near-dup signature index: band keys (for
     * candidate lookup) and shingle-hash arrays (for verification).
     * Indexing is one pass over the corpus; incremental ingestion then

@@ -1153,6 +1153,42 @@ object PipelineQueries {
              |ROUND(LN(MAX(n.n) / COUNT(*)), 6) AS idf
              |FROM dt CROSS JOIN n GROUP BY tok""".stripMargin)),
 
+    // FUZZY decontamination (Dedup.crossNgramJaccard): corpus docs
+    // within Jaccard 0.8 of an eval-set item — the near-dup screen
+    // exact probes and the Bloom pass can't provide. Eval here = the
+    // doc_id % 17 slice (production passes the benchmark table);
+    // self-pairs (the slice is drawn from the corpus) filtered out.
+    // The oracle is the naive cross inverted-index join — the
+    // prefix-filtered path must return exactly that set.
+    QueryDef("decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.crossNgramJaccard(docs, "doc_id",
+            docs.filter(col("doc_id") % 17 === 0)
+              .select(col("doc_id").as("eval_id"), col("text")),
+            "eval_id", "text", shingleN = 3, threshold = 0.8)
+          .filter(col("doc_id") =!= col("eval_id"))
+          .select(col("doc_id"), col("eval_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_distinct([l[i] || chr(1) || l[i+1] || chr(1) || l[i+2]
+             |      FOR i IN range(1, len(l) - 1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+             |  WHERE len(l) >= 3),
+             |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+             |cnt AS (SELECT doc_id, len(sh) AS nn FROM s),
+             |inter AS (SELECT x.doc_id AS doc_c, y.doc_id AS doc_e, COUNT(*) AS i
+             |  FROM e x JOIN e y ON x.sg = y.sg AND y.doc_id % 17 = 0
+             |    AND x.doc_id != y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_c AS doc_id, doc_e AS eval_id,
+             |  ROUND(CAST(i AS DOUBLE) / (ca.nn + cb.nn - i), 6) AS jaccard
+             |FROM inter
+             |JOIN cnt ca ON ca.doc_id = doc_c
+             |JOIN cnt cb ON cb.doc_id = doc_e
+             |WHERE CAST(i AS DOUBLE) / (ca.nn + cb.nn - i) >= 0.8""".stripMargin)),
+
     QueryDef("contamination_check",
       (s, dir) => TextAnalysis.contamination(Tables.documents(s, dir),
         "doc_id", "text", Seq("spark group fast", "hash join", "window merge")),
