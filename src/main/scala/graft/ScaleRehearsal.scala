@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Tables
 
 /** Scale rehearsal for the heavy self-join paths: replicate the input
@@ -446,6 +446,23 @@ object ScaleRehearsal {
         println(s"[rehearsal] decon_fuzzy: hits=$n eval=$evN " +
           s"(every replica of an eval doc is a planted leak: expect " +
           s"≥ ${(reps - 1)} per eval doc)")
+        n
+      }
+    }
+
+    // r15b: perceptual-hash image dedup at reps× — replica ids derive
+    // DIFFERENT sinusoid patterns (the hash keys diversify with the
+    // corpus, unlike the text replicas), so the band-join buckets must
+    // stay spread as the image count grows; encode+decode+hash is the
+    // dominant linear cost, the pair join is bucket-bounded.
+    if (selected("phash")) {
+      timed(s"phash encode+hash+dedup (${reps}x synthetic images, d<=3)") {
+        val media = Multimodal.syntheticPatternMedia(docs.select(col("doc_id")))
+        val hashes = Multimodal.perceptualHash(spark, media).localCheckpoint()
+        val distinctH = hashes.select(col("phash")).distinct().count()
+        val n = forceCount(Multimodal.phashNearDup(hashes, maxHamming = 3))
+        println(s"[rehearsal] phash: images=${hashes.count()} " +
+          s"distinct_hashes=$distinctH pairs(d<=3)=$n")
         n
       }
     }

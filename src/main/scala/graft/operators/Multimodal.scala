@@ -542,4 +542,127 @@ object Multimodal {
       }
     }.toDF("media_id", "frame_idx", "width", "height", "mean_px")
   }
+
+  // ---------------- perceptual hashing (image near-dup) ----------------
+
+  /** 2-D sinusoid test pattern — the structured analog of
+    * [[solidImage]] for the perceptual-hash family (a difference hash
+    * over solid images is degenerate: every gradient sign is equal).
+    * Frequencies/phase are closed-form in `id` (StrictMath for
+    * bit-stable trig across JVMs), so distinct ids get distinct
+    * band patterns while JPEG re-encoding preserves the smooth
+    * structure — the planted-twin property the cert measures. */
+  private[graft] def patternImage(id: Long): BufferedImage = {
+    val (w, h) = (imageW(id), imageH(id))
+    val ax = 0.3 + (id % 7) * 0.4
+    val ay = 0.2 + ((id / 7) % 5) * 0.5
+    val ph = (id % 11) * 0.6
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (128 + 127 * StrictMath.sin(ax * x + ay * y + ph)).toInt
+          .max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodePatternPng(id: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(patternImage(id), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Structured synthetic image corpus: one patterned PNG per doc id
+    * (every id — no modality split; this feeds the image-dedup
+    * family, which is image-only by definition). */
+  def syntheticPatternMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)
+      ids.map { id =>
+        MediaFile(id, "image", encodePatternPng(id),
+          imageW(id), imageH(id), 0, 0)
+      }
+    }.toDF()
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): decode, bilinear-resize the luminance to 9×8, then
+    * bit(y·8+x) = L(x+1,y) > L(x,y). Robust to re-encoding and
+    * resampling (what near-dup IMAGE dedup needs — the byte digest
+    * changes under any transcode; the dHash doesn't), cheap enough to
+    * run in the decode pass. One iterator-to-iterator mapPartitions
+    * batch, like every codec stage. */
+  def perceptualHash(spark: SparkSession, media: DataFrame,
+      onError: String = "fail"): DataFrame = {
+    import spark.implicits._
+    checkPolicy(onError)
+    media.as[MediaFile].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        if (m.kind != "image") None
+        else guard(m, onError) {
+          val src = readImageStrict(m.bytes)
+          val dst = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          def lum(x: Int, y: Int): Int = {
+            val rgb = dst.getRGB(x, y)
+            ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3
+          }
+          var bits = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (lum(x + 1, y) > lum(x, y)) bits |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (m.media_id, bits)
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Image near-duplicate pairs from a (media_id, phash) relation:
+    * all pairs at Hamming distance ≤ `maxHamming` via the pigeonhole
+    * band join — the 64-bit hash splits into 4 16-bit chunks, and two
+    * hashes within distance 3 MUST agree on at least one chunk (≤3
+    * flipped bits cannot touch all 4), so the chunk-equality join is
+    * EXACT (complete, not approximate) for maxHamming ≤ 3, with
+    * bounded buckets instead of an all-pairs product — the SimHash
+    * discipline ([[Dedup]]'s text analog) applied to images.
+    * Candidates are verified with the true popcount distance. */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming not in [0,3] — 4 chunks only guarantee " +
+        "completeness up to distance 3")
+    val chunks = hashes.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .withColumn("chunk", expr("(phash >> (ci * 16)) & 65535"))
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.chunk") === col("y.chunk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("x.phash").as("ph_a"),
+        col("y.media_id").as("id_b"), col("y.phash").as("ph_b"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        expr("bit_count(ph_a ^ ph_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

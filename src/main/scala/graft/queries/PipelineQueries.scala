@@ -1315,6 +1315,33 @@ object PipelineQueries {
              |  WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS INT) AS width_px
              |FROM documents""".stripMargin)),
 
+    // image near-dup via perceptual hash (Multimodal.perceptualHash +
+    // phashNearDup): planted twins = JPEG re-encodes of 16 patterned
+    // PNGs under shifted ids — the dHash must survive the lossy
+    // transcode (the property that makes it a NEAR-dup key where the
+    // byte digest is useless). dHash values depend on the JVM codec +
+    // resampler, so no SQL oracle; the output row carries the planted
+    // recall invariant (`phash_ok`), and the spec pins the hash and
+    // the pigeonhole band join's exactness at Hamming ≤ 3.
+    QueryDef("media_phash_dup",
+      (s, dir) => {
+        val base = Multimodal.syntheticPatternMedia(Tables.documents(s, dir))
+        val twins = Multimodal.transcodeImages(s,
+            base.filter(col("media_id") < 16), "jpg")
+          .withColumn("media_id", col("media_id") + lit(twinOffsetBatch))
+        val hashes = Multimodal.perceptualHash(s, base.unionByName(twins))
+        val dup = Multimodal.phashNearDup(hashes, maxHamming = 3)
+          .localCheckpoint()
+        val planted = dup.filter(col("id_b") === col("id_a") + twinOffsetBatch)
+        val stats = dup.agg(count(lit(1)).as("all_pairs")).crossJoin(
+          broadcast(planted.agg(count(lit(1)).as("n_caught"))))
+        stats.select(lit(16L).as("n_planted"), col("n_caught"),
+          round(col("n_caught") / 16.0, 6).as("recall"),
+          (col("all_pairs") - col("n_caught")).as("extra_pairs"),
+          (col("n_caught") === 16L).as("phash_ok"))
+      },
+      None),
+
     // ---------------- windows & sketches ----------------
 
     QueryDef("window_tumbling",

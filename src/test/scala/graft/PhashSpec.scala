@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Perceptual-hash image near-dup: transcode invariance (the planted
+  * property), discrimination across patterns, and the pigeonhole band
+  * join's exactness at Hamming ≤ 3 against brute force. */
+class PhashSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val docs = graft.queries.Tables.documents(spark, sf)
+  private lazy val base = Multimodal.syntheticPatternMedia(docs)
+
+  test("dHash survives JPEG transcode; solid images are degenerate") {
+    val slice = base.filter(col("media_id") < 16)
+    val h0 = Multimodal.perceptualHash(spark, slice)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twins = Multimodal.transcodeImages(spark, slice, "jpg")
+    val h1 = Multimodal.perceptualHash(spark, twins)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h0.keySet === h1.keySet)
+    h0.foreach { case (id, ph) =>
+      val d = java.lang.Long.bitCount(ph ^ h1(id))
+      assert(d <= 3, s"id=$id drifted $d bits under JPEG transcode")
+    }
+    // patterns must discriminate (why the sinusoid generator exists):
+    // the 16 distinct patterns produce many distinct hashes...
+    assert(h0.values.toSet.size >= 8, s"patterns not discriminating: $h0")
+    // ...whereas every solid image hashes to the same degenerate value
+    val solid = Multimodal.syntheticMedia(docs)
+      .filter(col("kind") === "image" && col("media_id") < 30)
+    val hs = Multimodal.perceptualHash(spark, solid)
+      .collect().map(_.getLong(1)).toSet
+    assert(hs.size === 1, s"solid images should be degenerate, got $hs")
+  }
+
+  test("band join returns EXACTLY the brute-force Hamming<=3 pair set") {
+    val hashes = Multimodal.perceptualHash(spark, base)
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, pa) <- hs; (ib, pb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(pa ^ pb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Multimodal.phashNearDup(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture should contain natural near-dups")
+  }
+
+  test("guards: maxHamming beyond pigeonhole bound rejected; non-images skipped") {
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(base.limit(1)
+        .select(col("media_id"), lit(0L).as("phash")), maxHamming = 4)
+    }
+    val mixed = Multimodal.syntheticMedia(docs.limit(30))
+    val n = Multimodal.perceptualHash(spark, mixed).count()
+    val nImages = mixed.filter(col("kind") === "image").count()
+    assert(n === nImages)
+  }
+}
