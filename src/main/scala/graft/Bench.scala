@@ -56,8 +56,11 @@ object Bench {
     * composition: cell-pruned scan × residual-PQ ADC scoring).
     * Round 15 adds `select_importance` (DSIR Gumbel-top-k resampling —
     * the scoring map + partial top-k; its ratio trainer is staged as
-    * the `isr_stage_train` cold row) and `sample_cluster_balanced`
-    * (sketch-cell balanced cap via the bounded TopKAgg). */
+    * the `isr_stage_train` cold row), `sample_cluster_balanced`
+    * (sketch-cell balanced cap via the bounded TopKAgg),
+    * `decontaminate_fuzzy` (eval-bounded cross Jaccard prefix join)
+    * and `media_phash_dup` (encode+dHash+band-join over the synthetic
+    * image corpus — the image-dedup throughput row). */
   val Headline: Seq[String] = Seq(
     "groupby_sum", "scan_events_onehot", "add_outer", "join_axis1_outer",
     "take_rows", "todense_pivot", "io_roundtrip",
@@ -71,6 +74,7 @@ object Bench {
     "embed_cosine_topk", "embed_ann_sq8", "embed_ann_ivf_sq8",
     "embed_ann_pq", "embed_ann_ivf_pq",
     "embed_nearest_dup_lsh", "media_features", "media_transcode",
+    "media_phash_dup",
     "window_tumbling", "distinct_users_approx", "stream_near_dup",
     "stream_semantic_dup",
     "asof_join", "range_join", "sample_split", "sample_cluster_balanced",
