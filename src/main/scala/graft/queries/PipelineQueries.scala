@@ -333,13 +333,25 @@ object PipelineQueries {
         trainedQualityWeights(s, dir)), Seq("doc_id"))
       .agg(avg(when(col("predicted_good") === col("good"), 1.0)
         .otherwise(0.0))).head().getDouble(0)
+    // phash planted-twin recall — the media_phash_dup invariant's
+    // observed value (16 JPEG re-encodes of patterned PNGs)
+    val phashRecall = {
+      val base = Multimodal.syntheticPatternMedia(docs)
+        .filter(col("media_id") < 16).localCheckpoint()
+      val twins = Multimodal.transcodeImages(s, base, "jpg")
+        .withColumn("media_id", col("media_id") + lit(twinOffsetBatch))
+      val hashes = Multimodal.perceptualHash(s, base.unionByName(twins))
+      ratio(Multimodal.phashNearDup(hashes, maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + twinOffsetBatch).count(), 16L)
+    }
     Seq("overlap_recall" -> overlapRecall,
       "overlap_topk_recall" -> topkRecall,
       "simhash_recall" -> simhashRecall) ++
       ann ++ Seq(
       "nearest_dup_lsh_recall" -> nnRecall,
       "hll_max_rel_err" -> hllErr,
-      "quality_heldout_acc" -> qualityAcc)
+      "quality_heldout_acc" -> qualityAcc,
+      "phash_planted_recall" -> phashRecall)
   }
 
   private[graft] def plantedNearDups(base: org.apache.spark.sql.DataFrame,
