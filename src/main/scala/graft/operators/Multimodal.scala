@@ -637,6 +637,109 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** Amplitude-modulated square wave — the structured analog of
+    * [[encodeWav]] for the audio-fingerprint family (an envelope hash
+    * over a constant-amplitude wave is degenerate the same way a
+    * dHash over a solid image is). Modulation frequency/phase are
+    * closed-form in `id`; `ampScale` rescales the whole waveform
+    * (the "same audio at a different volume" near-dup — the envelope
+    * ORDER is invariant under any monotone gain, so the hash is
+    * identical by construction). */
+  private[graft] def encodeModulatedWav(id: Long,
+      ampScale: Double = 1.0): Array[Byte] = {
+    val n = audioSamples(id)
+    val base = audioAmp(id)
+    // wide co-prime parameter periods (97·89 combos) so a corpus of
+    // thousands gets near-unique envelope shapes — a tiny parameter
+    // space would collapse the corpus into a handful of hashes and
+    // make every pair a "near-dup"
+    val om = 2.0 * StrictMath.PI * (1.0 + (id % 97) * 0.11) / n
+    val ph = (id % 89) * 0.07
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val env = 0.55 + 0.45 * StrictMath.sin(om * i + ph)
+      val mag = (base * env * ampScale).toInt.min(32767)
+      val v: Short = (if ((i / 8) % 2 == 0) mag else -mag).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Structured synthetic audio corpus: one modulated WAV per doc id,
+    * optionally gain-scaled (the planted-twin knob). */
+  def syntheticModulatedAudio(docs: DataFrame,
+      ampScale: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = audioSamples(id)
+        MediaFile(id, "audio", encodeModulatedWav(id, ampScale),
+          0, 0, AudioRate, n / (AudioRate / 1000))
+      }
+    }.toDF()
+  }
+
+  /** 64-bit audio envelope hash (the dHash idea on the time axis):
+    * decode the PCM, split into 65 equal windows, bit(w) =
+    * RMS(w+1) > RMS(w). Gain-invariant by construction (any monotone
+    * volume change preserves the window ORDER), so it keys
+    * "same audio, different loudness/encoding" near-dups the way the
+    * image dHash keys transcoded images. Same mapPartitions batch
+    * shape; pairs come from the same [[phashNearDup]] band join. */
+  def audioEnvelopeHash(spark: SparkSession, media: DataFrame,
+      onError: String = "fail"): DataFrame = {
+    import spark.implicits._
+    checkPolicy(onError)
+    media.as[MediaFile].mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.kind != "audio") None
+        else guard(m, onError) {
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.bytes))
+          val env = try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian, s"unsupported WAV layout: $fmt")
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            val acc = new Array[Double](65)
+            val cnt = new Array[Long](65)
+            var i = 0
+            while (i < n) {
+              val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8))
+                .toShort.toDouble
+              val w = math.min((i.toLong * 65 / n).toInt, 64)
+              acc(w) += v * v
+              cnt(w) += 1
+              i += 1
+            }
+            var w = 0
+            while (w < 65) {
+              acc(w) = if (cnt(w) == 0) 0.0 else math.sqrt(acc(w) / cnt(w))
+              w += 1
+            }
+            acc
+          } finally ais.close()
+          var bits = 0L
+          var w = 0
+          while (w < 64) {
+            if (env(w + 1) > env(w)) bits |= 1L << w
+            w += 1
+          }
+          (m.media_id, bits)
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
+
   /** Image near-duplicate pairs from a (media_id, phash) relation:
     * all pairs at Hamming distance ≤ `maxHamming` via the pigeonhole
     * band join — the 64-bit hash splits into 4 16-bit chunks, and two

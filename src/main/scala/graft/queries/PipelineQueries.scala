@@ -1354,6 +1354,32 @@ object PipelineQueries {
       },
       None),
 
+    // audio near-dup via the envelope hash: planted twins = the same
+    // modulated waveforms re-encoded at 1.02x gain under shifted ids —
+    // the envelope ORDER (hence the hash, up to RMS-quantization
+    // near-ties) is gain-invariant, the "same audio at a different
+    // volume" classic. Same band join, same invariant-gated shape as
+    // media_phash_dup.
+    QueryDef("media_audio_dup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = Multimodal.syntheticModulatedAudio(docs)
+        val twins = Multimodal.syntheticModulatedAudio(
+            docs.filter(col("doc_id") < 16), ampScale = 1.02)
+          .withColumn("media_id", col("media_id") + lit(twinOffsetBatch))
+        val hashes = Multimodal.audioEnvelopeHash(s, base.unionByName(twins))
+        val dup = Multimodal.phashNearDup(hashes, maxHamming = 3)
+          .localCheckpoint()
+        val planted = dup.filter(col("id_b") === col("id_a") + twinOffsetBatch)
+        val stats = dup.agg(count(lit(1)).as("all_pairs")).crossJoin(
+          broadcast(planted.agg(count(lit(1)).as("n_caught"))))
+        stats.select(lit(16L).as("n_planted"), col("n_caught"),
+          round(col("n_caught") / 16.0, 6).as("recall"),
+          (col("all_pairs") - col("n_caught")).as("extra_pairs"),
+          (col("n_caught") === 16L).as("audio_ok"))
+      },
+      None),
+
     // ---------------- windows & sketches ----------------
 
     QueryDef("window_tumbling",

@@ -50,6 +50,29 @@ class PhashSpec extends SparkSpecBase {
     assert(brute.nonEmpty, "fixture should contain natural near-dups")
   }
 
+  test("audio envelope hash is gain-invariant, discriminating, degenerate on flat waves") {
+    val slice = docs.filter(col("doc_id") < 16)
+    val h0 = Multimodal.audioEnvelopeHash(spark,
+        Multimodal.syntheticModulatedAudio(slice))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h1 = Multimodal.audioEnvelopeHash(spark,
+        Multimodal.syntheticModulatedAudio(slice, ampScale = 1.02))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h0.keySet === h1.keySet && h0.nonEmpty)
+    h0.foreach { case (id, ph) =>
+      val d = java.lang.Long.bitCount(ph ^ h1(id))
+      assert(d <= 3, s"id=$id drifted $d bits under 1.02x gain")
+    }
+    assert(h0.values.toSet.size >= 8, s"envelopes not discriminating: $h0")
+    // constant-amplitude square waves have a flat envelope — every
+    // hash collapses to the same value (why the modulated generator exists)
+    val flat = Multimodal.syntheticMedia(docs)
+      .filter(col("kind") === "audio" && col("media_id") < 45)
+    val hf = Multimodal.audioEnvelopeHash(spark, flat)
+      .collect().map(_.getLong(1)).toSet
+    assert(hf.size === 1, s"flat waves should be degenerate, got $hf")
+  }
+
   test("guards: maxHamming beyond pigeonhole bound rejected; non-images skipped") {
     intercept[IllegalArgumentException] {
       Multimodal.phashNearDup(base.limit(1)
