@@ -465,6 +465,15 @@ object ScaleRehearsal {
           s"distinct_hashes=$distinctH pairs(d<=3)=$n")
         n
       }
+      timed(s"phash audio encode+hash+dedup (${reps}x modulated WAVs, d<=3)") {
+        val audio = Multimodal.syntheticModulatedAudio(docs.select(col("doc_id")))
+        val hashes = Multimodal.audioEnvelopeHash(spark, audio).localCheckpoint()
+        val distinctH = hashes.select(col("phash")).distinct().count()
+        val n = forceCount(Multimodal.phashNearDup(hashes, maxHamming = 3))
+        println(s"[rehearsal] phash audio: wavs=${hashes.count()} " +
+          s"distinct_hashes=$distinctH pairs(d<=3)=$n")
+        n
+      }
     }
 
     // r15b: DSIR importance resampling at reps× — the trainer's
