@@ -450,11 +450,14 @@ object ScaleRehearsal {
       }
     }
 
-    // r15b: perceptual-hash image dedup at reps× — replica ids derive
-    // DIFFERENT sinusoid patterns (the hash keys diversify with the
-    // corpus, unlike the text replicas), so the band-join buckets must
-    // stay spread as the image count grows; encode+decode+hash is the
-    // dominant linear cost, the pair join is bucket-bounded.
+    // r15b: perceptual-hash image dedup at reps× — the generator's
+    // parameter space caps at a few thousand distinct patterns, so
+    // hash groups GROW with reps and the d<=3 pair output goes
+    // quadratic within groups (the dup-dense stress, documented in
+    // SURVEY §8.2: production groups identical hashes first and
+    // clusters, never materializing within-group pairs). What this
+    // stage pins: encode+hash stays linear, and the emitted pair
+    // count matches the hash-group structure.
     if (selected("phash")) {
       timed(s"phash encode+hash+dedup (${reps}x synthetic images, d<=3)") {
         val media = Multimodal.syntheticPatternMedia(docs.select(col("doc_id")))

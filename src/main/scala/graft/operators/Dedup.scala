@@ -278,21 +278,9 @@ object Dedup {
     * (doc, sh) signature relation — lets callers that also run the LSH
     * path share ONE signature staging pass. */
   private def ngramJaccardPairsOf(sig: DataFrame, threshold: Double): DataFrame = {
-    val sh = sig.select(col("doc"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
+    val sh = explodedShingles(sig)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
-    // rank over the FULL set (the prefix bound needs the first L
-    // shingles in the global df-ascending order), THEN drop df==1
-    // postings: a shingle seen in one document only can never be
-    // shared, so it safely occupies a prefix slot without entering
-    // the self-join (≈60% fewer join-leg rows on the test corpus)
-    val prefix = sh.join(df, Seq("s"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .filter(col("__df") >= 2)
-      .select(col("doc"), col("n"), col("s"))
+    val prefix = prefixLeg(sh, df, threshold)
     // length filter (All-Pairs): J ≥ t forces t·max(|x|,|y|) ≤
     // |x∩y| ≤ min(|x|,|y|), so wildly different-size sets never
     // become candidates
@@ -304,6 +292,30 @@ object Dedup {
       .distinct()
     jaccardOf(cands, sig)
       .filter(col("jaccard") >= threshold)
+  }
+
+  private def explodedShingles(sig: DataFrame): DataFrame =
+    sig.select(col("doc"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+
+  /** One side's prefix index for the All-Pairs/PPJoin bound — THE
+    * single definition shared by the self-join ([[ngramJaccardPairs]])
+    * and cross-relation ([[crossNgramJaccard]]) paths, so the
+    * FP-sensitive cutoff expression can never diverge between them.
+    * Ranks over the FULL set under the caller's global df-ascending
+    * order (the bound needs the first L shingles of that order), THEN
+    * drops df==1 postings: a shingle seen once across the df scope
+    * can never be shared, so it safely occupies a prefix slot without
+    * entering the join (≈60% fewer join-leg rows on the test
+    * corpus). */
+  private def prefixLeg(sh: DataFrame, df: DataFrame,
+      threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
+    sh.join(df, Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("__df") >= 2)
+      .select(col("doc"), col("n"), col("s"))
   }
 
   /** Cross-corpus FUZZY decontamination — the near-dup analog of the
@@ -341,22 +353,15 @@ object Dedup {
     }
     val sigC = sigOf(corpus, corpusIdCol)
     val sigE = sigOf(evalDocs, evalIdCol)
-    val shC = sigC.select(col("doc"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
-    val shE = sigE.select(col("doc"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
+    val shC = explodedShingles(sigC)
+    val shE = explodedShingles(sigE)
+    // df over the UNION of both sides — the common global order the
+    // prefix bound needs; df==1 pruning stays valid cross-relation (a
+    // shingle seen once across BOTH sides cannot be shared by a pair)
     val df = shC.select(col("s")).unionAll(shE.select(col("s")))
       .groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("__df"), col("s"))
-    def prefixOf(sh: DataFrame): DataFrame = sh.join(df, Seq("s"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      // df==1 pruning stays valid cross-relation: a shingle seen once
-      // across BOTH sides cannot be shared by a cross pair
-      .filter(col("__df") >= 2)
-      .select(col("doc"), col("n"), col("s"))
-    val cands = prefixOf(shC).as("x").join(prefixOf(shE).as("y"),
+    val cands = prefixLeg(shC, df, threshold).as("x")
+      .join(prefixLeg(shE, df, threshold).as("y"),
         col("x.s") === col("y.s") &&
           col("x.n") * threshold <= col("y.n") &&
           col("y.n") * threshold <= col("x.n"))
@@ -603,23 +608,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash chunk-equality candidates over an already-staged
-    * (doc, sh) signature relation — both self-join legs read the
-    * staged arrays, same contract as [[lshCandidatesOf]]. */
-  private def simhashCandidatesOf(sig: DataFrame, chunks: Int): DataFrame = {
-    val withSim = sig.select(col("doc"), HashExprs.simhash(col("sh")).as("sim"))
+  /** Chunk-equality Hamming candidates over a (doc, hash) relation —
+    * THE pigeonhole band join, shared by the text SimHash path and
+    * the media perceptual-hash paths
+    * ([[Multimodal.phashNearDup]]): two 64-bit hashes within Hamming
+    * distance < `chunks` must agree on at least one of the `chunks`
+    * equal bit-slices, so chunk-equality candidates are COMPLETE up
+    * to that distance with bounded buckets instead of an all-pairs
+    * product. Returns (doc_a, hash_a, doc_b, hash_b), doc_a < doc_b,
+    * both hashes attached for the caller's verification step. */
+  private[operators] def hammingCandidates(hashes: DataFrame,
+      chunks: Int): DataFrame = {
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
-    val chunked = withSim.select(col("doc"),
+    val chunked = hashes.select(col("doc"), col("hash"),
       posexplode(array((0 until chunks).map(c =>
-        shiftright(col("sim"), c * bits).bitwiseAND(lit(mask))): _*))
+        shiftright(col("hash"), c * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "cv")))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .select(col("x.doc").as("doc_a"), col("x.hash").as("hash_a"),
+        col("y.doc").as("doc_b"), col("y.hash").as("hash_b"))
       .distinct()
   }
+
+  /** SimHash chunk-equality candidates over an already-staged
+    * (doc, sh) signature relation — both self-join legs read the
+    * staged arrays, same contract as [[lshCandidatesOf]]. */
+  private def simhashCandidatesOf(sig: DataFrame, chunks: Int): DataFrame =
+    hammingCandidates(sig.select(col("doc"),
+        HashExprs.simhash(col("sh")).as("hash")), chunks)
+      .select(col("doc_a"), col("doc_b"))
 
   /** Exact-substring duplication measurement (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"

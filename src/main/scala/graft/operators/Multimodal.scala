@@ -753,19 +753,13 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming not in [0,3] — 4 chunks only guarantee " +
         "completeness up to distance 3")
-    val chunks = hashes.select(col("media_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("ci"))
-      .withColumn("chunk", expr("(phash >> (ci * 16)) & 65535"))
-    val cands = chunks.as("x").join(chunks.as("y"),
-        col("x.ci") === col("y.ci") && col("x.chunk") === col("y.chunk") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("x.phash").as("ph_a"),
-        col("y.media_id").as("id_b"), col("y.phash").as("ph_b"))
-      .distinct()
-    cands
+    Dedup.hammingCandidates(
+        hashes.select(col("media_id").as("doc"), col("phash").as("hash")),
+        chunks = 4)
       .withColumn("hamming",
-        expr("bit_count(ph_a ^ ph_b)").cast("long"))
+        expr("bit_count(hash_a ^ hash_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("hamming"))
   }
 }

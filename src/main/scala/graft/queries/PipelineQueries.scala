@@ -336,8 +336,10 @@ object PipelineQueries {
     // phash planted-twin recall — the media_phash_dup invariant's
     // observed value (16 JPEG re-encodes of patterned PNGs)
     val phashRecall = {
-      val base = Multimodal.syntheticPatternMedia(docs)
-        .filter(col("media_id") < 16).localCheckpoint()
+      // doc filter BELOW the generator — above it, the checkpoint
+      // would PNG-encode the whole corpus to keep 16 rows
+      val base = Multimodal.syntheticPatternMedia(
+        docs.filter(col("doc_id") < 16)).localCheckpoint()
       val twins = Multimodal.transcodeImages(s, base, "jpg")
         .withColumn("media_id", col("media_id") + lit(twinOffsetBatch))
       val hashes = Multimodal.perceptualHash(s, base.unionByName(twins))
@@ -1337,9 +1339,14 @@ object PipelineQueries {
     // the pigeonhole band join's exactness at Hamming ≤ 3.
     QueryDef("media_phash_dup",
       (s, dir) => {
-        val base = Multimodal.syntheticPatternMedia(Tables.documents(s, dir))
+        val docs = Tables.documents(s, dir)
+        val base = Multimodal.syntheticPatternMedia(docs)
+        // filter the DOC ids before the opaque mapPartitions encode —
+        // a filter above the generator can't push through it, and the
+        // twins leg would re-encode the whole corpus to keep 16 rows
         val twins = Multimodal.transcodeImages(s,
-            base.filter(col("media_id") < 16), "jpg")
+            Multimodal.syntheticPatternMedia(
+              docs.filter(col("doc_id") < 16)), "jpg")
           .withColumn("media_id", col("media_id") + lit(twinOffsetBatch))
         val hashes = Multimodal.perceptualHash(s, base.unionByName(twins))
         val dup = Multimodal.phashNearDup(hashes, maxHamming = 3)

@@ -1584,7 +1584,8 @@ class PipelineOpsSpec extends SparkSpecBase {
       "overlap_recall", "overlap_topk_recall", "simhash_recall",
       "ann_lsh_recall", "ann_ivf_recall", "ann_sq8_recall",
       "ann_ivf_sq8_recall", "ann_pq_recall", "ann_ivf_pq_recall",
-      "nearest_dup_lsh_recall", "hll_max_rel_err", "quality_heldout_acc"))
+      "nearest_dup_lsh_recall", "hll_max_rel_err", "quality_heldout_acc",
+      "phash_planted_recall"))
     // the observed values must clear the same floors the cert queries
     // gate on — if a cert would fail the driver gate, this fails first
     assert(m("overlap_recall") >= 0.8)
@@ -1603,5 +1604,6 @@ class PipelineOpsSpec extends SparkSpecBase {
     // regression while tolerating one-off integer jumps
     assert(m("hll_max_rel_err") >= 0.0 && m("hll_max_rel_err") <= 0.2)
     assert(m("quality_heldout_acc") >= 0.85)
+    assert(m("phash_planted_recall") >= 0.9)
   }
 }
