@@ -138,6 +138,22 @@ object PipelineQueries {
         col("lang") === "en", "text", vocabSize = 64, alpha = 0.5))
   }
 
+  /** Staged TARGET-corpus bigram LM (the `lang = 'en'` slice) for the
+    * bigram DSIR variant — the raw-corpus twin is [[stagedLm]]. */
+  private val lmTargetCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      graft.operators.LanguageModel.BigramLm]
+
+  private[graft] def stagedLmTarget(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.LanguageModel.BigramLm = {
+    hookEviction(s)
+    lmTargetCache.computeIfAbsent((s, dir),
+      _ => LanguageModel.train(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        "doc_id", "text", vocabSize = 64, alpha = 0.5))
+  }
+
   private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
     if (overlapEvictionHooked.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -195,6 +211,7 @@ object PipelineQueries {
       }
     }
     lmCache.keySet().removeIf(k => k._1 eq s)
+    lmTargetCache.keySet().removeIf(k => k._1 eq s)
     ratioCache.keySet().removeIf(k => k._1 eq s)
   }
 
@@ -1814,6 +1831,81 @@ object PipelineQueries {
              |SELECT doc_id, ROUND(logw, 6) AS log_weight,
              |       ROUND(score, 6) AS gumbel_score
              |FROM g ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // bigram DSIR (the paper's context-aware variant): log importance
+    // weight = Σ ln p_target(bᵢ|aᵢ) − Σ ln q_raw(bᵢ|aᵢ) =
+    // n_bigrams · (nll_raw − nll_target) — PURE COMPOSITION of the two
+    // staged bigram LMs (stagedLmTarget trains on the en slice,
+    // stagedLm on the raw corpus), scored as TWO BigramNll kernels in
+    // one shuffle-free codegen map stage (no join between the legs),
+    // then the same Gumbel top-k. Docs with no bigram evidence weight
+    // 0 (they ride on the Gumbel alone). The oracle retrains BOTH
+    // models and rebuilds the identical draw.
+    QueryDef("select_importance_bigram",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lmT = stagedLmTarget(s, dir)
+        val lmR = stagedLm(s, dir)
+        def nllOf(m: graft.operators.LanguageModel.BigramLm) =
+          graft.functions.LmExprs.bigramNll(col("text"), m.vocab.toArray,
+            m.unigrams.toArray, m.bigrams.toArray, m.alphabetSize, m.alpha)
+        val n1 = greatest(size(split(col("text"), " ")) - 1, lit(0))
+          .cast("double")
+        val lw = docs.select(col("doc_id"),
+          coalesce(n1 * (nllOf(lmR) - nllOf(lmT)), lit(0.0)).as("log_weight"))
+        ImportanceSampling.resampleTopK(lw, "doc_id", k = 100, seed = "dsir2")
+          .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+            round(col("gumbel_score"), 6).as("gumbel_score"))
+      },
+      Some {
+        // one nll CTE chain per model: TRAIN on `trainWhere`'s slice,
+        // SCORE every document (apos/nb are the shared scoring legs)
+        def chain(p: String, trainWhere: String): String =
+          s"""${p}ttok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents $trainWhere),
+             |${p}tpos AS (SELECT doc_id, i, t[i] AS w
+             |        FROM ${p}ttok, unnest(range(1, len(t) + 1)) AS r(i)),
+             |${p}uni AS (SELECT w, COUNT(*) AS c FROM ${p}tpos GROUP BY w),
+             |${p}vocab AS (SELECT w FROM ${p}uni ORDER BY c DESC, w LIMIT 64),
+             |${p}sz AS (SELECT COUNT(*) + 1 AS s FROM ${p}vocab),
+             |${p}tm AS (SELECT p.doc_id, p.i,
+             |        CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS w
+             |      FROM ${p}tpos p LEFT JOIN ${p}vocab v ON v.w = p.w),
+             |${p}u2 AS (SELECT w, COUNT(*) AS c FROM ${p}tm GROUP BY w),
+             |${p}big AS (SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c
+             |        FROM ${p}tm a JOIN ${p}tm b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |        GROUP BY 1, 2),
+             |${p}sm AS (SELECT p.doc_id, p.i,
+             |        CASE WHEN v.w IS NULL THEN '<unk>' ELSE p.w END AS w
+             |      FROM apos p LEFT JOIN ${p}vocab v ON v.w = p.w),
+             |${p}terms AS (SELECT a.doc_id,
+             |            LN((COALESCE(g.c, 0) + 0.5) / (COALESCE(u.c, 0) + 0.5 * z.s)) AS term
+             |          FROM ${p}sm a JOIN ${p}sm b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |          LEFT JOIN ${p}u2 u ON u.w = a.w
+             |          LEFT JOIN ${p}big g ON g.wa = a.w AND g.wb = b.w
+             |          CROSS JOIN ${p}sz z),
+             |${p}nll AS (SELECT nb.doc_id,
+             |        CASE WHEN nb.n1 = 0 THEN NULL
+             |             ELSE ROUND(-SUM(t.term) / nb.n1, 6) END AS nll
+             |        FROM nb LEFT JOIN ${p}terms t USING (doc_id)
+             |        GROUP BY nb.doc_id, nb.n1)""".stripMargin
+        s"""WITH atok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |apos AS (SELECT doc_id, i, t[i] AS w
+           |        FROM atok, unnest(range(1, len(t) + 1)) AS r(i)),
+           |nb AS (SELECT doc_id, GREATEST(len(string_split(text, ' ')) - 1, 0) AS n1
+           |       FROM documents),
+           |${chain("r", "")},
+           |${chain("t", "WHERE lang = 'en'")},
+           |g AS (SELECT nb.doc_id,
+           |        COALESCE(nb.n1 * (r.nll - t.nll), 0.0) AS logw
+           |      FROM nb JOIN rnll r USING (doc_id) JOIN tnll t USING (doc_id)),
+           |g2 AS (SELECT doc_id, logw, logw - LN(-LN(
+           |        ((('0x' || substr(md5('dsir2' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT) + 0.5)
+           |        / 4294967296.0)) AS score
+           |      FROM g)
+           |SELECT doc_id, ROUND(logw, 6) AS log_weight,
+           |       ROUND(score, 6) AS gumbel_score
+           |FROM g2 ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+      }),
 
     // the certificate row for select_importance: the resampled subset
     // must have moved toward the target — higher mean log importance

@@ -137,6 +137,40 @@ class ImportanceSamplingSpec extends SparkSpecBase {
     assert(plan.contains("*(1) Project"), s"scoring Project not codegen'd:\n$plan")
   }
 
+  test("bigram log-weight is n*(nll_raw - nll_target) and shifts toward the target") {
+    import graft.operators.LanguageModel
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val lmR = LanguageModel.train(docs, "doc_id", "text")
+    val lmT = LanguageModel.train(docs.filter(col("lang") === "en"),
+      "doc_id", "text")
+    // the composed closed form from the two perplexity relations
+    val ref = LanguageModel.perplexity(docs, "doc_id", "text", lmR)
+      .select(col("doc_id"), col("n_bigrams"), col("nll").as("nr"))
+      .join(LanguageModel.perplexity(docs, "doc_id", "text", lmT)
+        .select(col("doc_id"), col("nll").as("nt")), Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams") * (col("nr") - col("nt")), lit(0.0))
+          .as("lw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the single-map-stage formulation the query registers
+    def nllOf(m: LanguageModel.BigramLm) =
+      graft.functions.LmExprs.bigramNll(col("text"), m.vocab.toArray,
+        m.unigrams.toArray, m.bigrams.toArray, m.alphabetSize, m.alpha)
+    val n1 = greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("double")
+    val got = docs.select(col("doc_id"),
+        coalesce(n1 * (nllOf(lmR) - nllOf(lmT)), lit(0.0)).as("lw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === ref)
+    // the en target must score higher on average under its own model
+    val byLang = docs.select(col("doc_id"),
+        (col("lang") === "en").as("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val (tgt, rest) = got.partition { case (id, _) => byLang(id) }
+    val mt = tgt.values.sum / tgt.size
+    val mr = rest.values.sum / rest.size
+    assert(mt > mr, s"target docs should weigh more: en=$mt other=$mr")
+  }
+
   test("resample plans as partial top-k, not a global sort") {
     val lw = ImportanceSampling.logWeights(tiny, "id", "text", model)
     val p = ImportanceSampling.resampleTopK(lw, "id", k = 3, seed = "t")
