@@ -468,6 +468,20 @@ object ScaleRehearsal {
           s"distinct_hashes=$distinctH pairs(d<=3)=$n")
         n
       }
+      timed(s"phash CLUSTER path (${reps}x images, no pair materialization)") {
+        val media = Multimodal.syntheticPatternMedia(docs.select(col("doc_id")))
+        val hashes = Multimodal.perceptualHash(spark, media).localCheckpoint()
+        val out = Multimodal.phashDedup(hashes, maxHamming = 3)
+          .localCheckpoint()
+        val st = out.agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster")).as("c"),
+          sum(when(col("is_survivor"), 1L).otherwise(0L)).as("s")).head()
+        println(s"[rehearsal] phash clusters: images=${st.getLong(0)} " +
+          s"clusters=${st.getLong(1)} survivors=${st.getLong(2)} " +
+          "(partition invariant: survivors == clusters; the pair-path " +
+          "row above materializes the quadratic relation this path avoids)")
+        st.getLong(0)
+      }
       timed(s"phash audio encode+hash+dedup (${reps}x modulated WAVs, d<=3)") {
         val audio = Multimodal.syntheticModulatedAudio(docs.select(col("doc_id")))
         val hashes = Multimodal.audioEnvelopeHash(spark, audio).localCheckpoint()

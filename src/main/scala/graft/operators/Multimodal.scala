@@ -749,6 +749,46 @@ object Multimodal {
     * bounded buckets instead of an all-pairs product — the SimHash
     * discipline ([[Dedup]]'s text analog) applied to images.
     * Candidates are verified with the true popcount distance. */
+  /** Cluster-level perceptual dedup — the SCALE shape of
+    * [[phashNearDup]] for dup-dense corpora: the pair relation is
+    * quadratic within near-identical groups, so this path never
+    * materializes it. (1) group IDENTICAL hashes (one aggregate —
+    * the exact-dedup step; a million byte-copies collapse to one
+    * representative), (2) band-join only the DISTINCT hashes'
+    * representatives at Hamming ≤ `maxHamming`, (3) connected
+    * components over representative pairs
+    * ([[Dedup.duplicateClusters]] — pointer jumping, O(log d)
+    * rounds), (4) map every image back through its hash. Returns
+    * (media_id, cluster, is_survivor) for EVERY input image —
+    * singletons cluster alone, survivor = min id per cluster. The
+    * spec pins this equal to union-find over
+    * [[phashNearDup]]'s full pair relation. */
+  def phashDedup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming not in [0,3]")
+    // distinct-hash representatives: bounded by |distinct hashes|,
+    // staged because three legs read it
+    val groups = hashes.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("rep")).localCheckpoint()
+    val pairs = Dedup.hammingCandidates(
+        groups.select(col("rep").as("doc"), col("phash").as("hash")),
+        chunks = 4)
+      .filter(expr("bit_count(hash_a ^ hash_b)") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("doc", "rep")
+    val labeled = hashes
+      .join(groups, Seq("phash"))
+      .join(clusters, Seq("rep"), "left")
+      // a rep absent from the pair graph clusters with (and under) itself
+      .select(col("media_id"), coalesce(col("cluster"), col("rep")).as("cluster"))
+    val survivors = labeled.groupBy(col("cluster"))
+      .agg(min(col("media_id")).as("__surv"))
+    labeled.join(survivors, Seq("cluster"))
+      .select(col("media_id"), col("cluster"),
+        (col("media_id") === col("__surv")).as("is_survivor"))
+  }
+
   def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming not in [0,3] — 4 chunks only guarantee " +

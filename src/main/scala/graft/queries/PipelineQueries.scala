@@ -1378,6 +1378,29 @@ object PipelineQueries {
       },
       None),
 
+    // the SCALE shape of perceptual dedup: identical hashes group
+    // FIRST (exact-dedup step), only distinct-hash representatives
+    // enter the band join, clusters come from pointer-jumping
+    // connected components — the within-group quadratic pair relation
+    // is never materialized. Output row carries the partition
+    // invariants (every image labeled, one survivor per cluster).
+    QueryDef("media_phash_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val hashes = Multimodal.perceptualHash(s,
+          Multimodal.syntheticPatternMedia(docs))
+        val out = Multimodal.phashDedup(hashes, maxHamming = 3)
+          .localCheckpoint()
+        out.agg(count(lit(1)).as("n_images"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_survivors"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+          .select(col("n_images"), col("n_clusters"), col("n_survivors"),
+            (col("n_survivors") === col("n_clusters") &&
+              col("n_images") === col("n_docs")).as("cluster_ok"))
+      },
+      None),
+
     // audio near-dup via the envelope hash: planted twins = the same
     // modulated waveforms re-encoded at 1.02x gain under shifted ids —
     // the envelope ORDER (hence the hash, up to RMS-quantization

@@ -73,6 +73,29 @@ class PhashSpec extends SparkSpecBase {
     assert(hf.size === 1, s"flat waves should be degenerate, got $hf")
   }
 
+  test("phashDedup partitions equal union-find over the full pair relation") {
+    val hashes = Multimodal.perceptualHash(spark, base).localCheckpoint()
+    val ids = hashes.collect().map(_.getLong(0))
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver union-find ground truth (fixture-sized)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val want = ids.groupBy(find).values.map(_.toSet).toSet
+    val got = Multimodal.phashDedup(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val gotParts = got.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(gotParts === want)
+    // exactly one survivor per cluster, and it is the min id
+    got.groupBy(_._2).foreach { case (_, members) =>
+      val survivors = members.filter(_._3).map(_._1)
+      assert(survivors.length === 1)
+      assert(survivors.head === members.map(_._1).min)
+    }
+  }
+
   test("guards: maxHamming beyond pigeonhole bound rejected; non-images skipped") {
     intercept[IllegalArgumentException] {
       Multimodal.phashNearDup(base.limit(1)
