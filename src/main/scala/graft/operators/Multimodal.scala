@@ -740,15 +740,6 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
-  /** Image near-duplicate pairs from a (media_id, phash) relation:
-    * all pairs at Hamming distance ≤ `maxHamming` via the pigeonhole
-    * band join — the 64-bit hash splits into 4 16-bit chunks, and two
-    * hashes within distance 3 MUST agree on at least one chunk (≤3
-    * flipped bits cannot touch all 4), so the chunk-equality join is
-    * EXACT (complete, not approximate) for maxHamming ≤ 3, with
-    * bounded buckets instead of an all-pairs product — the SimHash
-    * discipline ([[Dedup]]'s text analog) applied to images.
-    * Candidates are verified with the true popcount distance. */
   /** Cluster-level perceptual dedup — the SCALE shape of
     * [[phashNearDup]] for dup-dense corpora: the pair relation is
     * quadratic within near-identical groups, so this path never
@@ -767,7 +758,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming not in [0,3]")
     // distinct-hash representatives: bounded by |distinct hashes|,
-    // staged because three legs read it
+    // staged because the band join and the map-back both read it
     val groups = hashes.groupBy(col("phash"))
       .agg(min(col("media_id")).as("rep")).localCheckpoint()
     val pairs = Dedup.hammingCandidates(
@@ -777,18 +768,29 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"))
     val clusters = Dedup.duplicateClusters(pairs)
       .withColumnRenamed("doc", "rep")
-    val labeled = hashes
+    // cluster label ≡ min media_id of the cluster: each rep is
+    // min(media_id) of its hash group, and duplicateClusters
+    // converges to the MIN rep of each component (coalesce keeps a
+    // pairless rep under itself) — so the survivor test is a pure
+    // column comparison, no per-cluster aggregate, no second corpus
+    // scan (the equivalence is spec-pinned; a label-scheme change in
+    // duplicateClusters turns that spec red)
+    hashes
       .join(groups, Seq("phash"))
       .join(clusters, Seq("rep"), "left")
-      // a rep absent from the pair graph clusters with (and under) itself
       .select(col("media_id"), coalesce(col("cluster"), col("rep")).as("cluster"))
-    val survivors = labeled.groupBy(col("cluster"))
-      .agg(min(col("media_id")).as("__surv"))
-    labeled.join(survivors, Seq("cluster"))
-      .select(col("media_id"), col("cluster"),
-        (col("media_id") === col("__surv")).as("is_survivor"))
+      .withColumn("is_survivor", col("media_id") === col("cluster"))
   }
 
+  /** Image near-duplicate pairs from a (media_id, phash) relation:
+    * all pairs at Hamming distance ≤ `maxHamming` via the pigeonhole
+    * band join — the 64-bit hash splits into 4 16-bit chunks, and two
+    * hashes within distance 3 MUST agree on at least one chunk (≤3
+    * flipped bits cannot touch all 4), so the chunk-equality join is
+    * EXACT (complete, not approximate) for maxHamming ≤ 3, with
+    * bounded buckets instead of an all-pairs product — the SimHash
+    * discipline ([[Dedup]]'s text analog) applied to images.
+    * Candidates are verified with the true popcount distance. */
   def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming not in [0,3] — 4 chunks only guarantee " +

@@ -1387,8 +1387,11 @@ object PipelineQueries {
     QueryDef("media_phash_clusters",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // checkpoint the hash relation: phashDedup reads it in two
+        // plan legs (group + map-back), and a lazy pipeline would
+        // re-encode and re-hash the whole corpus per leg
         val hashes = Multimodal.perceptualHash(s,
-          Multimodal.syntheticPatternMedia(docs))
+          Multimodal.syntheticPatternMedia(docs)).localCheckpoint()
         val out = Multimodal.phashDedup(hashes, maxHamming = 3)
           .localCheckpoint()
         out.agg(count(lit(1)).as("n_images"),
