@@ -332,5 +332,37 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries errored (recorded in JSON): " +
         errors.keys.mkString(", "))
+
+    // DRIVER TAIL CONTRACT (round 16): the driver keeps only the LAST
+    // ~2000 chars of the run's combined output and parses a JSON line
+    // out of it. The full-precision line above is ~2.5 KB — it can
+    // NEVER fit in that window even with zero trailing noise, which is
+    // why BENCH_r{1..15}.json all read "parsed": null. So the very
+    // last output action is a COMPACT re-emit: 2-decimal timings
+    // (plenty for a seconds-scale perf record), certs only if the line
+    // stays comfortably under the window. Everything that could write
+    // after it is silenced first: spark.stop() has already flushed its
+    // unpersist WARN burst, log4j is turned OFF for any shutdown-hook
+    // stragglers, and stderr is flushed before stdout so interleaving
+    // can't land a late buffer after the line. Full precision + certs
+    // always remain in target/bench.json.
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
+    def num2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs2 = timings.map { case (k, v) => s"${jstr(k)}:${num2(v)}" }
+      .mkString("{", ",", "}")
+    val cs2 = certs.map { case (k, v) => s"${jstr(k)}:${num2(v)}" }
+      .mkString("{", ",", "}")
+    val compactBase =
+      s"""{"metric":"total","value":${num2(total)},"unit":"sec",""" +
+        s""""queries":$qs2,"errors":$es,"reps":$reps,"sf":${jstr(sfDir)}"""
+    val withCerts = compactBase + s""","certs":$cs2}"""
+    val compact =
+      if (withCerts.length <= 1700) withCerts else compactBase + "}"
+    System.err.flush()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -62,11 +62,22 @@ object ScaleRehearsal {
     // identical DIRECTION (cosine is scale-free), so all copies share
     // every LSH bucket — the maximum-concentration stress case.
     val docs0 = Tables.documents(spark, sfDir)
+    val emb0 = Tables.embeddings(spark, sfDir)
+    // The offset arithmetic silently MERGES replicas (same shifted id
+    // in two replicas → one logical row, wrecking every closed-form
+    // count below) if any fixture id ever reaches the offset. Guard
+    // it hard: fixture ids at every shipped SF top out ~1e5.
+    locally {
+      import org.apache.spark.sql.functions.max
+      val maxDoc = docs0.agg(max("doc_id")).head.getLong(0)
+      val maxVec = emb0.agg(max("vec_id")).head.getLong(0)
+      require(maxDoc < 10000001L && maxVec < 10000001L,
+        s"replica offset 10000001 would collide: max doc_id=$maxDoc max vec_id=$maxVec")
+    }
     val docs = (0 until reps).map(r =>
         docs0.select((col("doc_id") + lit(r * 10000001L)).as("doc_id"),
           concat(col("text"), lit(s" rep$r")).as("text")))
       .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
-    val emb0 = Tables.embeddings(spark, sfDir)
     val emb = (0 until reps).map(r =>
         emb0.select((col("vec_id") + lit(r * 10000001L)).as("vec_id"),
           Similarity.asDouble(col("embedding")).as("embedding")))
@@ -535,20 +546,28 @@ object ScaleRehearsal {
       // the 1× cell-set reference runs OUTSIDE the timed region — the
       // timed number must be the reps× workload alone
       val planes = Sampling.sketchPlanes(3, 64, "cb")
-      val cells1 = Sampling.clusterBalancedSample(emb0
+      // 1× per-cell sizes (uncapped pass): the closed form at reps× is
+      // Σ_cells min(25, size1(c)·reps) — a cell whose replicated
+      // population stays under the cap keeps all its rows, so assuming
+      // every cell saturates (cells×25) would abort spuriously on any
+      // small cell (r15 ADVICE).
+      val sizes1 = Sampling.clusterBalancedSample(emb0
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding")),
-        "vec_id", "embedding", planes, k = 25, seed = "cbs")
-        .select(col("cluster")).distinct().count()
+        "vec_id", "embedding", planes, k = 65536, seed = "cbs")
+        .groupBy(col("cluster")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cells1 = sizes1.size.toLong
+      val expected = sizes1.values.map(s => math.min(25L, s * reps)).sum
       timed(s"cluster_sample balanced (${reps}x vectors, k=25)") {
         val out = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
           planes, k = 25, seed = "cbs").localCheckpoint()
         val n = out.count()
         val cellsN = out.select(col("cluster")).distinct().count()
         println(s"[rehearsal] cluster_balanced: cells 1x=$cells1 ${reps}x=$cellsN " +
-          s"rows=$n (closed form: cells x 25 — replicas keep direction, " +
-          "so the cell set cannot grow)")
-        require(cellsN == cells1 && n == cells1 * 25,
-          s"expected ${cells1 * 25} rows in $cells1 cells, got $n in $cellsN")
+          s"rows=$n (closed form: sum over cells of min(25, size1 x $reps) " +
+          s"= $expected — replicas keep direction, so the cell set cannot grow)")
+        require(cellsN == cells1 && n == expected,
+          s"expected $expected rows in $cells1 cells, got $n in $cellsN")
         n
       }
     }

@@ -248,10 +248,18 @@ object Sampling {
     * cluster via the bounded [[graft.functions.TopKAgg]] — map-side
     * partials hold ≤k rows per cluster BEFORE the exchange, so the
     * shuffle is O(clusters·k) per partition regardless of cluster
-    * skew. Returns (cluster, key, rank 1..k in draw order). */
+    * skew. Returns (cluster, key, rank 1..k in draw order).
+    *
+    * k is CAPPED at 65536: TopKAgg's buffer is a per-group sorted
+    * list bounded by k, so the bounded-state (and O(cells·k) shuffle)
+    * rationale only holds for small k — a huge k degrades insertion
+    * to O(cell²) traversal and holds whole cells in the aggregation
+    * buffer. A caller who wants "keep everything" should skip the cap
+    * rather than pass k = ∞ (same reason [[sketchPlanes]] caps
+    * nPlanes). */
   private def capPerCluster(assigned: DataFrame, keyCol: String, k: Int,
       seed: String): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
     // negate the numeric draw so TopKAgg's weight-DESC keeps the
     // SMALLEST draws, its partner-ASC tie-break matching the
     // (draw, key) oracle order

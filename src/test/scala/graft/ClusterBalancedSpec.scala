@@ -46,7 +46,7 @@ class ClusterBalancedSpec extends SparkSpecBase {
   test("every cell holds min(k, cell size) rows; stable under repartition") {
     val full = emb.count()
     val sizes = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
-        planes, k = 1000000, seed = "t")
+        planes, k = 65536, seed = "t")
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
     assert(sizes.values.sum === full, "uncapped sample must keep everything")
