@@ -1350,10 +1350,15 @@ object PipelineQueries {
     // phashNearDup): planted twins = JPEG re-encodes of 16 patterned
     // PNGs under shifted ids — the dHash must survive the lossy
     // transcode (the property that makes it a NEAR-dup key where the
-    // byte digest is useless). dHash values depend on the JVM codec +
-    // resampler, so no SQL oracle; the output row carries the planted
-    // recall invariant (`phash_ok`), and the spec pins the hash and
-    // the pigeonhole band join's exactness at Hamming ≤ 3.
+    // byte digest is useless). Returns the EXACT pair set
+    // (id_a, id_b, hamming) plus the in-query planted-recall flag —
+    // deterministic-gated (r16): the oracle rebuilds the identical
+    // pair relation from the FROZEN golden dHash table
+    // ([[GoldenMediaHashes]] — the hashes are pure functions of
+    // doc_id through the real codec, frozen as literals so the oracle
+    // stays independent of the code under test) via xor/bit_count in
+    // DuckDB. A recall collapse flips phash_ok on every row; a band
+    // join/codec/plumbing drift hash-mismatches the pair values.
     QueryDef("media_phash_dup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -1369,14 +1374,26 @@ object PipelineQueries {
         val dup = Multimodal.phashNearDup(hashes, maxHamming = 3)
           .localCheckpoint()
         val planted = dup.filter(col("id_b") === col("id_a") + twinOffsetBatch)
-        val stats = dup.agg(count(lit(1)).as("all_pairs")).crossJoin(
-          broadcast(planted.agg(count(lit(1)).as("n_caught"))))
-        stats.select(lit(16L).as("n_planted"), col("n_caught"),
-          round(col("n_caught") / 16.0, 6).as("recall"),
-          (col("all_pairs") - col("n_caught")).as("extra_pairs"),
-          (col("n_caught") === 16L).as("phash_ok"))
+        val ok = planted.agg((count(lit(1)) === 16L).as("phash_ok"))
+        // 16 planted twins are always in-fixture, so an empty pair set
+        // can never match the oracle's ≥16 rows — no vacuity sentinel
+        // needed (unlike nearDuplicatesChecked's pair-free case)
+        dup.crossJoin(broadcast(ok))
       },
-      None),
+      Some(s"""WITH g AS (SELECT i AS m,
+             |    ('0x' || substr('${GoldenMediaHashes.ImgHex}', CAST(i*16+1 AS INT), 16))::UBIGINT AS ph
+             |  FROM range(0, 5000) t(i)),
+             |base AS (SELECT d.doc_id AS id, g.ph FROM documents d JOIN g ON g.m = d.doc_id),
+             |tw AS (SELECT d.doc_id + 1000000 AS id,
+             |    ('0x' || substr('${GoldenMediaHashes.ImgTwinHex}', CAST(d.doc_id*16+1 AS INT), 16))::UBIGINT AS ph
+             |  FROM documents d WHERE d.doc_id < 16),
+             |h AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+             |p AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+             |  FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3)
+             |SELECT id_a, id_b, hamming,
+             |  (SELECT COUNT(*) FROM p WHERE id_b = id_a + 1000000) = 16 AS phash_ok
+             |FROM p""".stripMargin)),
 
     // the SCALE shape of perceptual dedup: identical hashes group
     // FIRST (exact-dedup step), only distinct-hash representatives
@@ -1384,6 +1401,15 @@ object PipelineQueries {
     // connected components — the within-group quadratic pair relation
     // is never materialized. Output row carries the partition
     // invariants (every image labeled, one survivor per cluster).
+    // Deterministic-gated (r16): returns the full per-image
+    // (media_id, cluster, is_survivor) labeling, hash-matched against
+    // the oracle's re-derivation from the frozen golden dHash table —
+    // identical hashes grouped to min-id reps, rep pairs at Hamming
+    // ≤ 3, connected components via a recursive min-label CTE (the
+    // SQL mirror of Dedup.duplicateClusters' pointer jumping), every
+    // image mapped back through its hash group. The partition
+    // invariant (one survivor per cluster, every image labeled) rides
+    // as cluster_ok on each row.
     QueryDef("media_phash_clusters",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -1394,22 +1420,36 @@ object PipelineQueries {
           Multimodal.syntheticPatternMedia(docs)).localCheckpoint()
         val out = Multimodal.phashDedup(hashes, maxHamming = 3)
           .localCheckpoint()
-        out.agg(count(lit(1)).as("n_images"),
+        val ok = out.agg(count(lit(1)).as("n_images"),
             countDistinct(col("cluster")).as("n_clusters"),
             sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_survivors"))
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
-          .select(col("n_images"), col("n_clusters"), col("n_survivors"),
-            (col("n_survivors") === col("n_clusters") &&
-              col("n_images") === col("n_docs")).as("cluster_ok"))
+          .select((col("n_survivors") === col("n_clusters") &&
+            col("n_images") === col("n_docs")).as("cluster_ok"))
+        out.crossJoin(broadcast(ok))
       },
-      None),
+      Some(s"""WITH RECURSIVE g AS (SELECT i AS m,
+             |    ('0x' || substr('${GoldenMediaHashes.ImgHex}', CAST(i*16+1 AS INT), 16))::UBIGINT AS ph
+             |  FROM range(0, 5000) t(i)),
+             |base AS (SELECT d.doc_id AS id, g.ph FROM documents d JOIN g ON g.m = d.doc_id),
+             |grp AS (SELECT ph, MIN(id) AS rep FROM base GROUP BY ph),
+             |e AS (SELECT a.rep AS ra, b.rep AS rb FROM grp a JOIN grp b
+             |  ON a.rep < b.rep AND bit_count(xor(a.ph, b.ph)) <= 3),
+             |und AS (SELECT ra AS a, rb AS b FROM e UNION SELECT rb, ra FROM e),
+             |r(node, lbl) AS (SELECT rep, rep FROM grp
+             |  UNION SELECT u.b, r.lbl FROM r JOIN und u ON u.a = r.node),
+             |cl AS (SELECT node AS rep, MIN(lbl) AS cluster FROM r GROUP BY node)
+             |SELECT b.id AS media_id, c.cluster,
+             |  b.id = c.cluster AS is_survivor, TRUE AS cluster_ok
+             |FROM base b JOIN grp g2 ON g2.ph = b.ph JOIN cl c ON c.rep = g2.rep""".stripMargin)),
 
     // audio near-dup via the envelope hash: planted twins = the same
     // modulated waveforms re-encoded at 1.02x gain under shifted ids —
     // the envelope ORDER (hence the hash, up to RMS-quantization
     // near-ties) is gain-invariant, the "same audio at a different
-    // volume" classic. Same band join, same invariant-gated shape as
-    // media_phash_dup.
+    // volume" classic. Same band join, same deterministic gate as
+    // media_phash_dup (exact pair set vs frozen golden envelope
+    // hashes + in-query planted-recall flag).
     QueryDef("media_audio_dup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -1421,14 +1461,23 @@ object PipelineQueries {
         val dup = Multimodal.phashNearDup(hashes, maxHamming = 3)
           .localCheckpoint()
         val planted = dup.filter(col("id_b") === col("id_a") + twinOffsetBatch)
-        val stats = dup.agg(count(lit(1)).as("all_pairs")).crossJoin(
-          broadcast(planted.agg(count(lit(1)).as("n_caught"))))
-        stats.select(lit(16L).as("n_planted"), col("n_caught"),
-          round(col("n_caught") / 16.0, 6).as("recall"),
-          (col("all_pairs") - col("n_caught")).as("extra_pairs"),
-          (col("n_caught") === 16L).as("audio_ok"))
+        val ok = planted.agg((count(lit(1)) === 16L).as("audio_ok"))
+        dup.crossJoin(broadcast(ok))
       },
-      None),
+      Some(s"""WITH g AS (SELECT i AS m,
+             |    ('0x' || substr('${GoldenMediaHashes.AudHex}', CAST(i*16+1 AS INT), 16))::UBIGINT AS ph
+             |  FROM range(0, 5000) t(i)),
+             |base AS (SELECT d.doc_id AS id, g.ph FROM documents d JOIN g ON g.m = d.doc_id),
+             |tw AS (SELECT d.doc_id + 1000000 AS id,
+             |    ('0x' || substr('${GoldenMediaHashes.AudTwinHex}', CAST(d.doc_id*16+1 AS INT), 16))::UBIGINT AS ph
+             |  FROM documents d WHERE d.doc_id < 16),
+             |h AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+             |p AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+             |  FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3)
+             |SELECT id_a, id_b, hamming,
+             |  (SELECT COUNT(*) FROM p WHERE id_b = id_a + 1000000) = 16 AS audio_ok
+             |FROM p""".stripMargin)),
 
     // ---------------- windows & sketches ----------------
 
