@@ -427,6 +427,36 @@ object ScaleRehearsal {
           "(replica bodies fully covered expected)")
         forceCount(out)
       }
+      // r16: the REMOVAL side at exact-copy duplication density. A
+      // dedicated exact-replica relation (same text, shifted ids — no
+      // per-replica suffix) makes the outcome fully closed-form:
+      // every window of every long doc is cross-replica duplicated,
+      // so clean keeps EXACTLY 0 tokens for docs with >= k tokens and
+      // all n for window-less short docs (n < k) — computable from
+      // the 1x corpus alone, before the operator runs.
+      timed(s"curate dedup_substring_clean (${reps}x exact copies)") {
+        val exact = (0 until reps).map(r =>
+            docs0.select((col("doc_id") + lit(r * 10000001L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+        val shortTok = docs0
+          .select(size(split(col("text"), " ")).cast("long").as("n"))
+          .filter(col("n") < 25).agg(coalesce(sum(col("n")), lit(0L)))
+          .head.getLong(0)
+        val out = Dedup.removeDuplicateSubstrings(exact, "doc_id", "text",
+          k = 25).localCheckpoint()
+        val st = out.agg(sum(col("kept_tokens")).as("k"),
+          sum(when(col("n_tokens") >= 25 && col("kept_tokens") =!= 0L, 1L)
+            .otherwise(0L)).as("bad")).head()
+        val expected = shortTok * reps
+        println(s"[rehearsal] substring_clean: kept=${st.getLong(0)} " +
+          s"(closed form: $reps x $shortTok short-doc tokens = $expected; " +
+          s"long docs keeping anything: ${st.getLong(1)})")
+        require(st.getLong(0) == expected && st.getLong(1) == 0L,
+          s"expected kept=$expected with zero long-doc survivors, " +
+            s"got ${st.getLong(0)} / ${st.getLong(1)}")
+        forceCount(out)
+      }
       timed(s"curate mix_token_budget (${reps}x, 3 labels)") {
         val labeled = docs.select(col("doc_id"),
           concat(lit("src"), pmod(col("doc_id"), lit(3))).as("label"),
@@ -457,6 +487,13 @@ object ScaleRehearsal {
         println(s"[rehearsal] decon_fuzzy: hits=$n eval=$evN " +
           s"(every replica of an eval doc is a planted leak: expect " +
           s"≥ ${(reps - 1)} per eval doc)")
+        // closed-form FLOOR, enforced (r16): each eval doc's reps-1
+        // non-identical replicas sit at J ≈ 0.9 ≥ the threshold, so
+        // hits must reach (reps-1)·|eval| — a prefix-index or
+        // cross-join drift that silently drops candidates fails here
+        // rather than surviving as a smaller-but-plausible count
+        require(n >= (reps - 1).toLong * evN,
+          s"expected >= ${(reps - 1).toLong * evN} planted cross hits, got $n")
         n
       }
     }
@@ -491,6 +528,30 @@ object ScaleRehearsal {
           s"clusters=${st.getLong(1)} survivors=${st.getLong(2)} " +
           "(partition invariant: survivors == clusters; the pair-path " +
           "row above materializes the quadratic relation this path avoids)")
+        require(st.getLong(1) == st.getLong(2),
+          s"survivors ${st.getLong(2)} != clusters ${st.getLong(1)}")
+        // r16: ITERATION-COUNT evidence for the label propagation —
+        // re-run the component step alone over the same rep-level pair
+        // relation phashDedup band-joins internally (distinct hashes →
+        // min-id reps → Hamming <= 3 pairs) and record the observed
+        // pointer-jumping round count at replicated cluster density:
+        // the O(log d) claim, measured. The cluster count must agree
+        // with the full operator's.
+        val reps_ = hashes.groupBy(col("phash"))
+          .agg(min(col("media_id")).as("media_id")).localCheckpoint()
+        val repPairs = Multimodal.phashNearDup(reps_, maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val (lbl, iters) = Dedup.duplicateClustersWithIters(repPairs)
+        val comp = lbl.select(col("cluster")).distinct().count() +
+          reps_.join(lbl, reps_.col("media_id") === lbl.col("doc"), "left_anti")
+            .count()
+        println(s"[rehearsal] phash clusters: label propagation " +
+          s"converged in $iters rounds at ${reps}x density " +
+          s"(components incl. singletons=$comp vs operator ${st.getLong(1)})")
+        require(iters <= 10,
+          s"pointer jumping took $iters rounds — O(log d) claim broken?")
+        require(comp == st.getLong(1),
+          s"component recount $comp != operator clusters ${st.getLong(1)}")
         st.getLong(0)
       }
       timed(s"phash audio encode+hash+dedup (${reps}x modulated WAVs, d<=3)") {
@@ -533,6 +594,40 @@ object ScaleRehearsal {
         val n = forceCount(sel)
         require(n == 100L, s"top-k must stay k rows, got $n")
         n
+      }
+      // r16: the bigram (context-aware) DSIR variant at reps× — two
+      // bounded-alphabet LM trainers (model sizes must stay closed-
+      // alphabet-bounded as the corpus grows) feeding TWO BigramNll
+      // kernels in one shuffle-free codegen map stage, then the same
+      // Gumbel top-k whose output is EXACTLY k rows at any scale.
+      if (selected("importance")) {
+        import graft.operators.LanguageModel
+        def lmTrain(d: DataFrame): (LanguageModel.BigramLm, Double) = {
+          val t0 = System.nanoTime()
+          val m = LanguageModel.train(d, "doc_id", "text",
+            vocabSize = 64, alpha = 0.5)
+          (m, (System.nanoTime() - t0) / 1e9)
+        }
+        val (lmR, tR) = lmTrain(docs)
+        val (lmT, tT) = lmTrain(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        println(f"[rehearsal] importance bigram train: raw=$tR%.2f s " +
+          f"target=$tT%.2f s at ${reps}x (vocab ${lmR.vocab.size}/" +
+          s"${lmT.vocab.size}, bigram tables ${lmR.bigrams.size}/" +
+          s"${lmT.bigrams.size} — bounded by the closed alphabet, " +
+          "not the corpus)")
+        timed(s"importance bigram score+resample (${reps}x corpus, k=100)") {
+          def nllOf(m: LanguageModel.BigramLm) =
+            graft.functions.LmExprs.bigramNll(col("text"), m.vocab.toArray,
+              m.unigrams.toArray, m.bigrams.toArray, m.alphabetSize, m.alpha)
+          val n1 = greatest(size(split(col("text"), " ")) - 1, lit(0))
+            .cast("double")
+          val lw = docs.select(col("doc_id"),
+            coalesce(n1 * (nllOf(lmR) - nllOf(lmT)), lit(0.0)).as("log_weight"))
+          val n = forceCount(ImportanceSampling.resampleTopK(
+            lw, "doc_id", k = 100, seed = "dsir2"))
+          require(n == 100L, s"bigram top-k must stay k rows, got $n")
+          n
+        }
       }
     }
 

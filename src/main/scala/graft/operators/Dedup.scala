@@ -520,7 +520,16 @@ object Dedup {
     * settles in ~20 rounds, not a million. Every round is hash joins +
     * an aggregate, all key-partitioned — no driver-side graph. Returns
     * (doc, cluster) for every doc appearing in a pair. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    duplicateClustersWithIters(pairs, maxIter)._1
+
+  /** [[duplicateClusters]] plus the CONVERGENCE ROUND COUNT — the
+    * scale-evidence hook: pointer jumping promises O(log diameter)
+    * rounds, and ScaleRehearsal records the observed count at
+    * replicated cluster density to back that claim with a number
+    * instead of an assertion. */
+  private[graft] def duplicateClustersWithIters(pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -577,7 +586,7 @@ object Dedup {
       labels = updated.drop("__old")
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** The documents to KEEP after near-dup clustering: every doc not in
