@@ -83,6 +83,15 @@ print(f"[bench {sys.argv[1].split('_')[-1][0]}] total={b['value']}s rows={len(b[
 EOF
       python3 -c "import json,sys; b=json.load(open('$OUT/bench_$i.json')); sys.exit(1 if b.get('errors') else 0)" \
         || { note "FAIL: bench run $i has errors"; FAIL=1; }
+      # cert-metric trend gate (r16): the floored booleans only fail
+      # on a cliff — diff the observed certs against the prior round's
+      # recorded values and abort on any slide > 0.02 (direction-aware)
+      if [ "$i" -eq 1 ]; then
+        python3 tools/cert_trend.py "$OUT/bench_$i.json" > "$OUT/cert_trend.log" 2>&1
+        CT=$?
+        tee -a "$OUT/SUMMARY.txt" < "$OUT/cert_trend.log"
+        [ "$CT" -eq 0 ] || { note "FAIL: cert trend (see table above)"; FAIL=1; }
+      fi
     else
       note "FAIL: bench run $i (see $OUT/bench_$i.log)"; FAIL=1
     fi
