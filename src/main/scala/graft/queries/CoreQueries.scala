@@ -97,6 +97,23 @@ object CoreQueries {
       },
       Some(GROUPED_SQL)),
 
+    // scipy-npz interchange (reference io.py:28-39 to_npz/read_npz):
+    // the canonical grouped frame out through the byte-level npy/zip
+    // writer and back — the migration shim's round trip must be
+    // value-lossless, so it shares io_roundtrip's oracle. Driver-side
+    // by design (like the reference's own in-memory implementation);
+    // the at-scale interchange stays SparseIO's partitioned parquet.
+    QueryDef("io_npz_roundtrip",
+      (s, dir) => {
+        val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val dirPath = new java.io.File(s"/root/repo/target/io_npz/$sfTag")
+        dirPath.mkdirs()
+        val path = s"$dirPath/frame.npz"
+        graft.sources.Npz.writeNpz(grouped(s, dir), path)
+        graft.sources.Npz.readNpz(s, path, indexCol = "user_id").df
+      },
+      Some(GROUPED_SQL)),
+
     // ---------------- aggregation (§2.4) ----------------
 
     QueryDef("groupby_sum",

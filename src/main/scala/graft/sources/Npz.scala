@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.core.{ColUniverse, SparseRel}
+
+/** scipy-compatible `.npz` interchange for [[SparseRel]] — the
+  * migration shim closing the reference's npz surface
+  * (`/root/reference/sparsity/io.py:28-47`): `to_npz` stores the CSR
+  * members `data`/`indices`/`indptr`/`shape` plus `frame_index`/
+  * `frame_columns`; `read_npz` reverses it. This writes byte-level
+  * `.npy` v1.0 members in a ZIP so `numpy.load`/`scipy.sparse` read it
+  * unmodified, and reads the same layout back (including archives
+  * produced by the reference itself, modulo dtypes listed below).
+  *
+  * DRIVER-SIDE by design, like the reference's own implementation
+  * (`sf.index.values` is already in memory there): this is the
+  * small-frame migration path; the at-scale interchange stays the
+  * partitioned COO parquet of [[SparseIO]]. The collect here is the
+  * explicit edge materialization the SparseRel contract allows.
+  *
+  * Dtypes written: data `<f8`, indices/indptr/shape `<i8`, numeric
+  * index `<f8`/`<i8`, string index/columns `<U#` (UTF-32LE, numpy's
+  * native unicode layout). Dtypes read: the same set plus `<i4`
+  * (scipy's default small-matrix index dtype).
+  */
+object Npz {
+
+  // ---------------- npy encoding ----------------
+
+  private def npyHeader(descr: String, n: Long): Array[Byte] = {
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($n,), }"
+    // total = 6 magic + 2 version + 2 hlen + dict + padding, multiple
+    // of 64, dict padded with spaces and terminated by \n
+    val base = 10 + dict.length + 1
+    val pad = (64 - base % 64) % 64
+    val full = dict + (" " * pad) + "\n"
+    val bos = new ByteArrayOutputStream()
+    bos.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+    bos.write(full.length & 0xFF)
+    bos.write((full.length >> 8) & 0xFF)
+    bos.write(full.getBytes("ASCII"))
+    bos.toByteArray
+  }
+
+  private def npyLongs(v: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(v.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    v.foreach(buf.putLong)
+    npyHeader("<i8", v.length.toLong) ++ buf.array()
+  }
+
+  private def npyDoubles(v: Array[Double]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(v.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    v.foreach(buf.putDouble)
+    npyHeader("<f8", v.length.toLong) ++ buf.array()
+  }
+
+  private def npyStrings(v: Array[String]): Array[Byte] = {
+    // numpy '<U#': fixed-width UTF-32LE code points, zero-padded
+    val width = math.max(1, if (v.isEmpty) 1
+      else v.map(s => s.codePointCount(0, s.length)).max)
+    val buf = ByteBuffer.allocate(v.length * width * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    v.foreach { s =>
+      val cps = s.codePoints().toArray
+      cps.foreach(buf.putInt)
+      (cps.length until width).foreach(_ => buf.putInt(0))
+    }
+    npyHeader(s"<U$width", v.length.toLong) ++ buf.array()
+  }
+
+  // ---------------- npy decoding ----------------
+
+  private final case class Npy(descr: String, n: Long, payload: Array[Byte])
+
+  private def parseNpy(bytes: Array[Byte]): Npy = {
+    require(bytes.length >= 10 && bytes(1) == 'N' && bytes(2) == 'U',
+      "not an npy member")
+    val major = bytes(6)
+    val hlen =
+      if (major == 1) (bytes(8) & 0xFF) | ((bytes(9) & 0xFF) << 8)
+      else ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    val hoff = if (major == 1) 10 else 12
+    val header = new String(bytes, hoff, hlen, "ASCII")
+    val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(header)
+      .map(_.group(1)).getOrElse(sys.error(s"no descr in npy header: $header"))
+    require("'fortran_order':\\s*False".r.findFirstIn(header).isDefined,
+      s"fortran_order arrays unsupported: $header")
+    val shape = "'shape':\\s*\\(([^)]*)\\)".r.findFirstMatchIn(header)
+      .map(_.group(1)).getOrElse(sys.error(s"no shape in npy header: $header"))
+    val dims = shape.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    require(dims.length <= 1, s"only 1-d members expected, got ($shape)")
+    Npy(descr, dims.headOption.getOrElse(1L),
+      java.util.Arrays.copyOfRange(bytes, hoff + hlen, bytes.length))
+  }
+
+  private def longsOf(m: Npy): Array[Long] = {
+    val buf = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+    m.descr match {
+      case "<i8" => Array.fill(m.n.toInt)(buf.getLong)
+      case "<i4" => Array.fill(m.n.toInt)(buf.getInt.toLong)
+      case d => sys.error(s"expected integer member, got dtype $d")
+    }
+  }
+
+  private def doublesOf(m: Npy): Array[Double] = {
+    val buf = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+    m.descr match {
+      case "<f8" => Array.fill(m.n.toInt)(buf.getDouble)
+      case "<i8" => Array.fill(m.n.toInt)(buf.getLong.toDouble)
+      case "<i4" => Array.fill(m.n.toInt)(buf.getInt.toDouble)
+      case d => sys.error(s"expected numeric member, got dtype $d")
+    }
+  }
+
+  private def stringsOf(m: Npy): Array[String] = {
+    val width = m.descr match {
+      case d if d.startsWith("<U") => d.drop(2).toInt
+      case d => sys.error(s"expected unicode member, got dtype $d")
+    }
+    val buf = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(m.n.toInt) {
+      val cps = Array.fill(width)(buf.getInt).takeWhile(_ != 0)
+      new String(cps, 0, cps.length)
+    }
+  }
+
+  // ---------------- public surface ----------------
+
+  /** Write `rel` as a scipy-readable npz at `path` (reference
+    * `to_npz`, io.py:28-32). Single-level index only — the reference's
+    * own npz surface is single-level (`sf.index.values`). Stored cells
+    * are summed per (row, col) and CSR-canonicalized (sorted indices);
+    * rows follow ascending index-label order. */
+  def writeNpz(rel: SparseRel, path: String): Unit = {
+    require(rel.indexCols.size == 1,
+      s"npz export is single-index like the reference (io.py:29 " +
+        s"sf.index.values); got levels ${rel.indexCols.mkString(",")}")
+    val idxCol = rel.indexCols.head
+    val idxType = rel.df.schema(idxCol).dataType
+    val cols = rel.columnUniverse
+    val colPos = cols.zipWithIndex.toMap
+    val cells = rel.df
+      .groupBy(col(idxCol), col(SparseRel.COL))
+      .agg(sum(col(SparseRel.VALUE)).as(SparseRel.VALUE))
+      .collect()
+    // group per row label (ordering below), columns CSR-sorted
+    def keyOf(a: Any): Any = a
+    val byRow = cells.groupBy(r => keyOf(r.get(0)))
+    val rowKeys: Array[Any] = idxType match {
+      case LongType | IntegerType =>
+        byRow.keys.toArray.sortBy(_.asInstanceOf[Number].longValue())
+      case StringType => byRow.keys.toArray.sortBy(_.asInstanceOf[String])
+      case t => sys.error(s"unsupported npz index type $t")
+    }
+    val indptr = new Array[Long](rowKeys.length + 1)
+    val indices = Array.newBuilder[Long]
+    val data = Array.newBuilder[Double]
+    rowKeys.zipWithIndex.foreach { case (k, i) =>
+      val entries = byRow(k)
+        .map(r => (colPos.getOrElse(r.getString(1),
+          sys.error(s"cell column ${r.getString(1)} not in universe")),
+          r.getDouble(2)))
+        .sortBy(_._1)
+      entries.foreach { case (c, v) => indices += c.toLong; data += v }
+      indptr(i + 1) = indptr(i) + entries.length
+    }
+    val frameIndex: Array[Byte] = idxType match {
+      case LongType | IntegerType =>
+        npyLongs(rowKeys.map(_.asInstanceOf[Number].longValue()))
+      case _ => npyStrings(rowKeys.map(_.asInstanceOf[String]))
+    }
+    val out = new ZipOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      def member(name: String, bytes: Array[Byte]): Unit = {
+        out.putNextEntry(new ZipEntry(name))
+        out.write(bytes)
+        out.closeEntry()
+      }
+      member("data.npy", npyDoubles(data.result()))
+      member("indices.npy", npyLongs(indices.result()))
+      member("indptr.npy", npyLongs(indptr))
+      member("shape.npy", npyLongs(Array(rowKeys.length.toLong, cols.size.toLong)))
+      member("frame_index.npy", frameIndex)
+      member("frame_columns.npy", npyStrings(cols.toArray))
+    } finally out.close()
+  }
+
+  /** Read an npz written by [[writeNpz]] or the reference's `to_npz`
+    * back into a [[SparseRel]] with index column `indexCol`
+    * (reference `read_npz`, io.py:34-39). The CSR members expand to
+    * COO rows; the full `frame_columns` lexicon becomes the Explicit
+    * universe (all-zero columns survive, as in the reference). */
+  def readNpz(spark: SparkSession, path: String,
+      indexCol: String = "idx"): SparseRel = {
+    val members = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val in = new ZipInputStream(new BufferedInputStream(
+      new FileInputStream(path)))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        members(e.getName) = in.readAllBytes()
+        in.closeEntry()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    def get(name: String): Npy = parseNpy(members.getOrElse(s"$name.npy",
+      sys.error(s"npz member $name.npy missing — not a sparsity archive? " +
+        s"members: ${members.keys.mkString(",")}")))
+    val data = doublesOf(get("data"))
+    val indices = longsOf(get("indices"))
+    val indptr = longsOf(get("indptr"))
+    val shape = longsOf(get("shape"))
+    val colsMember = get("frame_columns")
+    val cols = stringsOf(colsMember)
+    require(shape.length == 2 && shape(1) == cols.length,
+      s"shape ${shape.mkString("x")} disagrees with ${cols.length} columns")
+    val idxMember = get("frame_index")
+    val numericIdx = !idxMember.descr.startsWith("<U")
+    val rowLabelsL: Array[Long] =
+      if (numericIdx) longsOf(idxMember) else Array.empty
+    val rowLabelsS: Array[String] =
+      if (numericIdx) Array.empty else stringsOf(idxMember)
+    val nRows = if (numericIdx) rowLabelsL.length else rowLabelsS.length
+    require(shape(0) == nRows && indptr.length == nRows + 1,
+      s"shape ${shape.mkString("x")} disagrees with $nRows index labels / " +
+        s"${indptr.length} indptr entries")
+    import spark.implicits._
+    val df: DataFrame =
+      if (numericIdx) {
+        val rows = (0 until nRows).iterator.flatMap { i =>
+          (indptr(i) until indptr(i + 1)).iterator.map(p =>
+            (rowLabelsL(i), cols(indices(p.toInt).toInt), data(p.toInt)))
+        }.toSeq
+        rows.toDF(indexCol, SparseRel.COL, SparseRel.VALUE)
+      } else {
+        val rows = (0 until nRows).iterator.flatMap { i =>
+          (indptr(i) until indptr(i + 1)).iterator.map(p =>
+            (rowLabelsS(i), cols(indices(p.toInt).toInt), data(p.toInt)))
+        }.toSeq
+        rows.toDF(indexCol, SparseRel.COL, SparseRel.VALUE)
+      }
+    SparseRel(df.repartition(spark.sparkContext.defaultParallelism.min(32)),
+      Seq(indexCol), ColUniverse.Explicit(cols.toIndexedSeq))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{ColUniverse, SparseRel}
+import graft.sources.Npz
+
+/** scipy-npz interchange (reference io.py:28-47): byte-level npy
+  * member layout, CSR canonicalization, round-trip fidelity for
+  * numeric and string indexes, unicode widths, all-zero-column
+  * survival, and the single-index guard. */
+class NpzSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("npzspec").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name"
+  }
+
+  private def rel(rows: Seq[(Long, String, Double)],
+      universe: Seq[String]): SparseRel =
+    SparseRel(rows.toDF("rid", "col", "value"), Seq("rid"),
+      ColUniverse.Explicit(universe))
+
+  test("npy members are spec-compliant and CSR is canonical") {
+    val path = tmp("a.npz")
+    // rows out of order, duplicate cell (summed), an explicit zero,
+    // an all-zero universe column that must survive the round trip
+    Npz.writeNpz(rel(Seq((7L, "b", 2.0), (3L, "a", 1.0), (7L, "a", 0.0),
+      (7L, "b", 3.0)), Seq("a", "b", "zero")), path)
+    val zf = new ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names === Set("data.npy", "indices.npy", "indptr.npy",
+        "shape.npy", "frame_index.npy", "frame_columns.npy"))
+      def bytes(n: String): Array[Byte] =
+        zf.getInputStream(zf.getEntry(n)).readAllBytes()
+      val d = bytes("data.npy")
+      // v1.0 magic; header multiple of 64; dict advertises <f8
+      assert(d(0) == 0x93.toByte && new String(d, 1, 5, "ASCII") == "NUMPY")
+      val hlen = (d(8) & 0xFF) | ((d(9) & 0xFF) << 8)
+      assert((10 + hlen) % 64 === 0)
+      val header = new String(d, 10, hlen, "ASCII")
+      assert(header.contains("'descr': '<f8'") &&
+        header.contains("'fortran_order': False") &&
+        header.contains("(3,)"))
+      val payload = ByteBuffer.wrap(d, 10 + hlen, 24)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      // row 3 first (sorted labels), then row 7 with indices sorted
+      // and the duplicate (7,b) summed to 5.0, zero cell kept
+      assert((1 to 3).map(_ => payload.getDouble) === Seq(1.0, 0.0, 5.0))
+      val ip = bytes("indptr.npy")
+      val iph = (ip(8) & 0xFF) | ((ip(9) & 0xFF) << 8)
+      val ipb = ByteBuffer.wrap(ip, 10 + iph, 24).order(ByteOrder.LITTLE_ENDIAN)
+      assert((1 to 3).map(_ => ipb.getLong) === Seq(0L, 1L, 3L))
+      val sh = bytes("shape.npy")
+      val shh = (sh(8) & 0xFF) | ((sh(9) & 0xFF) << 8)
+      val shb = ByteBuffer.wrap(sh, 10 + shh, 16).order(ByteOrder.LITTLE_ENDIAN)
+      assert((shb.getLong, shb.getLong) === ((2L, 3L)))
+    } finally zf.close()
+  }
+
+  test("round trip: numeric index, zero column survives in universe") {
+    val path = tmp("b.npz")
+    val in = rel(Seq((7L, "b", 2.0), (3L, "a", 1.5), (5L, "b", -4.25)),
+      Seq("a", "b", "zonly"))
+    Npz.writeNpz(in, path)
+    val out = Npz.readNpz(spark, path, indexCol = "rid")
+    assert(out.columnUniverse === Seq("a", "b", "zonly"))
+    assert(out.indexCols === Seq("rid"))
+    val got = out.df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((7L, "b", 2.0), (3L, "a", 1.5), (5L, "b", -4.25)))
+  }
+
+  test("round trip: string index and unicode labels pad correctly") {
+    val path = tmp("c.npz")
+    val in = SparseRel(
+      Seq(("rowé", "colü", 1.0), ("r", "c", 2.0), ("rowé", "c", 3.0))
+        .toDF("rid", "col", "value"),
+      Seq("rid"), ColUniverse.Explicit(Seq("c", "colü")))
+    Npz.writeNpz(in, path)
+    val out = Npz.readNpz(spark, path, indexCol = "rid")
+    assert(out.columnUniverse === Seq("c", "colü"))
+    val got = out.df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(("rowé", "colü", 1.0), ("r", "c", 2.0),
+      ("rowé", "c", 3.0)))
+  }
+
+  test("guards: multi-index export rejected; missing member rejected") {
+    val multi = SparseRel(Seq((1L, 2L, "a", 1.0)).toDF("i", "j", "col", "value"),
+      Seq("i", "j"), ColUniverse.Explicit(Seq("a")))
+    val e = intercept[IllegalArgumentException](
+      Npz.writeNpz(multi, tmp("d.npz")))
+    assert(e.getMessage.contains("single-index"))
+    val bad = tmp("e.npz")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(bad))
+    zos.putNextEntry(new java.util.zip.ZipEntry("data.npy"))
+    zos.write(Array[Byte](1, 2, 3))
+    zos.closeEntry(); zos.close()
+    val e2 = intercept[RuntimeException](Npz.readNpz(spark, bad))
+    assert(e2.getMessage.contains("not an npy member") ||
+      e2.getMessage.contains("missing"))
+  }
+}
