@@ -382,12 +382,26 @@ object Bench {
       .mkString("{", ",", "}")
     val cs2 = certs.map { case (k, v) => s"${jstr(k)}:${num2(v)}" }
       .mkString("{", ",", "}")
-    val compactBase =
+    // degradation ladder: the line MUST fit the window even on an
+    // errored run (error messages alone can add ~225 chars each) —
+    // try full certs+errors, then truncated error messages, then
+    // error NAMES only, then drop the per-query map entirely (an
+    // errored run is red regardless; the driver parsing total+errors
+    // beats "parsed": null). First candidate under the budget wins.
+    def esOf(msgLen: Int): String =
+      errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(msgLen))}" }
+        .mkString("{", ",", "}")
+    def baseWith(es2: String): String =
       s"""{"metric":"total","value":${num2(total)},"unit":"sec",""" +
-        s""""queries":$qs2,"errors":$es,"reps":$reps,"sf":${jstr(sfDir)}"""
-    val withCerts = compactBase + s""","certs":$cs2}"""
-    val compact =
-      if (withCerts.length <= 1700) withCerts else compactBase + "}"
+        s""""queries":$qs2,"errors":$es2,"reps":$reps,"sf":${jstr(sfDir)}"""
+    val candidates = Seq(
+      baseWith(esOf(200)) + s""","certs":$cs2}""",
+      baseWith(esOf(200)) + "}",
+      baseWith(esOf(40)) + "}",
+      baseWith(esOf(0)) + "}",
+      s"""{"metric":"total","value":${num2(total)},"unit":"sec",""" +
+        s""""queries":{},"errors":${esOf(0)},"reps":$reps,"sf":${jstr(sfDir)}}""")
+    val compact = candidates.find(_.length <= 1700).getOrElse(candidates.last)
     System.err.flush()
     println(compact)
     System.out.flush()

@@ -433,8 +433,11 @@ object ScaleRehearsal {
       // every window of every long doc is cross-replica duplicated,
       // so clean keeps EXACTLY 0 tokens for docs with >= k tokens and
       // all n for window-less short docs (n < k) — computable from
-      // the 1x corpus alone, before the operator runs.
-      timed(s"curate dedup_substring_clean (${reps}x exact copies)") {
+      // the 1x corpus alone, before the operator runs. The closed
+      // form needs >= 2 replicas (at reps=1 the base corpus's own
+      // natural dup structure decides coverage — not closed-form), so
+      // the stage skips below that rather than spuriously aborting.
+      if (reps >= 2) timed(s"curate dedup_substring_clean (${reps}x exact copies)") {
         val exact = (0 until reps).map(r =>
             docs0.select((col("doc_id") + lit(r * 10000001L)).as("doc_id"),
               col("text")))

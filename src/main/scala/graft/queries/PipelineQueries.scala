@@ -53,6 +53,31 @@ object PipelineQueries {
     * so every twin pair is cross-batch (a multiple-of-4 offset would
     * make all planted pairs same-batch and stream-invisible). */
   private[graft] val twinOffsetBatch = 1000000L
+
+  /** Shared golden-hash pair oracle for the two perceptual-dedup
+    * gates (image dHash / audio envelope hash): DuckDB re-derives the
+    * exact Hamming <= 3 pair relation from a frozen per-id hash table
+    * ([[GoldenMediaHashes]]) plus the 16 planted twins at
+    * [[twinOffsetBatch]], with the planted-recall flag riding every
+    * row. One definition so the pair semantics (id ordering, hamming
+    * cast, planted-count subquery) cannot silently diverge between
+    * the image and audio gates. */
+  private def goldenPairOracleSql(baseHex: String, twinHex: String,
+      flagName: String): String =
+    s"""WITH g AS (SELECT i AS m,
+       |    ('0x' || substr('$baseHex', CAST(i*16+1 AS INT), 16))::UBIGINT AS ph
+       |  FROM range(0, 5000) t(i)),
+       |base AS (SELECT d.doc_id AS id, g.ph FROM documents d JOIN g ON g.m = d.doc_id),
+       |tw AS (SELECT d.doc_id + $twinOffsetBatch AS id,
+       |    ('0x' || substr('$twinHex', CAST(d.doc_id*16+1 AS INT), 16))::UBIGINT AS ph
+       |  FROM documents d WHERE d.doc_id < 16),
+       |h AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3)
+       |SELECT id_a, id_b, hamming,
+       |  (SELECT COUNT(*) FROM p WHERE id_b = id_a + $twinOffsetBatch) = 16 AS $flagName
+       |FROM p""".stripMargin
   private[graft] val twinOffsetStream = 1000001L
 
   /** The winnow-index pair relation STAGED ONCE per (session, sf dir):
@@ -251,6 +276,8 @@ object PipelineQueries {
     lmCache.keySet().removeIf(k => k._1 eq s)
     lmTargetCache.keySet().removeIf(k => k._1 eq s)
     ratioCache.keySet().removeIf(k => k._1 eq s)
+    ivfCentsCache.keySet().removeIf(k => k._1 eq s)
+    ivfPqBooksCache.keySet().removeIf(k => k._1 eq s)
   }
 
   /** Test hook: staged entries currently held for `s`. */
@@ -1425,20 +1452,8 @@ object PipelineQueries {
         // needed (unlike nearDuplicatesChecked's pair-free case)
         dup.crossJoin(broadcast(ok))
       },
-      Some(s"""WITH g AS (SELECT i AS m,
-             |    ('0x' || substr('${GoldenMediaHashes.ImgHex}', CAST(i*16+1 AS INT), 16))::UBIGINT AS ph
-             |  FROM range(0, 5000) t(i)),
-             |base AS (SELECT d.doc_id AS id, g.ph FROM documents d JOIN g ON g.m = d.doc_id),
-             |tw AS (SELECT d.doc_id + 1000000 AS id,
-             |    ('0x' || substr('${GoldenMediaHashes.ImgTwinHex}', CAST(d.doc_id*16+1 AS INT), 16))::UBIGINT AS ph
-             |  FROM documents d WHERE d.doc_id < 16),
-             |h AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
-             |p AS (SELECT a.id AS id_a, b.id AS id_b,
-             |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-             |  FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3)
-             |SELECT id_a, id_b, hamming,
-             |  (SELECT COUNT(*) FROM p WHERE id_b = id_a + 1000000) = 16 AS phash_ok
-             |FROM p""".stripMargin)),
+      Some(goldenPairOracleSql(GoldenMediaHashes.ImgHex,
+        GoldenMediaHashes.ImgTwinHex, "phash_ok"))),
 
     // the SCALE shape of perceptual dedup: identical hashes group
     // FIRST (exact-dedup step), only distinct-hash representatives
@@ -1509,20 +1524,8 @@ object PipelineQueries {
         val ok = planted.agg((count(lit(1)) === 16L).as("audio_ok"))
         dup.crossJoin(broadcast(ok))
       },
-      Some(s"""WITH g AS (SELECT i AS m,
-             |    ('0x' || substr('${GoldenMediaHashes.AudHex}', CAST(i*16+1 AS INT), 16))::UBIGINT AS ph
-             |  FROM range(0, 5000) t(i)),
-             |base AS (SELECT d.doc_id AS id, g.ph FROM documents d JOIN g ON g.m = d.doc_id),
-             |tw AS (SELECT d.doc_id + 1000000 AS id,
-             |    ('0x' || substr('${GoldenMediaHashes.AudTwinHex}', CAST(d.doc_id*16+1 AS INT), 16))::UBIGINT AS ph
-             |  FROM documents d WHERE d.doc_id < 16),
-             |h AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
-             |p AS (SELECT a.id AS id_a, b.id AS id_b,
-             |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-             |  FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3)
-             |SELECT id_a, id_b, hamming,
-             |  (SELECT COUNT(*) FROM p WHERE id_b = id_a + 1000000) = 16 AS audio_ok
-             |FROM p""".stripMargin)),
+      Some(goldenPairOracleSql(GoldenMediaHashes.AudHex,
+        GoldenMediaHashes.AudTwinHex, "audio_ok"))),
 
     // ---------------- windows & sketches ----------------
 

@@ -227,8 +227,10 @@ object TrailDb {
     * its trail, uuid string, timestamp long, <field>... string).
     * Decoding is distributed: trails partition across the cluster,
     * the payload rides one broadcast. */
-  def events(spark: SparkSession, path: String): DataFrame = {
-    val db = open(path)
+  def events(spark: SparkSession, path: String): DataFrame =
+    eventsOf(spark, open(path))
+
+  private def eventsOf(spark: SparkSession, db: Db): DataFrame = {
     val bc = spark.sparkContext.broadcast(db)
     val nv = db.fields.size
     val schema = StructType(
@@ -263,18 +265,24 @@ object TrailDb {
     * string, value = 1.0). Events where the field is NULL carry a
     * null col (the reference maps them to the empty string; keeping
     * null preserves the distinction for dropna). */
-  def toCoo(spark: SparkSession, path: String, fieldName: String): DataFrame = {
-    val db = open(path)
+  def toCoo(spark: SparkSession, path: String, fieldName: String): DataFrame =
+    toCooOf(spark, open(path), fieldName)
+
+  private def toCooOf(spark: SparkSession, db: Db,
+      fieldName: String): DataFrame = {
     val fi = db.fields.indexOf(fieldName)
     require(fi >= 0,
       s"field $fieldName not in ${db.fields.mkString(",")}")
     // global row index = events of trails 0..t-1 + the decoder's own
     // per-trail event_idx: per-trail counts come from one distributed
     // pass, then a bounded (numTrails-sized) driver cumsum builds the
-    // offset table — no global zipWithIndex/window over all events
-    val ev = events(spark, path)
+    // offset table — no global zipWithIndex/window over all events.
+    // The event relation is checkpointed: the counts pass and the
+    // returned frame would otherwise each re-run the full decode.
+    val ev = eventsOf(spark, db)
       .select(col("trail_id"), col("event_idx"), col("uuid"),
         col("timestamp"), col(fieldName).as("col"))
+      .localCheckpoint()
     val counts = ev.groupBy(col("trail_id")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0L until db.numTrails).scanLeft(0L) {
@@ -288,6 +296,7 @@ object TrailDb {
   }
 
 
+
   /** The reference's `SparseFrame.read_traildb(path, field)`: the COO
     * one-hot as a [[SparseRel]] over the global event index, universe
     * = the field's full lexicon (all-zero columns survive, like
@@ -297,12 +306,13 @@ object TrailDb {
     val db = open(path)
     val fi = db.fields.indexOf(fieldName)
     require(fi >= 0, s"field $fieldName not in ${db.fields.mkString(",")}")
-    val coo = toCoo(spark, path, fieldName)
+    val coo = toCooOf(spark, db, fieldName)
       .filter(col("col").isNotNull)
       .select(col("row_idx"), col("col"), col("value"))
     SparseRel(coo, Seq("row_idx"),
       ColUniverse.Explicit(db.lexicons(fi)))
   }
+
 }
 
 /** One-off migration converter: `.tdb` → events parquet.

@@ -33,9 +33,12 @@ def main() -> int:
     base_sf = base.get("sf", "")
     certs = bench.get("certs", {})
     ref = base.get("certs", {})
-    if base_sf and base_sf not in sf:
-        print(f"[certs] baseline recorded at {base_sf}, bench ran {sf} — "
-              "trend not comparable, skipping")
+    # exact basename match: substring tests would let sf0.15 or
+    # sf0.1_regen masquerade as sf0.1 and diff incomparable runs
+    bench_sf_name = sf.rstrip("/").rsplit("/", 1)[-1]
+    if base_sf and base_sf != bench_sf_name:
+        print(f"[certs] baseline recorded at {base_sf}, bench ran "
+              f"{bench_sf_name} — trend not comparable, skipping")
         return 0
     bad = []
     print(f"[certs] trend vs {base_path} ({base.get('round', '?')}):")
