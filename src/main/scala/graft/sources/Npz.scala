@@ -250,4 +250,64 @@ object Npz {
     SparseRel(df.repartition(spark.sparkContext.defaultParallelism.min(32)),
       Seq(indexCol), ColUniverse.Explicit(cols.toIndexedSeq))
   }
+
+  /** Multi-archive read — the dask layer's `read_npz(glob, sorted)`
+    * (reference `dask/io.py:51-112`): one [[SparseRel]] over a set of
+    * npz partitions, unioned in lexicographic path order. All
+    * archives must share one `frame_columns` universe (the dask meta
+    * contract). With `sorted = true` the reference derives divisions
+    * and asserts each file's index is monotonic and the per-file
+    * ranges strictly ascend across files — the same validation runs
+    * here (same failure: "Divisions are not sorted"), though Spark
+    * needs no divisions to plan (range pruning comes from parquet at
+    * scale; this reader is the migration shim like [[readNpz]]). */
+  def readNpzGlob(spark: SparkSession, pattern: String,
+      indexCol: String = "idx", sorted: Boolean = false): SparseRel = {
+    import scala.jdk.CollectionConverters._
+    val (dir, glob) = {
+      val p = java.nio.file.Paths.get(pattern)
+      if (pattern.contains("*")) (p.getParent, p.getFileName.toString)
+      else (p.getParent, p.getFileName.toString)
+    }
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:$glob")
+    val paths = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(f => matcher.matches(f.getFileName))
+      .map(_.toString).toSeq.sorted
+    require(paths.nonEmpty, s"no npz archives match $pattern")
+    val rels = paths.map(p => readNpz(spark, p, indexCol))
+    val universe = rels.head.columnUniverse
+    rels.zip(paths).tail.foreach { case (r, p) =>
+      require(r.columnUniverse == universe,
+        s"frame_columns of $p disagree with ${paths.head} — " +
+          "npz partitions must share one universe")
+    }
+    if (sorted && paths.size > 1) {
+      // per-file (first, last) index labels in ONE bounded pass each —
+      // the reference's _npz_read_divisions, including its monotonic
+      // per-file requirement (min/max ≡ first/last only when sorted;
+      // asserted via the same aggregates)
+      val divisions = rels.zip(paths).map { case (r, p) =>
+        val row = r.df.agg(
+          org.apache.spark.sql.functions.min(col(indexCol)).as("lo"),
+          org.apache.spark.sql.functions.max(col(indexCol)).as("hi")).head()
+        (row.get(0), row.get(1), p)
+      }
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case (x: String, y: String) => x < y
+        case _ => sys.error(s"unorderable division types: $a / $b")
+      }
+      divisions.sliding(2).foreach {
+        case Seq((_, hi, p1), (lo, _, p2)) =>
+          require(lt(hi, lo),
+            s"Divisions are not sorted. Problematic file: $p2 " +
+              s"(!$hi < $lo after $p1)")
+        case _ => ()
+      }
+    }
+    rels.reduce { (a, b) =>
+      a.copy(df = a.df.unionByName(b.df))
+    }
+  }
 }

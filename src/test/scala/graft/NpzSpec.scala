@@ -94,6 +94,35 @@ class NpzSpec extends SparkSpecBase {
       ("rowé", "c", 3.0)))
   }
 
+  test("glob read unions partitions; sorted divisions validated") {
+    val d = java.nio.file.Files.createTempDirectory("npzglob").toFile
+    d.deleteOnExit()
+    Npz.writeNpz(rel(Seq((1L, "a", 1.0), (2L, "b", 2.0)), Seq("a", "b")),
+      s"$d/part0.npz")
+    Npz.writeNpz(rel(Seq((5L, "a", 3.0), (9L, "b", 4.0)), Seq("a", "b")),
+      s"$d/part1.npz")
+    val got = Npz.readNpzGlob(spark, s"$d/part*.npz", indexCol = "rid",
+        sorted = true)
+    assert(got.columnUniverse === Seq("a", "b"))
+    assert(got.df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ===
+      Set((1L, "a", 1.0), (2L, "b", 2.0), (5L, "a", 3.0), (9L, "b", 4.0)))
+    // overlapping ranges must fail the sorted contract like the dask
+    // reference (divisions not strictly ascending across files)
+    Npz.writeNpz(rel(Seq((3L, "a", 9.0)), Seq("a", "b")), s"$d/part2.npz")
+    val e = intercept[IllegalArgumentException](
+      Npz.readNpzGlob(spark, s"$d/part*.npz", indexCol = "rid", sorted = true))
+    assert(e.getMessage.contains("Divisions are not sorted"))
+    // unsorted read tolerates the overlap (no divisions claimed)
+    assert(Npz.readNpzGlob(spark, s"$d/part*.npz", indexCol = "rid")
+      .df.count() === 5)
+    // universe mismatch is rejected regardless
+    Npz.writeNpz(rel(Seq((99L, "z", 1.0)), Seq("z")), s"$d/part3.npz")
+    val e2 = intercept[IllegalArgumentException](
+      Npz.readNpzGlob(spark, s"$d/part*.npz", indexCol = "rid"))
+    assert(e2.getMessage.contains("share one universe"))
+  }
+
   test("guards: multi-index export rejected; missing member rejected") {
     val multi = SparseRel(Seq((1L, 2L, "a", 1.0)).toDF("i", "j", "col", "value"),
       Seq("i", "j"), ColUniverse.Explicit(Seq("a")))
