@@ -654,6 +654,14 @@ object ScaleRehearsal {
         "vec_id", "embedding", planes, k = 65536, seed = "cbs")
         .groupBy(col("cluster")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the "uncapped" reference pass is only uncapped below the
+      // sampler's own k cap: a 1x cell at/over 65536 rows would be
+      // silently truncated and shrink the closed form — fail loud
+      // instead of aborting spuriously later (r16 ADVICE)
+      require(sizes1.values.max < 65536,
+        s"1x reference cell of ${sizes1.values.max} rows reaches the " +
+          "k=65536 sampler cap — compute sizes1 via a plain " +
+          "groupBy-count on the sketch cells for this fixture")
       val cells1 = sizes1.size.toLong
       val expected = sizes1.values.map(s => math.min(25L, s * reps)).sum
       timed(s"cluster_sample balanced (${reps}x vectors, k=25)") {

@@ -1,0 +1,347 @@
+package graft.queries
+
+import graft.operators.Similarity
+
+/** DuckDB oracle SQL for the hash/quantization-dependent ANN rows —
+  * the r16 golden-literal pattern ([[GoldenMediaHashes]]) extended to
+  * the ANN family: every model constant the search depends on is
+  * either a pure-Scala deterministic function of a fixed seed
+  * (the LSH hyperplane bank — [[Similarity.hyperplanes]] /
+  * [[Similarity.tableSeed]], interpolated here at class-init with no
+  * Spark session) or a frozen golden literal retrained-and-checked by
+  * `AnnGoldenSpec` ([[GoldenAnnCents]], dispatched per fixture by an
+  * order-free integer fingerprint). DuckDB then RE-DERIVES the whole
+  * search — quantize, bucket/cell assignment, candidate join,
+  * shortlist, exact rerank — independently of the Scala operators.
+  *
+  * Exactness contract (why hash-compare can gate these at all):
+  * - SQ8 codes are integers; the quantized cosine is an integer dot
+  *   over ≤2^20-magnitude terms divided by one sqrt — every
+  *   intermediate is exactly representable, so Spark's
+  *   `QuantizedCosine` and DuckDB agree bit-for-bit.
+  * - int8 quantization replays `Math.round(x * (127/amax))` as
+  *   `floor(x * (127.0/amax) + 0.5)` with the SAME multiply-by-
+  *   reciprocal association; the two round implementations differ
+  *   only within 1 ulp of a half-integer (probability ~2^-45 per
+  *   element).
+  * - bucket/cell membership and margin ranking compare O(1)-scale
+  *   dot products whose FP error is ~1e-16 relative — a flip needs a
+  *   dot within 1 ulp of zero (or two margins within 1 ulp), never
+  *   observed and vanishingly unlikely; a mismatch surfaces as a
+  *   loud hash fail, not silent acceptance.
+  * - final scores round to 6 decimals on BOTH sides before ranking
+  *   (the [[Similarity]] `topKByCos` contract), the same absorption
+  *   every oracle-green cosine row already relies on.
+  *
+  * All SQL is fixture-independent text: the golden centroids carry a
+  * per-fixture fingerprint column and the query dispatches on the
+  * fingerprint computed FROM the data, so one string serves every SF
+  * (and an unknown fixture yields zero centroids → a loud row-count
+  * fail, never a silent pass). */
+private[graft] object AnnOracles {
+
+  private def dbl(d: Double): String = java.lang.Double.toString(d)
+
+  /** The fixture fingerprint — MUST stay the exact DuckDB mirror of
+    * [[GoldenAnnCents.fingerprint]]. */
+  private val FP =
+    "(SELECT COUNT(*) + SUM(CAST(floor(abs(CAST(embedding AS DOUBLE[])[1])" +
+      " * 1048576.0) AS BIGINT)) FROM embeddings)"
+
+  /** Shared prologue: full-precision corpus and the vec_id<8 query
+    * relation (the registered queries' exact query set). */
+  private val BASE =
+    """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 8)""".stripMargin
+
+  /** Per-vector SQ8 codes as a double list holding integer values —
+    * `QuantizeInt8` replayed (all-zero vectors code to zeros). */
+  private val CODES =
+    """codes AS (
+      |  SELECT vec_id,
+      |    CASE WHEN amax > 0
+      |      THEN list_transform(v, x -> floor(x * (127.0 / amax) + 0.5))
+      |      ELSE list_transform(v, x -> 0.0) END AS c
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) AS amax
+      |        FROM base))""".stripMargin
+
+  /** `QuantizedCosine` replay: integer dot / sqrt(norm product); a
+    * zero norm divides by zero, which DuckDB maps to NULL — the same
+    * NULL the Scala expression returns. */
+  private def qcosExpr(a: String, b: String): String =
+    s"list_dot_product($a, $b) / " +
+      s"sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+
+  /** The shared ranking tail: shortlist `perQuery` on the quantized
+    * score, exact-rerank with round-6 cosine, top `k` — `shortlistOf`
+    * + `rerankTopK` + `topKByCos` replayed. `cand` must provide
+    * (qid, vec_id, qcos). */
+  private def rerankTail(k: Int, perQuery: Int): String =
+    s"""sl AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY qcos DESC NULLS LAST, vec_id) AS qrn FROM cand)
+       |  WHERE qrn <= $perQuery),
+       |rr AS (SELECT s.qid, s.vec_id,
+       |    ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cos
+       |  FROM sl s JOIN base b ON b.vec_id = s.vec_id
+       |  JOIN q ON q.qid = s.qid)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC NULLS LAST, vec_id) AS rn FROM rr)
+       |WHERE rn <= $k""".stripMargin
+
+  /** embed_ann_sq8: quantized all-pairs scan → k·refine shortlist →
+    * exact rerank. No model constants at all — SQ8 is a pure function
+    * of each vector. */
+  def sq8Sql(k: Int = 10, refine: Int = 4): String =
+    s"""WITH $BASE,
+       |$CODES,
+       |cand AS (
+       |  SELECT qc.qid, c.vec_id, ${qcosExpr("c.c", "qc.c")} AS qcos
+       |  FROM codes c CROSS JOIN
+       |    (SELECT vec_id AS qid, c FROM codes WHERE vec_id < 8) qc
+       |  WHERE c.vec_id <> qc.qid),
+       |${rerankTail(k, k * refine)}""".stripMargin
+
+  /** The 8-table × 4-plane hyperplane bank of `lshTopK` as a VALUES
+    * relation (t, i, nrm, c) — pure-Scala deterministic constants;
+    * `nrm` is the plane's L2 norm computed with the same Scala
+    * arithmetic `LshKeys.norms` uses. Dim is 64 on every shipped
+    * fixture (the `deriveDim` the operator runs returns 64). */
+  private def planeValues(tables: Int, planes: Int, dim: Int): String =
+    (0 until tables).flatMap { t =>
+      val hp = Similarity.hyperplanes(planes, dim, Similarity.tableSeed(t))
+      hp.zipWithIndex.map { case (p, i) =>
+        val nrm = math.sqrt(p.map(x => x * x).sum)
+        s"($t, $i, ${dbl(nrm)}, [${p.map(dbl).mkString(",")}])"
+      }
+    }.mkString(",\n")
+
+  /** embed_ann_lsh: sign-pattern buckets over the literal plane bank,
+    * query-directed 2-flip multi-probe (smallest point-to-hyperplane
+    * margin, ties to the lower plane index — the `LshKeys` insertion
+    * order), bucket equi-join, round-6 cosine, top-k. */
+  def lshSql(k: Int = 10, planes: Int = 4, tables: Int = 8,
+      dim: Int = 64, multiProbe: Int = 2): String =
+    s"""WITH $BASE,
+       |pl(t, i, nrm, c) AS (VALUES
+       |${planeValues(tables, planes, dim)}),
+       |dots AS (SELECT b.vec_id, p.t, p.i, p.nrm,
+       |    list_dot_product(b.v, p.c) AS d
+       |  FROM base b CROSS JOIN pl p),
+       |ck AS (SELECT vec_id, t,
+       |    CAST(t AS BIGINT) * 72057594037927936 +
+       |      CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << i)
+       |               ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |qbase AS (SELECT vec_id AS qid, bucket FROM ck WHERE vec_id < 8),
+       |qflip AS (
+       |  SELECT d.vec_id AS qid,
+       |    xor(kk.bucket, CAST(1 AS BIGINT) << d.i) AS bucket
+       |  FROM (SELECT vec_id, t, i,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id, t
+       |            ORDER BY abs(d) / nrm ASC, i) AS rn
+       |        FROM dots WHERE vec_id < 8) d
+       |  JOIN ck kk ON kk.vec_id = d.vec_id AND kk.t = d.t
+       |  WHERE d.rn <= $multiProbe),
+       |probes AS (SELECT qid, bucket FROM qbase
+       |  UNION ALL SELECT qid, bucket FROM qflip),
+       |cand AS (SELECT DISTINCT p.qid, c.vec_id
+       |  FROM ck c JOIN probes p ON c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.qid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |    ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cos
+       |  FROM cand JOIN base b ON b.vec_id = cand.vec_id
+       |  JOIN q ON q.qid = cand.qid)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC NULLS LAST, vec_id) AS rn FROM scored)
+       |WHERE rn <= $k""".stripMargin
+
+  /** The frozen per-fixture coarse quantizers as a VALUES relation
+    * (fp, cell, c), plus the fingerprint dispatch — shared by the two
+    * IVF oracles. An unknown fixture matches zero centroids and the
+    * oracle returns zero rows (loud fail, never silent pass). */
+  private val CENTS: String = {
+    val rows = GoldenAnnCents.byFingerprint.toSeq.sortBy(_._1).flatMap {
+      case (fp, cents) => cents.zipWithIndex.map { case (c, i) =>
+        s"(CAST($fp AS BIGINT), $i, [${c.map(dbl).mkString(",")}])"
+      }
+    }.mkString(",\n")
+    s"""fpv AS (SELECT $FP AS fp),
+       |gc(gfp, cell, c) AS (VALUES
+       |$rows),
+       |cents AS (SELECT cell, c FROM gc, fpv WHERE gc.gfp = fpv.fp)""".stripMargin
+  }
+
+  /** (vec, cell) dot ranks — corpus argmax cell and query top-nprobe
+    * cells, the `IvfCells` tie rule (higher dot first, lower cell on
+    * ties). */
+  private def cellRanks(nprobe: Int): String =
+    s"""cd AS (SELECT b.vec_id, ct.cell, list_dot_product(b.v, ct.c) AS d
+       |  FROM base b CROSS JOIN cents ct),
+       |cc AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d DESC, cell) AS crn FROM cd)
+       |  WHERE crn = 1),
+       |qc AS (SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d DESC, cell) AS crn FROM cd WHERE vec_id < 8)
+       |  WHERE crn <= $nprobe)""".stripMargin
+
+  /** embed_ann_ivf: probed-cell candidate join + round-6 cosine +
+    * top-k over the frozen golden quantizer. */
+  def ivfSql(k: Int = 10, nprobe: Int = 16): String =
+    s"""WITH $BASE,
+       |$CENTS,
+       |${cellRanks(nprobe)},
+       |cand AS (SELECT DISTINCT qc.qid, cc.vec_id
+       |  FROM cc JOIN qc ON cc.cell = qc.cell
+       |  WHERE cc.vec_id <> qc.qid),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |    ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cos
+       |  FROM cand JOIN base b ON b.vec_id = cand.vec_id
+       |  JOIN q ON q.qid = cand.qid)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC NULLS LAST, vec_id) AS rn FROM scored)
+       |WHERE rn <= $k""".stripMargin
+
+  /** embed_ann_ivf_sq8: probed-cell int8 scan → k·refine shortlist →
+    * exact rerank — the full FAISS IVF-SQ composition re-derived. */
+  def ivfSq8Sql(k: Int = 10, nprobe: Int = 16, refine: Int = 4): String =
+    s"""WITH $BASE,
+       |$CENTS,
+       |${cellRanks(nprobe)},
+       |$CODES,
+       |cand AS (
+       |  SELECT qc.qid, cc.vec_id, ${qcosExpr("c1.c", "c2.c")} AS qcos
+       |  FROM cc JOIN qc ON cc.cell = qc.cell
+       |  JOIN codes c1 ON c1.vec_id = cc.vec_id
+       |  JOIN codes c2 ON c2.vec_id = qc.qid
+       |  WHERE cc.vec_id <> qc.qid),
+       |${rerankTail(k, k * refine)}""".stripMargin
+
+  // ------------------------------------------------------------------
+  // PQ family — frozen golden codebooks ([[GoldenAnnPq]], same
+  // fingerprint dispatch and drift alarm as the coarse quantizer)
+  // ------------------------------------------------------------------
+
+  /** `Pq.unit` replay: x · (1/√Σx²), the exact multiply-by-reciprocal
+    * association of the Scala kernel. */
+  private val UNIT =
+    """un AS (SELECT vec_id,
+      |    list_transform(v, x -> x * (1.0 / sqrt(list_dot_product(v, v)))) AS u
+      |  FROM base)""".stripMargin
+
+  /** A codebook family as a VALUES relation (gfp, j, c, cent) +
+    * fingerprint dispatch, one row per (fixture, subspace, codeword). */
+  private def bookValues(name: String,
+      byFp: Map[Long, Array[Array[Array[Double]]]]): String = {
+    val rows = byFp.toSeq.sortBy(_._1).flatMap { case (fp, books) =>
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cent, c) =>
+          s"(CAST($fp AS BIGINT), $j, $c, [${cent.map(dbl).mkString(",")}])"
+        }
+      }
+    }.mkString(",\n")
+    s"""${name}0(gfp, j, c, cent) AS (VALUES
+       |$rows),
+       |$name AS (SELECT j, c, cent FROM ${name}0, fpv
+       |  WHERE ${name}0.gfp = fpv.fp)""".stripMargin
+  }
+
+  /** ‖u_subspace(j) − cent‖² with the exact per-term sequence of
+    * `PqCodes.compute` (`uExpr` indexes a 1-based 64-dim unit vector;
+    * subspace j's slot t is j·8 + t). `shift` prepends an extra
+    * subtraction per slot — the residual path's `(u[.] − cc[.])`. */
+  private def d2Expr(uExpr: String, shift: Option[String], dsub: Int): String =
+    (1 to dsub).map { t =>
+      val slot = s"$uExpr[b.j*$dsub+$t]" +
+        shift.map(cc => s" - $cc[b.j*$dsub+$t]").getOrElse("")
+      s"(($slot) - b.cent[$t])*(($slot) - b.cent[$t])"
+    }.mkString(" + ")
+
+  /** ⟨u_subspace(j), cent⟩ — the ADC table entry of `PqAdcTable`. */
+  private def qdExpr(uExpr: String, dsub: Int): String =
+    (1 to dsub).map(t => s"$uExpr[b.j*$dsub+$t] * b.cent[$t]")
+      .mkString(" + ")
+
+  /** embed_ann_pq: flat PQ — per-subspace argmin codes over the frozen
+    * books, ADC scoring (Σ_j table lookups, summed in j order exactly
+    * like `PqAdcScore`), k·refine shortlist, exact rerank. */
+  def pqSql(k: Int = 10, refine: Int = 8, dsub: Int = 8): String =
+    s"""WITH $BASE,
+       |fpv AS (SELECT $FP AS fp),
+       |$UNIT,
+       |${bookValues("bks", GoldenAnnPq.flatByFingerprint)},
+       |pcodes AS (SELECT vec_id, j, c AS code FROM (
+       |    SELECT n.vec_id, b.j, b.c,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, b.j
+       |        ORDER BY ${d2Expr("n.u", None, dsub)} ASC, b.c) AS prn
+       |    FROM un n CROSS JOIN bks b)
+       |  WHERE prn = 1),
+       |qadc AS (SELECT n.vec_id AS qid, b.j, b.c,
+       |    ${qdExpr("n.u", dsub)} AS qd
+       |  FROM un n CROSS JOIN bks b WHERE n.vec_id < 8),
+       |cand AS (SELECT a.qid, cd.vec_id,
+       |    list_sum(list(a.qd ORDER BY a.j)) AS qcos
+       |  FROM pcodes cd JOIN qadc a ON a.j = cd.j AND a.c = cd.code
+       |  WHERE cd.vec_id <> a.qid
+       |  GROUP BY a.qid, cd.vec_id),
+       |${rerankTail(k, k * refine)}""".stripMargin
+
+  /** embed_ann_ivf_pq: coarse cell from the unit vector (the
+    * `PqResidualCodes` assignment), residual codes over the frozen
+    * residual books, probed-cell candidate join, score =
+    * ⟨unit(q), c_cell⟩ + ADC(residual), shortlist, exact rerank. */
+  def ivfPqSql(k: Int = 10, nprobe: Int = 16, refine: Int = 8,
+      dsub: Int = 8): String =
+    s"""WITH $BASE,
+       |$CENTS,
+       |$UNIT,
+       |${bookValues("rbks", GoldenAnnPq.residByFingerprint)
+          .replace("b.j", "b.j").replace("bks", "rbks")},
+       |ucd AS (SELECT n.vec_id, ct.cell, list_dot_product(n.u, ct.c) AS d
+       |  FROM un n CROSS JOIN cents ct),
+       |ucell AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d DESC, cell) AS crn FROM ucd)
+       |  WHERE crn = 1),
+       |${cellRanks(nprobe).split("\n").dropWhile(!_.startsWith("cd AS"))
+          .mkString("\n")
+          .replaceFirst("(?s)^cd AS.*?cc AS", "qcd AS (SELECT b.vec_id, ct.cell, list_dot_product(b.v, ct.c) AS d\n  FROM base b CROSS JOIN cents ct WHERE b.vec_id < 8),\ncc AS")}
+       |rcd AS (SELECT n.vec_id, b.j, b.c,
+       |    ${d2Expr("n.u", Some("cx.c"), dsub)} AS d2
+       |  FROM un n JOIN ucell x ON x.vec_id = n.vec_id
+       |  JOIN cents cx ON cx.cell = x.cell
+       |  CROSS JOIN rbks b),
+       |rcodes AS (SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |        ORDER BY d2 ASC, c) AS prn FROM rcd)
+       |  WHERE prn = 1),
+       |qadcr AS (SELECT n.vec_id AS qid, b.j, b.c,
+       |    ${qdExpr("n.u", dsub)} AS qd
+       |  FROM un n CROSS JOIN rbks b WHERE n.vec_id < 8),
+       |adc AS (SELECT a.qid, rc.vec_id,
+       |    list_sum(list(a.qd ORDER BY a.j)) AS s
+       |  FROM rcodes rc JOIN qadcr a ON a.j = rc.j AND a.c = rc.code
+       |  GROUP BY a.qid, rc.vec_id),
+       |pr AS (SELECT qp.qid, qp.cell, list_dot_product(nq.u, ct.c) AS qcdot
+       |  FROM qprobe qp JOIN cents ct ON ct.cell = qp.cell
+       |  JOIN un nq ON nq.vec_id = qp.qid),
+       |cand AS (SELECT p.qid, x.vec_id, p.qcdot + a.s AS qcos
+       |  FROM pr p JOIN ucell x ON x.cell = p.cell
+       |  JOIN adc a ON a.qid = p.qid AND a.vec_id = x.vec_id
+       |  WHERE x.vec_id <> p.qid),
+       |${rerankTail(k, k * refine)}""".stripMargin
+}

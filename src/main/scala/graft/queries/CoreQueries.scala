@@ -91,7 +91,10 @@ object CoreQueries {
     QueryDef("io_roundtrip",
       (s, dir) => {
         val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"/root/repo/target/io_roundtrip/$sfTag"
+        // relative to the checkout + per-process: portable across
+        // working copies, and concurrent sessions cannot race on it
+        val path = new java.io.File("target/io_roundtrip",
+          sfTag + "_" + ProcessHandle.current().pid()).getAbsolutePath
         SparseIO.write(grouped(s, dir), path, rangePartitions = 8)
         SparseIO.read(s, path).df
       },
@@ -106,9 +109,12 @@ object CoreQueries {
     QueryDef("io_npz_roundtrip",
       (s, dir) => {
         val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val dirPath = new java.io.File(s"/root/repo/target/io_npz/$sfTag")
+        // relative to the checkout + per-process (r16 ADVICE): no
+        // absolute-path tie, no frame.npz race between sessions
+        val dirPath = new java.io.File("target/io_npz",
+          sfTag + "_" + ProcessHandle.current().pid())
         dirPath.mkdirs()
-        val path = s"$dirPath/frame.npz"
+        val path = new java.io.File(dirPath, "frame.npz").getAbsolutePath
         graft.sources.Npz.writeNpz(grouped(s, dir), path)
         graft.sources.Npz.readNpz(s, path, indexCol = "user_id").df
       },
@@ -319,6 +325,17 @@ object CoreQueries {
               |SELECT * FROM a UNION ALL
               |SELECT b.* FROM b
               |JOIN (SELECT DISTINCT user_id FROM a) k USING (user_id)""".stripMargin)),
+
+    // completes the reference's how matrix (sparse_frame.py:243-245:
+    // outer/inner/left/right all legal) on the driver's hard gate —
+    // right is left mirrored: all of b, plus a restricted to b's keys
+    QueryDef("join_axis1_right",
+      (s, dir) => half(s, dir, even = true, "a_")
+        .joinAxis1(half(s, dir, even = false, "b_"), AlignHow.Right).df,
+      Some(s"""WITH a AS (${halfSql(0, "a_")}), b AS (${halfSql(1, "b_")})
+              |SELECT * FROM b UNION ALL
+              |SELECT a.* FROM a
+              |JOIN (SELECT DISTINCT user_id FROM b) k USING (user_id)""".stripMargin)),
 
     QueryDef("vstack_union",
       (s, dir) => half(s, dir, even = true)

@@ -788,7 +788,10 @@ object PipelineQueries {
             Similarity.asDouble(col("embedding")).as("qv"))
         Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 10)
       },
-      None), // bucket membership depends on hash planes — recall ScalaTest
+      // r17: full oracle — the hyperplane bank is pure-Scala
+      // deterministic, so DuckDB re-derives buckets, multi-probe
+      // flips, the candidate join and the rerank (AnnOracles)
+      Some(AnnOracles.lshSql())),
 
     QueryDef("embed_ann_sq8",
       (s, dir) => {
@@ -804,7 +807,10 @@ object PipelineQueries {
             Similarity.asDouble(col("embedding")).as("qv"))
         Similarity.sq8TopK(emb, "vec_id", "embedding", queries, k = 10)
       },
-      None),
+      // r17: full oracle — SQ8 is a pure per-vector function, so
+      // DuckDB replays quantize → integer-exact quantized cosine →
+      // shortlist → exact rerank with no model constants at all
+      Some(AnnOracles.sq8Sql())),
 
     QueryDef("embed_ann_ivf_sq8",
       (s, dir) => {
@@ -826,7 +832,11 @@ object PipelineQueries {
         Similarity.ivfSq8TopK(emb, "vec_id", "embedding", queries, k = 10,
           centroids = stagedIvfCents(s, dir))
       },
-      None),
+      // r17: full oracle — the frozen golden quantizer
+      // (GoldenAnnCents, fingerprint-dispatched; AnnGoldenSpec is the
+      // drift alarm) lets DuckDB re-derive cells, the int8 scan and
+      // the rerank independently
+      Some(AnnOracles.ivfSq8Sql())),
 
     QueryDef("embed_ann_pq",
       (s, dir) => {
@@ -979,7 +989,9 @@ object PipelineQueries {
         Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 10,
           centroids = stagedIvfCents(s, dir))
       },
-      None),
+      // r17: full oracle over the frozen golden quantizer — see
+      // embed_ann_ivf_sq8
+      Some(AnnOracles.ivfSql())),
 
     // ---------------- text analysis ----------------
 

@@ -16,8 +16,14 @@ import graft.core.{ColUniverse, SparseRel}
   * members `data`/`indices`/`indptr`/`shape` plus `frame_index`/
   * `frame_columns`; `read_npz` reverses it. This writes byte-level
   * `.npy` v1.0 members in a ZIP so `numpy.load`/`scipy.sparse` read it
-  * unmodified, and reads the same layout back (including archives
-  * produced by the reference itself, modulo dtypes listed below).
+  * unmodified, and reads the same layout back — for `<U`/`<i`/`<f`
+  * dtype members only. Archives the reference wrote from a pandas
+  * STRING index/columns are generally NOT readable: `Index.values`
+  * of strings is dtype=object, which `np.savez` pickles (`|O`
+  * members); this reader detects `|O` and fails with a targeted
+  * error rather than decoding the pickle stream. Reference archives
+  * with numeric indexes, or archives written by [[writeNpz]] (which
+  * stores strings as numpy-native `<U#`), round-trip byte-exactly.
   *
   * DRIVER-SIDE by design, like the reference's own implementation
   * (`sf.index.values` is already in memory there): this is the
@@ -122,6 +128,14 @@ object Npz {
   private def stringsOf(m: Npy): Array[String] = {
     val width = m.descr match {
       case d if d.startsWith("<U") => d.drop(2).toInt
+      case d if d.contains("O") =>
+        // np.savez pickles object arrays — what pandas string
+        // indexes/columns become (Index.values of str is dtype=object).
+        sys.error("npz member has pickled object dtype ('" + d + "'): " +
+          "pandas string index/columns archives store Python pickles, " +
+          "which this reader does not decode. Re-export with a numeric " +
+          "index, or save columns as numpy unicode " +
+          "(np.asarray(cols, dtype='U')) before savez.")
       case d => sys.error(s"expected unicode member, got dtype $d")
     }
     val buf = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
@@ -255,20 +269,30 @@ object Npz {
     * (reference `dask/io.py:51-112`): one [[SparseRel]] over a set of
     * npz partitions, unioned in lexicographic path order. All
     * archives must share one `frame_columns` universe (the dask meta
-    * contract). With `sorted = true` the reference derives divisions
-    * and asserts each file's index is monotonic and the per-file
-    * ranges strictly ascend across files — the same validation runs
-    * here (same failure: "Divisions are not sorted"), though Spark
-    * needs no divisions to plan (range pruning comes from parquet at
-    * scale; this reader is the migration shim like [[readNpz]]). */
+    * contract). With `sorted = true`, per-file (min, max) index ranges
+    * must strictly ascend across files in path order (same failure
+    * message: "Divisions are not sorted"). This is deliberately
+    * STRICTER than the reference's `_npz_read_divisions`
+    * (dask/io.py:96-112), which compares consecutive file STARTS only
+    * and so tolerates overlapping ranges; disjoint ranges are the
+    * sound contract. The reference's per-file monotonicity assert has
+    * no analog here — DataFrame rows are unordered, and min/max
+    * aggregates cannot observe element order. Spark needs no divisions
+    * to plan (range pruning comes from parquet at scale; this reader
+    * is the migration shim like [[readNpz]]).
+    *
+    * The glob wildcard may only appear in the FINAL path segment
+    * (`dir/part-*.npz`); a wildcard in a directory component is
+    * rejected. A bare pattern with no directory resolves against the
+    * working directory. */
   def readNpzGlob(spark: SparkSession, pattern: String,
       indexCol: String = "idx", sorted: Boolean = false): SparseRel = {
     import scala.jdk.CollectionConverters._
-    val (dir, glob) = {
-      val p = java.nio.file.Paths.get(pattern)
-      if (pattern.contains("*")) (p.getParent, p.getFileName.toString)
-      else (p.getParent, p.getFileName.toString)
-    }
+    val p = java.nio.file.Paths.get(pattern)
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    require(!dir.toString.contains("*"),
+      s"glob wildcard may only appear in the final path segment: $pattern")
+    val glob = p.getFileName.toString
     val matcher = java.nio.file.FileSystems.getDefault
       .getPathMatcher(s"glob:$glob")
     val paths = java.nio.file.Files.list(dir).iterator().asScala
@@ -283,10 +307,10 @@ object Npz {
           "npz partitions must share one universe")
     }
     if (sorted && paths.size > 1) {
-      // per-file (first, last) index labels in ONE bounded pass each —
-      // the reference's _npz_read_divisions, including its monotonic
-      // per-file requirement (min/max ≡ first/last only when sorted;
-      // asserted via the same aggregates)
+      // per-file (min, max) index labels in ONE bounded pass each —
+      // a stricter disjoint-range version of the reference's
+      // _npz_read_divisions (which only compares consecutive starts);
+      // see the method doc for the divergence
       val divisions = rels.zip(paths).map { case (r, p) =>
         val row = r.df.agg(
           org.apache.spark.sql.functions.min(col(indexCol)).as("lo"),

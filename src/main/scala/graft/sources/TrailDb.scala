@@ -274,23 +274,51 @@ object TrailDb {
     require(fi >= 0,
       s"field $fieldName not in ${db.fields.mkString(",")}")
     // global row index = events of trails 0..t-1 + the decoder's own
-    // per-trail event_idx: per-trail counts come from one distributed
-    // pass, then a bounded (numTrails-sized) driver cumsum builds the
-    // offset table — no global zipWithIndex/window over all events.
-    // The event relation is checkpointed: the counts pass and the
-    // returned frame would otherwise each re-run the full decode.
+    // per-trail event_idx. The offsets are a DISTRIBUTED relation, not
+    // a driver array (a 100 TB event log has 1e8-1e9 trails): per-trail
+    // counts from one grouped pass, then the classic two-pass prefix
+    // sum — range-partition the counts by trail_id, cumsum only the
+    // P per-partition totals on the driver, and emit each trail's
+    // running offset within its partition. The driver never holds more
+    // than P longs; the join back to the events applies the offset as
+    // plain Column arithmetic (Catalyst broadcasts the offsets side
+    // when it is small, shuffles on trail_id when it is not — both
+    // correct at their scale). The event relation is checkpointed: the
+    // counts pass and the returned frame would otherwise each re-run
+    // the full decode.
     val ev = eventsOf(spark, db)
       .select(col("trail_id"), col("event_idx"), col("uuid"),
         col("timestamp"), col(fieldName).as("col"))
       .localCheckpoint()
     val counts = ev.groupBy(col("trail_id")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val offsets = (0L until db.numTrails).scanLeft(0L) {
-      (acc, t) => acc + counts.getOrElse(t, 0L)
-    }.toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    val offUdf = udf((t: Long) => bc.value(t.toInt))
-    ev.withColumn("row_idx", offUdf(col("trail_id")) + col("event_idx"))
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      math.max(1L, db.numTrails / 4096L).toInt))
+    val ranged = counts.repartitionByRange(nParts, col("trail_id"))
+      .sortWithinPartitions(col("trail_id"))
+      .select(col("trail_id"), col("count"))
+      .persist()
+    val partTotals = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(_.getLong(1)).sum)
+      }.collect().toMap
+    val base = new Array[Long](nParts + 1)
+    (0 until nParts).foreach(p =>
+      base(p + 1) = base(p) + partTotals.getOrElse(p, 0L))
+    val baseBc = spark.sparkContext.broadcast(base)
+    val offsetRows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = baseBc.value(pid)
+      it.map { r => val o = acc; acc += r.getLong(1); Row(r.getLong(0), o) }
+    }
+    // checkpoint the offsets so `ranged` can release its cache now —
+    // the returned frame is lazy and must not recompute the prefix scan
+    val offsets = spark.createDataFrame(offsetRows, StructType(Seq(
+      StructField("trail_id", LongType, nullable = false),
+      StructField("__trail_off", LongType, nullable = false))))
+      .localCheckpoint()
+    ranged.unpersist()
+    ev.join(offsets, Seq("trail_id"))
+      .withColumn("row_idx", col("__trail_off") + col("event_idx"))
       .select(col("row_idx"), col("uuid"), col("timestamp"), col("col"),
         lit(1.0).as("value"))
   }

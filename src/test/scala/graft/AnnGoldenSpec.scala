@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import graft.queries.{GoldenAnnCents, Tables}
+
+/** Drift alarm for the frozen golden IVF quantizers backing the
+  * embed_ann_ivf / embed_ann_ivf_sq8 DuckDB oracles
+  * ([[graft.queries.GoldenAnnCents]]): retrain from each shipped
+  * fixture with the exact `stagedIvfCents` parameters and compare
+  * bit-for-bit. A failure means the trainer arithmetic or the fixture
+  * changed — regenerate via `Test/runMain graft.AnnGoldenScratch`
+  * ONLY after confirming the change is intentional (a silent refresh
+  * would turn the oracle gate vacuous). Also pins the fingerprint
+  * dispatch: every fixture must hit a DISTINCT frozen entry, because
+  * the oracle selects centroids by fingerprint computed from the
+  * data. */
+class AnnGoldenSpec extends SparkSpecBase {
+
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  test("every fixture's fingerprint hits a distinct frozen quantizer") {
+    val fps = sfDirs.map(dir =>
+      GoldenAnnCents.fingerprint(Tables.embeddings(spark, dir)))
+    assert(fps.distinct.size === sfDirs.size,
+      s"fingerprint collision across fixtures: $fps")
+    fps.foreach(fp => assert(GoldenAnnCents.byFingerprint.contains(fp),
+      s"fingerprint $fp missing from the freeze — fixture changed? " +
+        "Regenerate via Test/runMain graft.AnnGoldenScratch"))
+  }
+
+  test("retrained coarse quantizers match the freeze bit-for-bit") {
+    sfDirs.foreach { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val fp = GoldenAnnCents.fingerprint(emb)
+      val frozen = GoldenAnnCents.byFingerprint(fp)
+      val got = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nlist = 32)
+      assert(got.length === frozen.length, s"nlist drift at $dir")
+      got.zip(frozen).zipWithIndex.foreach { case ((g, f), i) =>
+        assert(java.util.Arrays.equals(g, f),
+          s"centroid $i drifted at $dir — trainer or fixture change? " +
+            "Regenerate via Test/runMain graft.AnnGoldenScratch " +
+            "only if intentional")
+      }
+    }
+  }
+}
