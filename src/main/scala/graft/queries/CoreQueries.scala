@@ -26,6 +26,27 @@ object CoreQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** Roundtrip scratch dirs are per-process (race-free) but must not
+    * accumulate across bench/verify runs (r17 ADVICE): register ONE
+    * shutdown hook per distinct path that deletes the tree at JVM
+    * exit — the read-back DataFrame is lazy, so an inline delete
+    * would race the scan. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteOnExit(f: java.io.File): java.io.File = {
+    if (cleanupRegistered.add(f.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          val kids = x.listFiles()
+          if (kids != null) kids.foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }))
+    }
+    f
+  }
+
   /** The canonical COO frame: events one-hot by event_type, keyed by
     * user_id (reference flagship construction, SURVEY §7.1). */
   private def cooUser(s: SparkSession, dir: String): SparseRel =
@@ -93,8 +114,8 @@ object CoreQueries {
         val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         // relative to the checkout + per-process: portable across
         // working copies, and concurrent sessions cannot race on it
-        val path = new java.io.File("target/io_roundtrip",
-          sfTag + "_" + ProcessHandle.current().pid()).getAbsolutePath
+        val path = deleteOnExit(new java.io.File("target/io_roundtrip",
+          sfTag + "_" + ProcessHandle.current().pid())).getAbsolutePath
         SparseIO.write(grouped(s, dir), path, rangePartitions = 8)
         SparseIO.read(s, path).df
       },
@@ -111,8 +132,8 @@ object CoreQueries {
         val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         // relative to the checkout + per-process (r16 ADVICE): no
         // absolute-path tie, no frame.npz race between sessions
-        val dirPath = new java.io.File("target/io_npz",
-          sfTag + "_" + ProcessHandle.current().pid())
+        val dirPath = deleteOnExit(new java.io.File("target/io_npz",
+          sfTag + "_" + ProcessHandle.current().pid()))
         dirPath.mkdirs()
         val path = new java.io.File(dirPath, "frame.npz").getAbsolutePath
         graft.sources.Npz.writeNpz(grouped(s, dir), path)

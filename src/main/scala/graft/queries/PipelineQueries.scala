@@ -844,16 +844,17 @@ object PipelineQueries {
         // memory shape: the scan streams m=8 BYTES per vector (4×
         // less than SQ8, 32× less than float64 at d=32); each query
         // carries a precomputed m·ksub lookup table so scoring is m
-        // array reads per pair. Codebook-dependent rows → no SQL
-        // oracle; recall floored by embed_ann_recall (observed
-        // 0.93–1.0 across SFs at refine=8).
+        // array reads per pair. r18: full oracle — the frozen golden
+        // codebooks (GoldenAnnPq, fingerprint-dispatched; AnnGoldenSpec
+        // retrains them per fixture) let DuckDB re-derive the codes,
+        // the ADC scan and the rerank independently.
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"),
             Similarity.asDouble(col("embedding")).as("qv"))
         Similarity.pqTopK(emb, "vec_id", "embedding", queries, k = 10)
       },
-      None),
+      Some(AnnOracles.pqSql())),
 
     QueryDef("embed_ann_ivf_pq",
       (s, dir) => {
@@ -862,10 +863,12 @@ object PipelineQueries {
         // billion-vector shape: the scan is nprobe/nlist-pruned AND
         // m=8 bytes per vector; scoring is ⟨unit(q), c_cell⟩ (one
         // scalar per probed cell, broadcast side) + m ADC table
-        // lookups on the shared residual codebooks. Centroid- and
-        // codebook-dependent rows → no SQL oracle; recall is floored
-        // driver-visibly by embed_ann_recall (measured 0.875-0.900
-        // across sf0.001-0.1 at nprobe=16 of 32, refine=8).
+        // lookups on the shared residual codebooks. r18: full oracle —
+        // frozen golden centroids + residual codebooks (GoldenAnnCents
+        // / GoldenAnnPq, fingerprint-dispatched, AnnGoldenSpec-pinned)
+        // let DuckDB re-derive cells, residual codes, the ADC scan and
+        // the rerank independently. Recall additionally floored by
+        // embed_ann_recall (0.875-0.900 at nprobe=16/32, refine=8).
         // Coarse quantizer + residual codebooks STAGED per
         // (session, dir) — stagedIvfCents/stagedIvfPqBooks (r16).
         val emb = Tables.embeddings(s, dir)
@@ -876,7 +879,7 @@ object PipelineQueries {
           centroids = stagedIvfCents(s, dir),
           codebooks = stagedIvfPqBooks(s, dir))
       },
-      None),
+      Some(AnnOracles.ivfPqSql())),
 
     QueryDef("embed_nearest_dup",
       (s, dir) => {

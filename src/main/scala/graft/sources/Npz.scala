@@ -16,14 +16,15 @@ import graft.core.{ColUniverse, SparseRel}
   * members `data`/`indices`/`indptr`/`shape` plus `frame_index`/
   * `frame_columns`; `read_npz` reverses it. This writes byte-level
   * `.npy` v1.0 members in a ZIP so `numpy.load`/`scipy.sparse` read it
-  * unmodified, and reads the same layout back — for `<U`/`<i`/`<f`
-  * dtype members only. Archives the reference wrote from a pandas
-  * STRING index/columns are generally NOT readable: `Index.values`
-  * of strings is dtype=object, which `np.savez` pickles (`|O`
-  * members); this reader detects `|O` and fails with a targeted
-  * error rather than decoding the pickle stream. Reference archives
-  * with numeric indexes, or archives written by [[writeNpz]] (which
-  * stores strings as numpy-native `<U#`), round-trip byte-exactly.
+  * unmodified, and reads the same layout back — `<U`/`<i`/`<f` dtype
+  * members plus the `|O` members the reference actually writes for a
+  * pandas STRING index/columns (`Index.values` of strings is
+  * dtype=object, which `np.savez` pickles): [[NpyPickle]] decodes
+  * that one pickle shape (a flat str/bytes object ndarray) without
+  * executing anything, closing the reference's primary persistence
+  * format for its primary use case (one-hot category columns,
+  * sparse_frame.py:567-579). Archives written by [[writeNpz]] store
+  * strings as numpy-native `<U#` and round-trip byte-exactly.
   *
   * DRIVER-SIDE by design, like the reference's own implementation
   * (`sf.index.values` is already in memory there): this is the
@@ -126,16 +127,14 @@ object Npz {
   }
 
   private def stringsOf(m: Npy): Array[String] = {
+    // np.savez pickles object arrays — what pandas string
+    // indexes/columns become (Index.values of str is dtype=object,
+    // reference io.py:28-30) — so `|O` members ARE the common
+    // reference-written shape. [[NpyPickle]] decodes that one pickle
+    // graph (flat str/bytes ndarray); anything else fails loudly.
+    if (m.descr.contains("O")) return NpyPickle.stringArray(m.payload, m.n)
     val width = m.descr match {
       case d if d.startsWith("<U") => d.drop(2).toInt
-      case d if d.contains("O") =>
-        // np.savez pickles object arrays — what pandas string
-        // indexes/columns become (Index.values of str is dtype=object).
-        sys.error("npz member has pickled object dtype ('" + d + "'): " +
-          "pandas string index/columns archives store Python pickles, " +
-          "which this reader does not decode. Re-export with a numeric " +
-          "index, or save columns as numpy unicode " +
-          "(np.asarray(cols, dtype='U')) before savez.")
       case d => sys.error(s"expected unicode member, got dtype $d")
     }
     val buf = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
@@ -237,7 +236,8 @@ object Npz {
     require(shape.length == 2 && shape(1) == cols.length,
       s"shape ${shape.mkString("x")} disagrees with ${cols.length} columns")
     val idxMember = get("frame_index")
-    val numericIdx = !idxMember.descr.startsWith("<U")
+    val numericIdx = !idxMember.descr.startsWith("<U") &&
+      !idxMember.descr.contains("O")
     val rowLabelsL: Array[Long] =
       if (numericIdx) longsOf(idxMember) else Array.empty
     val rowLabelsS: Array[String] =

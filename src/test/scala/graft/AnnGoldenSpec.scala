@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import graft.queries.{GoldenAnnCents, Tables}
+import graft.queries.{GoldenAnnCents, GoldenAnnPq, Tables}
 
 /** Drift alarm for the frozen golden IVF quantizers backing the
   * embed_ann_ivf / embed_ann_ivf_sq8 DuckDB oracles
@@ -43,6 +43,35 @@ class AnnGoldenSpec extends SparkSpecBase {
             "Regenerate via Test/runMain graft.AnnGoldenScratch " +
             "only if intentional")
       }
+    }
+  }
+
+  private def assertBooksEqual(got: Array[Array[Array[Double]]],
+      frozen: Array[Array[Array[Double]]], what: String, dir: String): Unit = {
+    assert(got.length === frozen.length, s"$what m drift at $dir")
+    got.zip(frozen).zipWithIndex.foreach { case ((gb, fb), j) =>
+      assert(gb.length === fb.length, s"$what book $j ksub drift at $dir")
+      gb.zip(fb).zipWithIndex.foreach { case ((g, f), c) =>
+        assert(java.util.Arrays.equals(g, f),
+          s"$what codeword ($j,$c) drifted at $dir — trainer or fixture " +
+            "change? Regenerate via Test/runMain graft.AnnGoldenScratch " +
+            "only if intentional")
+      }
+    }
+  }
+
+  test("retrained PQ codebooks (flat + IVF-residual) match the freeze " +
+      "bit-for-bit") {
+    sfDirs.foreach { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val fp = GoldenAnnCents.fingerprint(emb)
+      assertBooksEqual(
+        Similarity.trainPqCodebooks(emb, "vec_id", "embedding"),
+        GoldenAnnPq.flatByFingerprint(fp), "flat-PQ", dir)
+      assertBooksEqual(
+        Similarity.trainIvfPqCodebooks(emb, "vec_id", "embedding",
+          GoldenAnnCents.byFingerprint(fp)),
+        GoldenAnnPq.residByFingerprint(fp), "residual-PQ", dir)
     }
   }
 }

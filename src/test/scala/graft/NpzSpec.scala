@@ -123,6 +123,26 @@ class NpzSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("share one universe"))
   }
 
+  test("reference-written archives with PICKLED string index/columns " +
+      "decode (|O members, pickle protocols 2/3/4)") {
+    // golden fixtures generated by numpy 1.26 (`np.savez` of
+    // dtype=object index/columns — the reference's io.py:28-30 path
+    // for pandas string indexes), one per pickle protocol numpy has
+    // shipped as default. CSR: alice->(cat_a 1.5, cat_ü 2.0),
+    // bob->(cat_b -3.25), carol->(cat_ü 4.0).
+    Seq(2, 3, 4).foreach { proto =>
+      val out = Npz.readNpz(spark,
+        s"src/test/resources/npz/str_obj_p$proto.npz", indexCol = "rid")
+      assert(out.columnUniverse === Seq("cat_a", "cat_b", "cat_ü"),
+        s"protocol $proto")
+      val got = out.df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === Set(("alice", "cat_a", 1.5), ("alice", "cat_ü", 2.0),
+        ("bob", "cat_b", -3.25), ("carol", "cat_ü", 4.0)),
+        s"protocol $proto")
+    }
+  }
+
   test("guards: multi-index export rejected; missing member rejected") {
     val multi = SparseRel(Seq((1L, 2L, "a", 1.0)).toDF("i", "j", "col", "value"),
       Seq("i", "j"), ColUniverse.Explicit(Seq("a")))
