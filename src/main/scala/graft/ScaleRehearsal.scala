@@ -514,9 +514,23 @@ object ScaleRehearsal {
         val media = Multimodal.syntheticPatternMedia(docs.select(col("doc_id")))
         val hashes = Multimodal.perceptualHash(spark, media).localCheckpoint()
         val distinctH = hashes.select(col("phash")).distinct().count()
-        val n = forceCount(Multimodal.phashNearDup(hashes, maxHamming = 3))
+        // deliberate quadratic measurement: maxPairsPerDoc = 0 opts
+        // out of the dup-density guard this stage exists to motivate;
+        // the guard-fires assertion below pins the default behavior
+        val n = forceCount(Multimodal.phashNearDup(hashes, maxHamming = 3,
+          maxPairsPerDoc = 0))
         println(s"[rehearsal] phash: images=${hashes.count()} " +
           s"distinct_hashes=$distinctH pairs(d<=3)=$n")
+        if (n > 16L * hashes.count()) {
+          val e = try {
+            Multimodal.phashNearDup(hashes, maxHamming = 3); null
+          } catch { case ex: IllegalArgumentException => ex }
+          require(e != null && e.getMessage.contains("dup-dense"),
+            "dup-density guard did NOT fire on a corpus with " +
+              s"$n pairs — the mechanical trap protection is broken")
+          println("[rehearsal] phash: default guard fires on this " +
+            "dup-dense corpus (as designed): " + e.getMessage.take(120))
+        }
         n
       }
       timed(s"phash CLUSTER path (${reps}x images, no pair materialization)") {
@@ -561,7 +575,8 @@ object ScaleRehearsal {
         val audio = Multimodal.syntheticModulatedAudio(docs.select(col("doc_id")))
         val hashes = Multimodal.audioEnvelopeHash(spark, audio).localCheckpoint()
         val distinctH = hashes.select(col("phash")).distinct().count()
-        val n = forceCount(Multimodal.phashNearDup(hashes, maxHamming = 3))
+        val n = forceCount(Multimodal.phashNearDup(hashes, maxHamming = 3,
+          maxPairsPerDoc = 0))
         println(s"[rehearsal] phash audio: wavs=${hashes.count()} " +
           s"distinct_hashes=$distinctH pairs(d<=3)=$n")
         n

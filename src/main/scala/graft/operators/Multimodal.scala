@@ -791,13 +791,19 @@ object Multimodal {
     * bounded buckets instead of an all-pairs product — the SimHash
     * discipline ([[Dedup]]'s text analog) applied to images.
     * Candidates are verified with the true popcount distance. */
-  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3,
+      maxPairsPerDoc: Double = 16.0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming not in [0,3] — 4 chunks only guarantee " +
         "completeness up to distance 3")
-    Dedup.hammingCandidates(
-        hashes.select(col("media_id").as("doc"), col("phash").as("hash")),
-        chunks = 4)
+    // checkpoint the N (id, long) hash relation: the dup-density
+    // guard and both band-join legs then read one materialization —
+    // without it each leg re-runs the upstream image decode+hash
+    val h = hashes.select(col("media_id").as("doc"), col("phash").as("hash"))
+      .localCheckpoint()
+    Dedup.requireDupSparse(h, maxPairsPerDoc,
+      "Multimodal.phashDedup — clusters without materializing pairs")
+    Dedup.hammingCandidates(h, chunks = 4)
       .withColumn("hamming",
         expr("bit_count(hash_a ^ hash_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -96,6 +96,30 @@ class PhashSpec extends SparkSpecBase {
     }
   }
 
+  test("dup-density guard: raw pair path fails loudly on a dup-dense " +
+      "corpus, cluster path and opt-out still work") {
+    import spark.implicits._
+    // 1000 copies of one hash + a handful of distinct rows: identical
+    // hashes alone imply ~500k pairs over ~1k rows — the output-
+    // quadratic trap the guard exists for (r16 ask #6)
+    val dense = ((0L until 1000L).map(i => (i, 0L)) ++
+      Seq((2000L, -1L), (2001L, 0x0F0F0F0F0F0F0F0FL)))
+      .toDF("media_id", "phash")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.phashNearDup(dense, maxHamming = 3))
+    assert(e.getMessage.contains("dup-dense") &&
+      e.getMessage.contains("phashDedup"))
+    // explicit opt-out materializes anyway
+    assert(Multimodal.phashNearDup(dense, maxHamming = 3,
+      maxPairsPerDoc = 0).count() === 1000L * 999 / 2)
+    // the cluster path handles the same corpus without pairs
+    val cl = Multimodal.phashDedup(dense, maxHamming = 3)
+    assert(cl.filter(col("is_survivor")).count() === 3)
+    // sparse corpora pass the default guard untouched
+    assert(Multimodal.phashNearDup(
+      Multimodal.perceptualHash(spark, base)).count() >= 0)
+  }
+
   test("guards: maxHamming beyond pigeonhole bound rejected; non-images skipped") {
     intercept[IllegalArgumentException] {
       Multimodal.phashNearDup(base.limit(1)
