@@ -348,4 +348,142 @@ private[graft] object AnnOracles {
        |  JOIN adc a ON a.qid = p.qid AND a.vec_id = x.vec_id
        |  WHERE x.vec_id <> p.qid),
        |${rerankTail(k, k * refine)}""".stripMargin
+
+  // ------------------------------------------------------------------
+  // r18 oracles: cluster-balanced IVF sampling, quality classifier,
+  // whole-corpus LSH nearest-dup — same golden-literal discipline
+  // ------------------------------------------------------------------
+
+  /** sample_cluster_balanced_ivf: cells from the frozen nlist=8 golden
+    * quantizer ([[GoldenModels.cents8ByFingerprint]], retrain-pinned by
+    * AnnGoldenSpec), then the DEFINED per-cell semantics — cell_size =
+    * members, n_kept = min(cell_size, k): DuckDB re-derives both from
+    * the raw embeddings, independently checking the operator's cap. */
+  def clusterBalancedIvfSql(k: Int = 25): String = {
+    val rows = GoldenModels.cents8ByFingerprint.toSeq.sortBy(_._1).flatMap {
+      case (fp, cents) => cents.zipWithIndex.map { case (c, i) =>
+        s"(CAST($fp AS BIGINT), $i, [${c.map(dbl).mkString(",")}])"
+      }
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |fpv AS (SELECT $FP AS fp),
+       |g8(gfp, cell, c) AS (VALUES
+       |$rows),
+       |cents AS (SELECT cell, c FROM g8, fpv WHERE g8.gfp = fpv.fp),
+       |cd AS (SELECT b.vec_id, ct.cell, list_dot_product(b.v, ct.c) AS d
+       |  FROM base b CROSS JOIN cents ct),
+       |cc AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d DESC, cell) AS crn FROM cd)
+       |  WHERE crn = 1)
+       |SELECT CAST(cell AS BIGINT) AS cluster,
+       |  COUNT(*) AS cell_size,
+       |  LEAST(COUNT(*), $k) AS n_kept,
+       |  TRUE AS cap_ok
+       |FROM cc GROUP BY cell""".stripMargin
+  }
+
+  /** quality_classifier: the frozen logistic weights
+    * ([[GoldenModels.qualityByFingerprint]], retrain-pinned) applied to
+    * features DuckDB recomputes from the text — the exact
+    * `QualityModel.featureColumns` vocabulary (token diversity,
+    * stopword ratio, their product, log1p chars) with the linear term
+    * associated exactly like `linearColumn`'s foldLeft. Stopwords are
+    * counted as list tokens (spec-pinned equal to the regexp count the
+    * Spark side uses for codegen). Dispatch fingerprint: COUNT(*) +
+    * SUM(length(text)) — doc_ids repeat across fixtures, texts don't. */
+  def qualityClassifierSql: String = {
+    val rows = GoldenModels.qualityByFingerprint.toSeq.sortBy(_._1).map {
+      case (fp, w) =>
+        s"(CAST($fp AS BIGINT), ${dbl(w.bias)}, ${w.w.map(dbl).mkString(", ")})"
+    }.mkString(",\n")
+    s"""WITH fpv AS (SELECT COUNT(*) + SUM(length(text)) AS fp FROM documents),
+       |gw0(gfp, b, w1, w2, w3, w4) AS (VALUES
+       |$rows),
+       |gw AS (SELECT b, w1, w2, w3, w4 FROM gw0, fpv WHERE gw0.gfp = fpv.fp),
+       |f AS (SELECT doc_id,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS fd,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        x -> x IN ('a', 'the', 'and', 'of', 'to'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS fs,
+       |    ln(1.0 + length(text)) AS flc
+       |  FROM documents),
+       |z AS (SELECT doc_id,
+       |    ((((b + fd * w1) + fs * w2) + (fd * (1.0 - fs)) * w3)
+       |      + flc * w4) AS z
+       |  FROM f, gw)
+       |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |  z >= 0 AS predicted_good
+       |FROM z""".stripMargin
+  }
+
+  /** embed_nearest_dup_lsh: the whole-corpus banded 1-NN re-derived —
+    * plane count from the corpus size exactly like `derivedPlanes`
+    * (integer CASE ladder, no FP log), pure-Scala plane banks emitted
+    * for every plane count a shipped fixture can derive (an unlisted
+    * count yields zero planes → zero rows → loud fail), base buckets
+    * on the index leg, 2-flip smallest-margin probe keys on the probe
+    * leg, candidate join, round-6 cosine, per-vector top-1 with the
+    * min-id tie-break. The operator's skew salting is provably inert
+    * at fixture scale (no (table, bucket) reaches 4096 rows), so the
+    * oracle omits it — a hot bucket would surface as a loud pair-set
+    * mismatch, never a silent pass. */
+  def nearestDupLshSql(tables: Int = 8, dim: Int = 64,
+      multiProbe: Int = 2, pcounts: Seq[Int] = Seq(4, 5, 6)): String = {
+    val banks = pcounts.flatMap { pc =>
+      (0 until tables).flatMap { t =>
+        val hp = Similarity.hyperplanes(pc, dim, Similarity.tableSeed(t))
+        hp.zipWithIndex.map { case (p, i) =>
+          val nrm = math.sqrt(p.map(x => x * x).sum)
+          s"($pc, $t, $i, ${dbl(nrm)}, [${p.map(dbl).mkString(",")}])"
+        }
+      }
+    }.mkString(",\n")
+    val ladder = pcounts.map(pc => s"WHEN b <= ${1L << pc} THEN $pc")
+      .mkString(" ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |np AS (SELECT CASE $ladder ELSE 0 END AS p
+       |  FROM (SELECT GREATEST(16, COUNT(*) // 64) AS b FROM base)),
+       |pl0(pc, t, i, nrm, c) AS (VALUES
+       |$banks),
+       |pl AS (SELECT t, i, nrm, c FROM pl0, np WHERE pl0.pc = np.p),
+       |dots AS (SELECT b.vec_id, p.t, p.i, p.nrm,
+       |    list_dot_product(b.v, p.c) AS d
+       |  FROM base b CROSS JOIN pl p),
+       |ck AS (SELECT vec_id, t,
+       |    CAST(t AS BIGINT) * 72057594037927936 +
+       |      CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << i)
+       |               ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |flips AS (
+       |  SELECT d.vec_id,
+       |    xor(kk.bucket, CAST(1 AS BIGINT) << d.i) AS bucket
+       |  FROM (SELECT vec_id, t, i,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id, t
+       |            ORDER BY abs(d) / nrm ASC, i) AS rn
+       |        FROM dots) d
+       |  JOIN ck kk ON kk.vec_id = d.vec_id AND kk.t = d.t
+       |  WHERE d.rn <= $multiProbe),
+       |pk AS (SELECT vec_id, bucket FROM ck
+       |  UNION ALL SELECT vec_id, bucket FROM flips),
+       |cand AS (SELECT DISTINCT LEAST(a.vec_id, p.vec_id) AS ia,
+       |    GREATEST(a.vec_id, p.vec_id) AS ib
+       |  FROM ck a JOIN pk p ON a.bucket = p.bucket
+       |    AND a.vec_id <> p.vec_id),
+       |scored AS (SELECT cand.ia, cand.ib,
+       |    ROUND(list_cosine_similarity(x.v, y.v), 6) AS cos
+       |  FROM cand JOIN base x ON x.vec_id = cand.ia
+       |  JOIN base y ON y.vec_id = cand.ib),
+       |directed AS (SELECT ia AS qid, ib AS vec_id, cos FROM scored
+       |  UNION ALL SELECT ib AS qid, ia AS vec_id, cos FROM scored)
+       |SELECT qid, vec_id AS nn, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC NULLS LAST, vec_id) AS rn FROM directed)
+       |WHERE rn = 1""".stripMargin
+  }
 }

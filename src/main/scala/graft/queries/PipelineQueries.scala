@@ -515,7 +515,7 @@ object PipelineQueries {
     * half never reaches the trainer). Cheap enough (one bounded
     * collect) to retrain per call — no memo, so there is no cache key
     * to get wrong across sessions/dirs. */
-  private def trainedQualityWeights(s: org.apache.spark.sql.SparkSession,
+  private[graft] def trainedQualityWeights(s: org.apache.spark.sql.SparkSession,
       dir: String): QualityModel.Weights = {
     val feats = QualityModel.features(Tables.documents(s, dir),
       "doc_id", "text")
@@ -909,16 +909,19 @@ object PipelineQueries {
       (s, dir) =>
         // the 100 TB shape for whole-corpus 1-NN: banded LSH self-join
         // (candidates meet only inside a (table, bucket) key), vs the
-        // exact query above whose plan is a cartesian product. Bucket
-        // membership depends on the hash planes, so no SQL oracle;
-        // recall vs the exact 1-NN is ScalaTest-floored AND surfaced
-        // driver-visibly by embed_ann_recall below. The key legs are
+        // exact query above whose plan is a cartesian product.
+        // r18: full oracle — the plane banks are pure-Scala
+        // deterministic constants, so DuckDB re-derives keys, probes,
+        // the candidate join and the top-1 (AnnOracles
+        // .nearestDupLshSql); recall vs the exact 1-NN additionally
+        // stays ScalaTest-floored and surfaced by embed_ann_recall
+        // below. The key legs are
         // STAGED once per (session, dir) — see stagedNearDupLsh — so
         // repeated evaluations time the candidate join + scoring;
         // Bench reports the staging cost as its own `lsh_stage_keys`
         // row.
         Similarity.nearestDupLshFrom(stagedNearDupLsh(s, dir)),
-      None),
+      Some(AnnOracles.nearestDupLshSql())),
 
     QueryDef("embed_ann_recall",
       (s, dir) => {
@@ -1888,7 +1891,10 @@ object PipelineQueries {
           .select(col("cluster"), col("cell_size"), col("n_kept"),
             (col("n_kept") === least(col("cell_size"), lit(25L))).as("cap_ok"))
       },
-      None),
+      // r18: full oracle — frozen golden nlist=8 quantizer
+      // (GoldenModels, AnnGoldenSpec-pinned) lets DuckDB re-derive
+      // cells, sizes and the cap independently
+      Some(AnnOracles.clusterBalancedIvfSql())),
 
     QueryDef("shuffle_order",
       (s, dir) => Sampling.shuffleOrder(Tables.documents(s, dir)
@@ -2523,7 +2529,11 @@ object PipelineQueries {
           .select(col("doc_id"), round(col("score"), 6).as("score"),
             col("predicted_good"))
       },
-      None),
+      // r18: full oracle — frozen golden weights (GoldenModels,
+      // AnnGoldenSpec retrains them per fixture) + features DuckDB
+      // recomputes from the text; the held-out-accuracy certificate
+      // stays quality_classifier_cert
+      Some(AnnOracles.qualityClassifierSql)),
 
     QueryDef("quality_classifier_cert",
       (s, dir) => {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import graft.queries.{GoldenAnnCents, GoldenAnnPq, Tables}
+import graft.queries.{GoldenAnnCents, GoldenAnnPq, GoldenModels, PipelineQueries, Tables}
 
 /** Drift alarm for the frozen golden IVF quantizers backing the
   * embed_ann_ivf / embed_ann_ivf_sq8 DuckDB oracles
@@ -57,6 +57,37 @@ class AnnGoldenSpec extends SparkSpecBase {
             "change? Regenerate via Test/runMain graft.AnnGoldenScratch " +
             "only if intentional")
       }
+    }
+  }
+
+  test("retrained small models (nlist=8 cents, quality weights) match " +
+      "the freeze bit-for-bit; document fingerprints are distinct") {
+    import org.apache.spark.sql.functions._
+    val docFps = sfDirs.map { dir =>
+      Tables.documents(spark, dir)
+        .agg((count(lit(1)) + sum(length(col("text")))).as("fp"))
+        .head().getLong(0)
+    }
+    assert(docFps.distinct.size === sfDirs.size,
+      s"document fingerprint collision across fixtures: $docFps")
+    sfDirs.zip(docFps).foreach { case (dir, docFp) =>
+      val emb = Tables.embeddings(spark, dir)
+      val embFp = GoldenAnnCents.fingerprint(emb)
+      val got8 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nlist = 8)
+      val froz8 = GoldenModels.cents8ByFingerprint(embFp)
+      assert(got8.length === froz8.length, s"cents8 nlist drift at $dir")
+      got8.zip(froz8).zipWithIndex.foreach { case ((g, f), i) =>
+        assert(java.util.Arrays.equals(g, f),
+          s"cents8 centroid $i drifted at $dir — regenerate via " +
+            "Test/runMain graft.ModelGoldenScratch only if intentional")
+      }
+      val gotW = PipelineQueries.trainedQualityWeights(spark, dir)
+      val frozW = GoldenModels.qualityByFingerprint(docFp)
+      assert(gotW.bias === frozW.bias &&
+          java.util.Arrays.equals(gotW.w, frozW.w),
+        s"quality weights drifted at $dir — regenerate via " +
+          "Test/runMain graft.ModelGoldenScratch only if intentional")
     }
   }
 
