@@ -1322,7 +1322,11 @@ object PipelineQueries {
 
     QueryDef("fingerprint_rolling",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"),
-      None), // rolling-hash-based — ScalaTest + fingerprint_cert verified
+      // r18: full oracle — DuckDB re-derives the Karp-Rabin window
+      // hashes + splitmix64 whitener with exact mod-2^64 arithmetic
+      // (RollingHashOracles); fingerprint_cert stays as the
+      // structural certificate
+      Some(RollingHashOracles.fingerprintSql())),
 
     // ---------------- json scalar extraction ----------------
 
@@ -2307,9 +2311,18 @@ object PipelineQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // THE one intentionally-unoracled row (r18: every other query now
+    // carries a full DuckDB oracle): the values are Spark's HLL++
+    // register estimates, implementation-defined by design — DuckDB's
+    // own approx sketch computes different numbers for the same data,
+    // and replaying Spark's register arithmetic in SQL would pin an
+    // implementation detail no user observes. The CONTRACT (relative
+    // error vs the exact sibling ≤ 3×rsd) is what hll_error_cert
+    // oracle-certifies below, and distinct_users_exact is the
+    // oracle-green exact path.
     QueryDef("distinct_users_approx",
       (s, dir) => Windows.distinctUsersApprox(Tables.events(s, dir)),
-      None), // HLL sketch — error bound checked in ScalaTest + cert below
+      None),
 
     // ---------------- driver-visible certificates ----------------
     // The three hash-dependent families whose raw outputs can't have a
@@ -2396,12 +2409,13 @@ object PipelineQueries {
 
     // the PRODUCTION overlap relation: per-doc top-k partners, O(N·k)
     // output where the full pair set is quadratic in dup density.
-    // Winnow-hash-dependent values → rows-only check here; the
-    // capped/recall contract is oracle-certified by overlap_topk_cert
-    // (and the full pair set stays certified by overlap_recall_cert).
+    // r18: full oracle — DuckDB re-derives the winnowing fingerprints
+    // (exact mod-2^64 rolling hash, RollingHashOracles), the df-
+    // filtered pair join and the (shared DESC, partner ASC) rank;
+    // overlap_topk_cert / overlap_recall_cert stay as certificates.
     QueryDef("overlap_topk",
       (s, dir) => TextAnalysis.overlapTopKOf(stagedOverlapPairs(s, dir), 5),
-      None),
+      Some(RollingHashOracles.overlapTopKSql())),
 
     QueryDef("overlap_topk_cert",
       (s, dir) => {
