@@ -120,6 +120,9 @@ object Npz {
     val buf = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
     m.descr match {
       case "<f8" => Array.fill(m.n.toInt)(buf.getDouble)
+      // float32 frames are a real scipy artifact (csr_matrix keeps the
+      // caller's dtype); widen exactly, don't reject
+      case "<f4" => Array.fill(m.n.toInt)(buf.getFloat.toDouble)
       case "<i8" => Array.fill(m.n.toInt)(buf.getLong.toDouble)
       case "<i4" => Array.fill(m.n.toInt)(buf.getInt.toDouble)
       case d => sys.error(s"expected numeric member, got dtype $d")
@@ -271,22 +274,27 @@ object Npz {
     * archives must share one `frame_columns` universe (the dask meta
     * contract). With `sorted = true`, per-file (min, max) index ranges
     * must strictly ascend across files in path order (same failure
-    * message: "Divisions are not sorted"). This is deliberately
-    * STRICTER than the reference's `_npz_read_divisions`
-    * (dask/io.py:96-112), which compares consecutive file STARTS only
-    * and so tolerates overlapping ranges; disjoint ranges are the
-    * sound contract. The reference's per-file monotonicity assert has
-    * no analog here — DataFrame rows are unordered, and min/max
-    * aggregates cannot observe element order. Spark needs no divisions
-    * to plan (range pruning comes from parquet at scale; this reader
-    * is the migration shim like [[readNpz]]).
+    * message: "Divisions are not sorted"). This default is
+    * deliberately STRICTER than the reference's `_npz_read_divisions`
+    * (dask/io.py:89-112), which compares consecutive file STARTS plus
+    * one final start<stop on the LAST file only, and so tolerates
+    * overlapping ranges; disjoint ranges are the sound contract.
+    * Migrations that need reference parity pass
+    * `strictDivisions = false` for exactly the reference's
+    * starts-only validation. The reference's per-file monotonicity
+    * assert has no analog in either mode — DataFrame rows are
+    * unordered, and min/max aggregates cannot observe element order.
+    * Spark needs no divisions to plan (range pruning comes from
+    * parquet at scale; this reader is the migration shim like
+    * [[readNpz]]).
     *
     * The glob wildcard may only appear in the FINAL path segment
     * (`dir/part-*.npz`); a wildcard in a directory component is
     * rejected. A bare pattern with no directory resolves against the
     * working directory. */
   def readNpzGlob(spark: SparkSession, pattern: String,
-      indexCol: String = "idx", sorted: Boolean = false): SparseRel = {
+      indexCol: String = "idx", sorted: Boolean = false,
+      strictDivisions: Boolean = true): SparseRel = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(pattern)
     val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
@@ -308,9 +316,10 @@ object Npz {
     }
     if (sorted && paths.size > 1) {
       // per-file (min, max) index labels in ONE bounded pass each —
-      // a stricter disjoint-range version of the reference's
-      // _npz_read_divisions (which only compares consecutive starts);
-      // see the method doc for the divergence
+      // strict mode checks disjoint ranges; lenient mode replays the
+      // reference's _npz_read_divisions exactly (consecutive STARTS
+      // strictly ascending, plus the final start < stop on the last
+      // file); see the method doc for the divergence
       val divisions = rels.zip(paths).map { case (r, p) =>
         val row = r.df.agg(
           org.apache.spark.sql.functions.min(col(indexCol)).as("lo"),
@@ -322,12 +331,26 @@ object Npz {
         case (x: String, y: String) => x < y
         case _ => sys.error(s"unorderable division types: $a / $b")
       }
-      divisions.sliding(2).foreach {
-        case Seq((_, hi, p1), (lo, _, p2)) =>
-          require(lt(hi, lo),
-            s"Divisions are not sorted. Problematic file: $p2 " +
-              s"(!$hi < $lo after $p1)")
-        case _ => ()
+      if (strictDivisions)
+        divisions.sliding(2).foreach {
+          case Seq((_, hi, p1), (lo, _, p2)) =>
+            require(lt(hi, lo),
+              s"Divisions are not sorted. Problematic file: $p2 " +
+                s"(!$hi < $lo after $p1)")
+          case _ => ()
+        }
+      else {
+        divisions.sliding(2).foreach {
+          case Seq((lo1, _, p1), (lo2, _, _)) =>
+            require(lt(lo1, lo2),
+              s"Divisions are not sorted. Problematic file: $p1 " +
+                s"(!$lo1 < $lo2)")
+          case _ => ()
+        }
+        val (lastLo, lastHi, lastP) = divisions.last
+        require(lt(lastLo, lastHi),
+          s"Divisions are not sorted. Problematic file: $lastP " +
+            s"(!$lastLo < $lastHi)")
       }
     }
     rels.reduce { (a, b) =>

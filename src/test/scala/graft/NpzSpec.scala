@@ -116,6 +116,24 @@ class NpzSpec extends SparkSpecBase {
     // unsorted read tolerates the overlap (no divisions claimed)
     assert(Npz.readNpzGlob(spark, s"$d/part*.npz", indexCol = "rid")
       .df.count() === 5)
+    // LENIENT mode = the reference's starts-only validation
+    // (_npz_read_divisions, dask/io.py:89-112): part starts are
+    // 1, 5, 3 — 5 !< 3 fails even the starts-only check
+    val e3 = intercept[IllegalArgumentException](
+      Npz.readNpzGlob(spark, s"$d/part*.npz", indexCol = "rid",
+        sorted = true, strictDivisions = false))
+    assert(e3.getMessage.contains("Divisions are not sorted"))
+    // part4 overlaps part1's range (starts inside it) but its START
+    // ascends past part1's — the reference accepts this, strict rejects
+    Npz.writeNpz(rel(Seq((6L, "a", 7.0), (11L, "b", 8.0)), Seq("a", "b")),
+      s"$d/q0.npz")
+    Npz.writeNpz(rel(Seq((8L, "a", 9.0), (20L, "b", 1.0)), Seq("a", "b")),
+      s"$d/q1.npz")
+    assert(Npz.readNpzGlob(spark, s"$d/q*.npz", indexCol = "rid",
+      sorted = true, strictDivisions = false).df.count() === 4)
+    val e4 = intercept[IllegalArgumentException](
+      Npz.readNpzGlob(spark, s"$d/q*.npz", indexCol = "rid", sorted = true))
+    assert(e4.getMessage.contains("Divisions are not sorted"))
     // universe mismatch is rejected regardless
     Npz.writeNpz(rel(Seq((99L, "z", 1.0)), Seq("z")), s"$d/part3.npz")
     val e2 = intercept[IllegalArgumentException](
@@ -141,6 +159,22 @@ class NpzSpec extends SparkSpecBase {
         ("bob", "cat_b", -3.25), ("carol", "cat_ü", 4.0)),
         s"protocol $proto")
     }
+  }
+
+  test("reference-style archive decodes: float32 data, int32 CSR " +
+      "indices, pickled string index/columns in one file") {
+    // np.savez of the exact member dict the reference's to_npz builds
+    // (io.py:28-32) from a FLOAT32 frame: scipy keeps the caller's
+    // dtype (<f4 data) and uses int32 indices/indptr on small
+    // matrices; the pandas string index pickles. Same CSR content as
+    // the per-protocol fixtures above.
+    val out = Npz.readNpz(spark,
+      "src/test/resources/npz/reference_style.npz", indexCol = "rid")
+    assert(out.columnUniverse === Seq("cat_a", "cat_b", "cat_ü"))
+    val got = out.df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(("alice", "cat_a", 1.5), ("alice", "cat_ü", 2.0),
+      ("bob", "cat_b", -3.25), ("carol", "cat_ü", 4.0)))
   }
 
   test("guards: multi-index export rejected; missing member rejected") {
