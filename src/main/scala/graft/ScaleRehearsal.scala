@@ -521,13 +521,21 @@ object ScaleRehearsal {
           maxPairsPerDoc = 0))
         println(s"[rehearsal] phash: images=${hashes.count()} " +
           s"distinct_hashes=$distinctH pairs(d<=3)=$n")
-        if (n > 16L * hashes.count()) {
+        // the guard's trigger is IDENTICAL-hash pairs (its documented
+        // lower bound), not total Hamming<=3 pairs — assert on exactly
+        // the quantity it measures, or a near-but-unequal-hash-heavy
+        // corpus would spuriously flunk this require
+        val idPairs = hashes.groupBy(col("phash"))
+          .agg(count(lit(1)).as("g"))
+          .agg(sum(col("g") * (col("g") - 1))).head.getLong(0) / 2
+        if (idPairs > 16L * hashes.count()) {
           val e = try {
             Multimodal.phashNearDup(hashes, maxHamming = 3); null
           } catch { case ex: IllegalArgumentException => ex }
           require(e != null && e.getMessage.contains("dup-dense"),
             "dup-density guard did NOT fire on a corpus with " +
-              s"$n pairs — the mechanical trap protection is broken")
+              s"$idPairs identical-hash pairs — the mechanical trap " +
+              "protection is broken")
           println("[rehearsal] phash: default guard fires on this " +
             "dup-dense corpus (as designed): " + e.getMessage.take(120))
         }

@@ -615,7 +615,10 @@ object Dedup {
     val sig = stagedSignatures(docs, idCol, textCol, shingleN)
     // the (doc, simhash) relation is N (id, long) rows — checkpoint it
     // so the dup-density guard and both band-join legs read one
-    // materialization instead of re-deriving from the signatures
+    // materialization instead of re-deriving from the signatures.
+    // Construction is therefore EAGER (checkpoint + guard aggregate);
+    // blocks are ~16 B/row and freed on driver GC, so repeated
+    // invocations (bench reps) accrue KBs, not the corpus
     val hashes = sig.select(col("doc"), HashExprs.simhash(col("sh")).as("hash"))
       .localCheckpoint()
     requireDupSparse(hashes, maxPairsPerDoc,

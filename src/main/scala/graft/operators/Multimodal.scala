@@ -799,6 +799,9 @@ object Multimodal {
     // checkpoint the N (id, long) hash relation: the dup-density
     // guard and both band-join legs then read one materialization —
     // without it each leg re-runs the upstream image decode+hash
+    // (measured: media_phash_dup halved, 2.34 → 1.2 s at sf0.1).
+    // Construction is therefore EAGER; blocks are ~16 B/row, freed on
+    // driver GC — repeated invocations accrue KBs, not the corpus
     val h = hashes.select(col("media_id").as("doc"), col("phash").as("hash"))
       .localCheckpoint()
     Dedup.requireDupSparse(h, maxPairsPerDoc,

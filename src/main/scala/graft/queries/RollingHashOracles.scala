@@ -71,9 +71,16 @@ private[graft] object RollingHashOracles {
        |  FROM ws JOIN by0 ON by0.doc_id = ws.doc_id
        |    AND by0.i >= ws.s AND by0.i < ws.s + ws.wlen
        |  JOIN pw ON pw.e = ws.wlen - 1 - (by0.i - ws.s)),
-       |raw AS (SELECT doc_id, s,
+       |traw AS (SELECT doc_id, s,
        |    CAST((SUM(CAST(term AS HUGEINT)) % $M64) AS UBIGINT) AS h
        |  FROM terms GROUP BY doc_id, s),
+       |-- LEFT join keeps zero-byte documents: their single window has
+       |-- no term rows, and the Scala side hashes them as mix(0 + gold)
+       |-- — h = 0 reproduces exactly that
+       |raw AS (SELECT ws.doc_id, ws.s,
+       |    COALESCE(traw.h, CAST(0 AS UBIGINT)) AS h
+       |  FROM ws LEFT JOIN traw
+       |    ON traw.doc_id = ws.doc_id AND traw.s = ws.s),
        |m1 AS (SELECT doc_id, s,
        |    CAST(((CAST(h AS HUGEINT) + $GOLD) % $M64) AS UBIGINT) AS z
        |  FROM raw),

@@ -138,10 +138,13 @@ private[sources] object NpyPickle {
         case 'J' => stack += I(i32().toLong) // BININT (signed)
         case 0x8a => // LONG1
           val k = u8()
+          // a >8-byte int cannot fit a Long; the JVM's shift would wrap
+          // mod 64 and silently corrupt the value — fail loudly instead
+          require(k <= 8, s"pickle LONG1 of $k bytes exceeds 64-bit range")
           var v = 0L; var i = 0
           val bs = bytes(k)
           while (i < k) { v |= (bs(i).toLong & 0xFF) << (8 * i); i += 1 }
-          if (k > 0 && k <= 8 && (bs(k - 1) & 0x80) != 0 && k < 8)
+          if (k > 0 && k < 8 && (bs(k - 1) & 0x80) != 0)
             v -= (1L << (8 * k)) // sign-extend
           stack += I(v)
         case 'G' => // BINFLOAT (big-endian double)

@@ -341,10 +341,12 @@ object Npz {
         }
       else {
         divisions.sliding(2).foreach {
-          case Seq((lo1, _, p1), (lo2, _, _)) =>
+          case Seq((lo1, _, p1), (lo2, _, p2)) =>
+            // blame the file whose start fails to ascend (p2), like
+            // the strict branch and the reference's diagnostics
             require(lt(lo1, lo2),
-              s"Divisions are not sorted. Problematic file: $p1 " +
-                s"(!$lo1 < $lo2)")
+              s"Divisions are not sorted. Problematic file: $p2 " +
+                s"(!$lo1 < $lo2 after $p1)")
           case _ => ()
         }
         val (lastLo, lastHi, lastP) = divisions.last
