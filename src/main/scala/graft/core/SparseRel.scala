@@ -190,6 +190,22 @@ final case class SparseRel(
       universe = ColUniverse.Explicit(names))
   }
 
+  /** Positional COLUMN selection (reference `take(idx, axis=1)`,
+    * sparse_frame.py:165-174): offsets into the ordered column
+    * universe, result universe in the requested position order.
+    * Materializes a Deferred universe (positions are meaningless
+    * without the ordered lexicon — the same explicit edge `todense`
+    * crosses). Documented deviation: a repeated position collapses to
+    * one column — the reference duplicates the scipy column under the
+    * same name, a shape with no meaning in a named-column relation. */
+  def takeColsAt(positions: Seq[Int]): SparseRel = {
+    require(positions.nonEmpty, "takeColsAt needs at least one position")
+    val cols = columnUniverse
+    positions.foreach(p => require(p >= 0 && p < cols.size,
+      s"column position $p out of range [0, ${cols.size})"))
+    projectCols(positions.distinct.map(cols))
+  }
+
   /** Label-range row selection, *inclusive* of both endpoints like a
     * pandas `.loc[a:b]` label slice (reference: sparsity/indexing.py:3-11;
     * test_sparse_frame.py:159-171). Operates on one index level; the

@@ -231,6 +231,14 @@ object CoreQueries {
              |FROM events WHERE event_type IN ('click', 'view')
              |GROUP BY user_id, event_type""".stripMargin)),
 
+    // positional column take (reference take(idx, axis=1)): offsets
+    // 0 and 2 of the 5-category lexicon = click, purchase
+    QueryDef("take_cols_at",
+      (s, dir) => grouped(s, dir).takeColsAt(Seq(0, 2)).df,
+      Some("""SELECT user_id, event_type AS col, CAST(SUM(1.0) AS DOUBLE) AS value
+             |FROM events WHERE event_type IN ('click', 'purchase')
+             |GROUP BY user_id, event_type""".stripMargin)),
+
     QueryDef("loc_range",
       (s, dir) => grouped(s, dir)
         .locRange("user_id", lit(10), lit(60)).df,

@@ -137,6 +137,21 @@ class SparseRelSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](a.projectCols(Seq("nope")))
   }
 
+  test("takeColsAt selects universe positions in request order, " +
+      "bounds-checks, collapses duplicates") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    val t = a.takeColsAt(Seq(3, 1))
+    assert(t.columnUniverse === Seq("c3", "c1"))
+    assert(t.df.select(COL).distinct().collect()
+      .map(_.getString(0)).toSet === Set("c1", "c3"))
+    // duplicate position collapses (documented deviation from the
+    // reference's same-name scipy column duplication)
+    assert(a.takeColsAt(Seq(2, 2)).columnUniverse === Seq("c2"))
+    intercept[IllegalArgumentException](a.takeColsAt(Seq(5)))
+    intercept[IllegalArgumentException](a.takeColsAt(Seq(-1)))
+    intercept[IllegalArgumentException](a.takeColsAt(Seq.empty))
+  }
+
   test("renameCols maps stored labels and universe through a broadcast join") {
     val a = rel(identity5(), (0 until 5).map("c" + _)).renameCols("x_" + _)
     assert(a.columnUniverse === (0 until 5).map("x_c" + _))
