@@ -765,6 +765,37 @@ final case class SparseRel(
       d.withColumn(c, coalesce(col(c), lit(0.0)))
     }
   }
+
+  /** Human-readable summary (reference `__repr__`,
+    * sparse_frame.py:349-377): a dense head of the first `n`
+    * sorted-index rows — over 50 columns shows the first/last 25,
+    * like the reference — then the shape/nnz trailer. Introspection:
+    * triggers driver jobs by design (the explicit materialization
+    * edge, like `todense`); everything collected is ≤ n×50 cells. */
+  def reprString(n: Int = 5): String = {
+    val (nRows, nCols) = shape
+    val stored = nnz
+    val cols = columnUniverse
+    val shown =
+      if (cols.size > 50) cols.take(25) ++ cols.takeRight(25) else cols
+    val head = takeRows(math.max(1, n))
+    val headDense =
+      (if (shown.size == cols.size) head else head.projectCols(shown))
+        .toDense
+        .orderBy(indexCols.map(col): _*)
+        .collect()
+    val names = indexCols ++ shown
+    val rows = headDense.map(r => names.indices.map(i =>
+      Option(r.get(i)).map(_.toString).getOrElse("null")))
+    val widths = names.indices.map(i =>
+      (names(i).length +: rows.map(_(i).length)).max)
+    def line(vs: Seq[String]): String =
+      vs.zip(widths).map { case (v, w) => v.reverse.padTo(w, ' ').reverse }
+        .mkString("  ")
+    val table = (line(names) +: rows.map(line)).mkString("\n")
+    s"$table\n[${nRows}x$nCols SparseFrame of type 'double'\n " +
+      s"with $stored stored elements in COO format]"
+  }
 }
 
 object SparseRel {

@@ -152,6 +152,21 @@ class SparseRelSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](a.takeColsAt(Seq.empty))
   }
 
+  test("reprString shows a dense head plus the shape/nnz trailer " +
+      "(reference __repr__ contract)") {
+    val a = rel(identity5(), (0 until 5).map("c" + _))
+    val r = a.reprString()
+    assert(r.contains("5x5 SparseFrame"))
+    assert(r.contains("with 5 stored elements"))
+    assert(r.linesIterator.next().contains("c0"))
+    // >50 columns: first/last 25 shown, like the reference
+    val wide = rel(Seq((0, "c00", 1.0)),
+      (0 until 60).map(i => f"c$i%02d"))
+    val rw = wide.reprString()
+    assert(rw.contains("1x60 SparseFrame") && rw.contains("c24") &&
+      rw.contains("c35") && !rw.contains("c30 "))
+  }
+
   test("renameCols maps stored labels and universe through a broadcast join") {
     val a = rel(identity5(), (0 until 5).map("c" + _)).renameCols("x_" + _)
     assert(a.columnUniverse === (0 until 5).map("x_c" + _))
