@@ -127,6 +127,23 @@ object CoreQueries {
     // value-lossless, so it shares io_roundtrip's oracle. Driver-side
     // by design (like the reference's own in-memory implementation);
     // the at-scale interchange stays SparseIO's partitioned parquet.
+    // multi-archive npz stack: the EXPORT direction of the dask-layer
+    // glob surface (readNpzGlob / reference read_npz(glob, sorted)) —
+    // the grouped frame out through 4 contiguous-range archives and
+    // back through the sorted glob read, divisions validated
+    QueryDef("io_npz_stack_roundtrip",
+      (s, dir) => {
+        val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val stackDir = deleteOnExit(new java.io.File("target/io_npz_stack",
+          sfTag + "_" + ProcessHandle.current().pid()))
+        graft.sources.Npz.writeNpzStack(grouped(s, dir),
+          stackDir.getAbsolutePath, parts = 4)
+        graft.sources.Npz.readNpzGlob(s,
+          s"${stackDir.getAbsolutePath}/part-*.npz",
+          indexCol = "user_id", sorted = true).df
+      },
+      Some(GROUPED_SQL)),
+
     QueryDef("io_npz_roundtrip",
       (s, dir) => {
         val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")

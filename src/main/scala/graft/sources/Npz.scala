@@ -268,6 +268,37 @@ object Npz {
       Seq(indexCol), ColUniverse.Explicit(cols.toIndexedSeq))
   }
 
+  /** Multi-archive WRITE — the export direction [[readNpzGlob]] (and
+    * the reference's dask `read_npz(path_glob, sorted=True)`,
+    * dask/io.py:51-86) consumes: the frame splits into `parts`
+    * contiguous index-range archives `part-NNNNN.npz` under `dir`,
+    * every archive carrying the FULL column universe (the shared-meta
+    * contract the glob readers validate) with per-file index ranges
+    * disjoint and ascending in path order (so `sorted = true`
+    * divisions validate on both sides). Driver-side like [[writeNpz]]
+    * — this is the migration shim's export path; the at-scale sink
+    * stays [[SparseIO]]'s partitioned parquet. Returns the written
+    * paths in order. */
+  def writeNpzStack(rel: SparseRel, dir: String, parts: Int): Seq[String] = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    require(rel.indexCols.size == 1,
+      s"npz export is single-index like the reference; got levels " +
+        rel.indexCols.mkString(","))
+    val idxCol = rel.indexCols.head
+    val keys = rel.df.select(col(idxCol)).distinct()
+      .orderBy(col(idxCol)).collect().map(_.get(0))
+    require(keys.nonEmpty, "cannot write an npz stack of an empty frame")
+    val k = math.min(parts, keys.length)
+    new java.io.File(dir).mkdirs()
+    (0 until k).map { i =>
+      val lo = keys(i * keys.length / k)
+      val hi = keys((i + 1) * keys.length / k - 1)
+      val path = f"$dir/part-$i%05d.npz"
+      writeNpz(rel.locRange(idxCol, lit(lo), lit(hi)), path)
+      path
+    }
+  }
+
   /** Multi-archive read — the dask layer's `read_npz(glob, sorted)`
     * (reference `dask/io.py:51-112`): one [[SparseRel]] over a set of
     * npz partitions, unioned in lexicographic path order. All

@@ -141,6 +141,30 @@ class NpzSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("share one universe"))
   }
 
+  test("npz stack write: disjoint ascending ranges, shared universe, " +
+      "sorted glob round trip") {
+    val d = java.nio.file.Files.createTempDirectory("npzstack").toFile
+    d.deleteOnExit()
+    val in = rel(Seq((1L, "a", 1.0), (4L, "b", 2.0), (9L, "a", 3.0),
+      (12L, "b", 4.0), (20L, "a", 5.0)), Seq("a", "b", "zonly"))
+    val paths = Npz.writeNpzStack(in, s"$d/stack", parts = 3)
+    assert(paths.size === 3 && paths === paths.sorted)
+    // the sorted glob read accepts the divisions and round-trips,
+    // all-zero universe column included
+    val out = Npz.readNpzGlob(spark, s"$d/stack/part-*.npz",
+      indexCol = "rid", sorted = true)
+    assert(out.columnUniverse === Seq("a", "b", "zonly"))
+    assert(out.df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ===
+      Set((1L, "a", 1.0), (4L, "b", 2.0), (9L, "a", 3.0),
+        (12L, "b", 4.0), (20L, "a", 5.0)))
+    // more parts than keys clamps to one archive per key
+    val paths2 = Npz.writeNpzStack(in, s"$d/wide", parts = 99)
+    assert(paths2.size === 5)
+    assert(Npz.readNpzGlob(spark, s"$d/wide/part-*.npz", indexCol = "rid",
+      sorted = true).df.count() === 5)
+  }
+
   test("reference-written archives with PICKLED string index/columns " +
       "decode (|O members, pickle protocols 2/3/4)") {
     // golden fixtures generated by numpy 1.26 (`np.savez` of
