@@ -166,13 +166,14 @@ class NpzSpec extends SparkSpecBase {
   }
 
   test("reference-written archives with PICKLED string index/columns " +
-      "decode (|O members, pickle protocols 2/3/4)") {
+      "decode (|O members, pickle protocols 2/3/4/5)") {
     // golden fixtures generated by numpy 1.26 (`np.savez` of
     // dtype=object index/columns — the reference's io.py:28-30 path
     // for pandas string indexes), one per pickle protocol numpy has
-    // shipped as default. CSR: alice->(cat_a 1.5, cat_ü 2.0),
-    // bob->(cat_b -3.25), carol->(cat_ü 4.0).
-    Seq(2, 3, 4).foreach { proto =>
+    // shipped as default plus the current latest (5). CSR:
+    // alice->(cat_a 1.5, cat_ü 2.0), bob->(cat_b -3.25),
+    // carol->(cat_ü 4.0).
+    Seq(2, 3, 4, 5).foreach { proto =>
       val out = Npz.readNpz(spark,
         s"src/test/resources/npz/str_obj_p$proto.npz", indexCol = "rid")
       assert(out.columnUniverse === Seq("cat_a", "cat_b", "cat_ü"),
