@@ -66,10 +66,10 @@ private[sources] object NpyPickle {
     }
     require(elems.length == n,
       s"pickled object array has ${elems.length} elements, npy header says $n")
-    elems.map {
-      case S(s) => s
-      case B(b) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      case other => fail("object array element is not str/bytes: " +
+    elems.zipWithIndex.map {
+      case (S(s), _) => s
+      case (B(b), i) => decodeUtf8Strict(b, i)
+      case (other, _) => fail("object array element is not str/bytes: " +
         other.getClass.getSimpleName +
         " — only string index/columns members are supported")
     }.toArray
@@ -77,6 +77,22 @@ private[sources] object NpyPickle {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"npz pickled member: $msg")
+
+  /** py2-era BINSTRING bytes → String, STRICTLY: a py2 archive whose
+    * labels were latin-1 (not UTF-8) must fail loudly naming the
+    * element, not silently substitute U+FFFD into column/index labels
+    * (the file's fail-loud contract; r18 advice). */
+  private def decodeUtf8Strict(b: Array[Byte], elem: Int): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        fail(s"object array element $elem is a py2 str whose bytes are " +
+          "not valid UTF-8 (latin-1 archive?) — refusing to corrupt labels")
+    }
+  }
 
   private def run(p: Array[Byte]): V = {
     val stack = mutable.ArrayBuffer.empty[V]
@@ -131,8 +147,14 @@ private[sources] object NpyPickle {
         case 'q' => memoPut(u8().toLong) // BINPUT
         case 'r' => memoPut(i32().toLong & 0xFFFFFFFFL) // LONG_BINPUT
         case 0x94 => memoPut(memo.size.toLong) // MEMOIZE
-        case 'h' => stack += memo(u8().toLong) // BINGET
-        case 'j' => stack += memo(i32().toLong & 0xFFFFFFFFL) // LONG_BINGET
+        // a missing memo key is a truncated/garbled stream — raise the
+        // contextual diagnostic, not LongMap's bare NoSuchElementException
+        case 'h' => // BINGET
+          val k = u8().toLong
+          stack += memo.getOrElse(k, fail(s"pickle memo key $k undefined"))
+        case 'j' => // LONG_BINGET
+          val k = i32().toLong & 0xFFFFFFFFL
+          stack += memo.getOrElse(k, fail(s"pickle memo key $k undefined"))
         case 'K' => stack += I(u8().toLong) // BININT1
         case 'M' => stack += I(u16().toLong) // BININT2
         case 'J' => stack += I(i32().toLong) // BININT (signed)

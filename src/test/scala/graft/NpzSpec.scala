@@ -218,4 +218,27 @@ class NpzSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("not an npy member") ||
       e2.getMessage.contains("missing"))
   }
+
+  test("writeNpz cell cap fails loudly BEFORE the driver collect and " +
+      "routes to the at-scale sinks") {
+    // 3 summed cells against a cap of 2 — the guard must name the
+    // count, the cap, and the partitioned-parquet/stack alternatives
+    val in = rel(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)),
+      Seq("a", "b"))
+    val e = intercept[IllegalArgumentException](
+      Npz.writeNpz(in, tmp("cap.npz"), maxCells = 2L))
+    assert(e.getMessage.contains("3 cells") &&
+      e.getMessage.contains("cap 2") &&
+      e.getMessage.contains("SparseIO.write") &&
+      e.getMessage.contains("writeNpzStack"))
+    // at the cap exactly, the write succeeds (cells are post-sum:
+    // duplicate (row, col) entries collapse before the guard counts)
+    val dup = rel(Seq((1L, "a", 1.0), (1L, "a", 4.0), (2L, "b", 2.0)),
+      Seq("a", "b"))
+    val p = tmp("atcap.npz")
+    Npz.writeNpz(dup, p, maxCells = 2L)
+    val back = Npz.readNpz(spark, p, indexCol = "rid").df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, "a", 5.0), (2L, "b", 2.0)))
+  }
 }

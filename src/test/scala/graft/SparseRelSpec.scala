@@ -398,6 +398,25 @@ class SparseRelSpec extends SparkSpecBase {
     assert(j.df.count() === a.df.count() + b.df.count())
   }
 
+  test("csrSizeBytes reproduces the reference __sizeof__ accounting; " +
+      "estimatedCooBytes is the zero-job planner estimate") {
+    // 3 stored cells, 2 rows (int index), universe width 2 over 3
+    // labels: data 8*3 + indices 8*3 + indptr 8*(2+1) = 72, index
+    // 8*2 = 16, columns 4*2*3 = 24 → 112 (sparse_frame.py:339-344's
+    // members, numpy dtypes <f8/<i8/<U2)
+    val r = rel(Seq((1, "aa", 1.0), (1, "b", 2.0), (2, "aa", 3.0)),
+      Seq("aa", "b", "zz"))
+    assert(r.csrSizeBytes === 112L)
+    assert(r.estimatedCooBytes > 0)
+    // Deferred universe: the column stats come from one dims
+    // aggregation — the lexicon itself must NOT land on the driver
+    val d = SparseRel.scanEvents(
+      graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)
+    assert(d.csrSizeBytes > 0L)
+    assert(!d.universe.asInstanceOf[ColUniverse.Deferred].materializedOnDriver,
+      "csrSizeBytes must not materialize a Deferred lexicon")
+  }
+
   test("scanEvents with no category list keeps a deferred universe (no collect)") {
     val r = SparseRel.scanEvents(
       graft.queries.Tables.events(spark, sf), "event_type", Seq("user_id"), None)

@@ -89,6 +89,61 @@ class NpyPickleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("LONG1 of 9 bytes"))
   }
 
+  test("BINGET on an undefined memo key raises the contextual " +
+      "diagnostic, not LongMap's bare NoSuchElementException") {
+    // PROTO 2, BINGET 5 with an empty memo — a truncated/garbled
+    // stream shape (r18 advice)
+    val e = intercept[IllegalArgumentException](
+      NpyPickle.stringArray(bytes(0x80, 2, 'h', 5, '.'), 1))
+    assert(e.getMessage.contains("npz pickled member") &&
+      e.getMessage.contains("memo key 5 undefined"))
+    val e2 = intercept[IllegalArgumentException](
+      NpyPickle.stringArray(bytes(0x80, 2, 'j', 7, 0, 0, 0, '.'), 1))
+    assert(e2.getMessage.contains("memo key 7 undefined"))
+  }
+
+  test("py2 BINSTRING bytes that are not valid UTF-8 fail loudly " +
+      "instead of silently substituting U+FFFD into labels") {
+    // same minimal graph but the element is SHORT_BINSTRING with a
+    // lone latin-1 0xE9 ('é') — an invalid UTF-8 sequence. The old
+    // lenient decode produced "�"; the contract is a contextual
+    // error naming the element (r18 advice).
+    val latin1 = bytes(
+      0x80, 2,
+      'c', "numpy.core.multiarray\n_reconstruct\n",
+      'c', "numpy\nndarray\n",
+      'K', 0, 0x85,
+      'C', 1, 'b',
+      0x87, 'R',
+      '(', 'K', 1, 'K', 1, 0x85,
+      'c', "numpy\ndtype\n",
+      'X', bytes(2, 0, 0, 0), "O8",
+      0x89, 0x88, 0x87, 'R',
+      0x89,
+      ']', '(', 'U', 1, 0xE9, 'e',
+      't', 'b', '.')
+    val e = intercept[IllegalArgumentException](
+      NpyPickle.stringArray(latin1, 1))
+    assert(e.getMessage.contains("not valid UTF-8") &&
+      e.getMessage.contains("element 0"))
+    // valid UTF-8 py2 bytes still decode (the common py2 ASCII label)
+    val ascii = bytes(
+      0x80, 2,
+      'c', "numpy.core.multiarray\n_reconstruct\n",
+      'c', "numpy\nndarray\n",
+      'K', 0, 0x85,
+      'C', 1, 'b',
+      0x87, 'R',
+      '(', 'K', 1, 'K', 1, 0x85,
+      'c', "numpy\ndtype\n",
+      'X', bytes(2, 0, 0, 0), "O8",
+      0x89, 0x88, 0x87, 'R',
+      0x89,
+      ']', '(', 'U', 2, "ok", 'e',
+      't', 'b', '.')
+    assert(NpyPickle.stringArray(ascii, 1) === Array("ok"))
+  }
+
   test("REDUCE is inert: a GLOBAL naming any callable never executes") {
     // same stream but the constructor global points at an arbitrary
     // name — the decoder must treat it as an opaque node, not resolve
