@@ -305,8 +305,16 @@ object Npz {
     * divisions validate on both sides). Driver-side like [[writeNpz]]
     * — this is the migration shim's export path; the at-scale sink
     * stays [[SparseIO]]'s partitioned parquet. Returns the written
-    * paths in order. */
-  def writeNpzStack(rel: SparseRel, dir: String, parts: Int): Seq[String] = {
+    * paths in order.
+    *
+    * `maxCellsPerPart` forwards to each per-range [[writeNpz]] call
+    * (r19 advice: writeNpz's default cap routes its error to
+    * writeNpzStack — the API the caller is already in; without a
+    * passthrough the only workaround was guessing a larger `parts`).
+    * Raise it only if the driver heap can hold one range's cells,
+    * or raise `parts` to shrink each range instead. */
+  def writeNpzStack(rel: SparseRel, dir: String, parts: Int,
+      maxCellsPerPart: Long = 10000000L): Seq[String] = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     require(rel.indexCols.size == 1,
       s"npz export is single-index like the reference; got levels " +
@@ -336,7 +344,8 @@ object Npz {
     new java.io.File(dir).mkdirs()
     bounds.zipWithIndex.map { case (b, i) =>
       val path = f"$dir/part-$i%05d.npz"
-      writeNpz(rel.locRange(idxCol, lit(b.get(1)), lit(b.get(2))), path)
+      writeNpz(rel.locRange(idxCol, lit(b.get(1)), lit(b.get(2))), path,
+        maxCellsPerPart)
       path
     }.toSeq
   }

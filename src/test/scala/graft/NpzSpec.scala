@@ -241,4 +241,22 @@ class NpzSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(back === Set((1L, "a", 5.0), (2L, "b", 2.0)))
   }
+
+  test("writeNpzStack forwards its per-part cell cap (r19 advice: the " +
+      "default cap's error routed users back to writeNpzStack itself)") {
+    val d = java.nio.file.Files.createTempDirectory("npzcap").toFile
+    d.deleteOnExit()
+    val in = rel(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0),
+      (4L, "b", 4.0)), Seq("a", "b"))
+    // 2 parts x 2 cells against a per-part cap of 1 — must fail loudly
+    val e = intercept[IllegalArgumentException](
+      Npz.writeNpzStack(in, s"$d/tight", parts = 2, maxCellsPerPart = 1L))
+    assert(e.getMessage.contains("cap 1"))
+    // the escape hatches both work: a larger per-part cap, or more
+    // parts shrinking each range under the same cap
+    assert(Npz.writeNpzStack(in, s"$d/cap", parts = 2,
+      maxCellsPerPart = 2L).size === 2)
+    assert(Npz.writeNpzStack(in, s"$d/parts", parts = 4,
+      maxCellsPerPart = 1L).size === 4)
+  }
 }

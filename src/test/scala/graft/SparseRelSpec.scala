@@ -460,4 +460,66 @@ class SparseRelSpec extends SparkSpecBase {
     assert(a2.columnUniverse.takeRight(2) === Seq("bias", "bias2"))
     assert(a2.universe.dims(spark).count() === 7)
   }
+
+  // --- reference constructor edge paths (sparse_frame.py:48-97) ---
+
+  test("empty input constructs an empty frame with the declared " +
+      "universe intact (sparse_frame.py:93-97, test_repr's empty case)") {
+    import spark.implicits._
+    // SparseFrame(np.array([]), index=[], columns=['A','B']): zero
+    // rows, the declared columns survive, shape/nnz/repr all work
+    val wide = Seq.empty[(Int, Double, Double)].toDF("k", "A", "B")
+    val r = SparseRel.fromDense(wide, Seq("k"), Seq("A", "B"))
+    assert(r.shape === (0L, 2))
+    assert(r.nnz === 0L)
+    assert(r.columnUniverse === Seq("A", "B"))
+    val repr = r.reprString()
+    assert(repr.contains("0x2") && repr.contains("0 stored"))
+    // and an all-zero (but non-empty-index) input also stores nothing:
+    // exact zeros are representationally absent, like csr of zeros
+    val zeros = Seq((1, 0.0, 0.0), (2, 0.0, 0.0)).toDF("k", "A", "B")
+    val z = SparseRel.fromDense(zeros, Seq("k"), Seq("A", "B"))
+    assert(z.nnz === 0L && z.columnUniverse === Seq("A", "B"))
+  }
+
+  test("1-D input becomes a single-column frame " +
+      "(sparse_frame.py:51-55; test_init_with_pandas's Series case)") {
+    import spark.implicits._
+    // pd.Series(np.ones(10)) -> shape (10, 1), dense == ones column
+    val series = (0 until 10).map(i => (i, 1.0)).toDF("k", "0")
+    val r = SparseRel.fromDense(series, Seq("k"), Seq("0"))
+    assert(r.shape === (10L, 1))
+    assert(dense(r).values.toSeq === Seq.fill(10)(Map("0" -> 1.0)))
+  }
+
+  test(">2-D input is rejected (sparse_frame.py:48-49 'Only two " +
+      "dimensional data supported')") {
+    import spark.implicits._
+    // the relational analog of a 3-D ndarray: a nested array column —
+    // fromDense refuses it as non-numeric rather than silently
+    // flattening or nulling it out
+    val nested = Seq((1, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0))).toDF("k", "m")
+    val e = intercept[IllegalArgumentException](
+      SparseRel.fromDense(nested, Seq("k"), Seq("m")))
+    assert(e.getMessage.contains("non-numeric"))
+  }
+
+  test("csrSizeBytes counts CODE POINTS for label widths and keeps " +
+      "NULL-level index rows (r19 advice)") {
+    import spark.implicits._
+    // supplementary-plane label: 2 code points, 4 UTF-16 units —
+    // numpy <U2, so columns cost 4*2 bytes, not 4*4
+    val gothic = "𐍈𐍈" // 𐍈𐍈
+    val s = rel(Seq((1, gothic, 1.0)), Seq(gothic))
+    // data 8 + indices 8 + indptr 8*2 = 32, index 8*1, columns 4*2*1
+    assert(s.csrSizeBytes === 48L)
+    // a NULL index level still counts as a CSR row (bare countDistinct
+    // would drop it): 2 cells, 2 rows
+    val withNull: DataFrame = Seq((Option("x"), "aa", 1.0), (None, "aa", 2.0))
+      .toDF("k", COL, VALUE)
+    val n = SparseRel(withNull, Seq("k"), ColUniverse.Explicit(Seq("aa")))
+    // data 16 + indices 16 + indptr 8*3 = 56, index 4*1*2 = 8
+    // (width ignores the NULL label), columns 4*2*1 = 8 -> 72
+    assert(n.csrSizeBytes === 72L)
+  }
 }
