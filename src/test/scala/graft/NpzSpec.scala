@@ -259,4 +259,32 @@ class NpzSpec extends SparkSpecBase {
     assert(Npz.writeNpzStack(in, s"$d/parts", parts = 4,
       maxCellsPerPart = 1L).size === 4)
   }
+
+  test("npz stack boundaries survive supplementary-plane labels " +
+      "(code-point order, where UTF-16 comparison disagrees)") {
+    // U+10000 (surrogate pair D800 DC00) sorts BELOW U+E000/U+FFFD
+    // under Scala's UTF-16 String.<, but ABOVE them in code-point
+    // order — which is what Spark's min/max and range partitioning
+    // use. A UTF-16-ordered writer would emit overlapping divisions
+    // here; codePointOrdering exists so the stack's per-file ranges
+    // agree with the Spark-side boundaries.
+    val d = java.nio.file.Files.createTempDirectory("npzsupp").toFile
+    d.deleteOnExit()
+    val labels = Seq("a", "\uE000b", "\uFFFDc",
+      "\uD800\uDC00d", "\uD800\uDC01e")
+    val in = SparseRel(
+      labels.zipWithIndex.map { case (l, i) => (l, "c", i + 1.0) }
+        .toDF("rid", "col", "value"),
+      Seq("rid"), ColUniverse.Explicit(Seq("c")))
+    val paths = Npz.writeNpzStack(in, s"$d/stack", parts = 3)
+    assert(paths.size >= 2, s"expected a multi-file stack, got $paths")
+    // strict sorted divisions must validate, and the round trip is
+    // lossless including the surrogate-pair labels
+    val out = Npz.readNpzGlob(spark, s"$d/stack/part-*.npz",
+      indexCol = "rid", sorted = true)
+    val got = out.df.collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(got === labels.zipWithIndex
+      .map { case (l, i) => (l, i + 1.0) }.toSet)
+  }
 }
