@@ -141,7 +141,7 @@ object Bench {
     // as the "attr" block of the full-precision target/bench.json
     // ({"reps":[...],"gc_ms":N,"ld":X,"floor":F}); the compact driver
     // line carries the over-floor summary alone ("attr":{name:
-    // [best,floor,ld]} for rows whose best-of exceeds ATTR_RATIO x
+    // [best,floor,ld]} for rows whose best-of exceeds AttrRatio x
     // floor), so a reader of the driver artifact can separate ambient
     // load (high "ld", several rows over floor, flat GC) from a real
     // regression (quiet "ld", one row's floor moved). Floors are the

@@ -180,8 +180,7 @@ object PipelineFlagshipRehearsal {
     // (a) closed form at repsOverlap× exact copies
     locally {
       val docs = if (repsOverlap == reps) docsExact
-        else spark.read.parquet(s"$outDir/docs_exact")
-          .filter(col("doc_id") < repsOverlap * OFFSET)
+        else docsExact.filter(col("doc_id") < repsOverlap * OFFSET)
       val k = 5
       val topk = timed(s"overlap_topk (${repsOverlap}x exact)") {
         TextAnalysis.overlapTopK(docs, "doc_id", "text", k = k)
@@ -304,11 +303,14 @@ object PipelineFlagshipRehearsal {
         require(plan.contains("dynamicpruning"),
           s"persisted IVF-PQ probe is not partition-pruned:\n${plan.take(4000)}")
       }
-      val rows = timed(s"ivf_pq from-index probe (nlist=$nlist)") {
-        probe.localCheckpoint().count()
+      val probed = timed(s"ivf_pq from-index probe (nlist=$nlist)") {
+        val p = probe.localCheckpoint()
+        p.count()
+        p
       }
+      val rows = probed.count()
       require(rows == nQ * k, s"probe rows $rows != $nQ x $k")
-      val got = probe.select(col("qid"), col("vec_id")).collect()
+      val got = probed.select(col("qid"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (bfSet & got).size.toDouble / bfSet.size
       require(recall >= 0.75,

@@ -44,14 +44,14 @@ def load_queries(path):
     with open(path) as f:
         d = json.load(f)
     p = d.get("parsed") or {}
-    q = p.get("queries")
-    if not q:
+    if not p.get("queries"):
         m = re.search(r'\{"metric".*\}\}', d.get("tail", ""))
-        if m:
-            q = json.loads(m.group(0)).get("queries", {})
+        p = json.loads(m.group(0)) if m else {}
+    # a run with errors is not quiet-band evidence, whichever channel
+    # (parsed or tail) it was recovered from
     if p.get("errors"):
         return {}
-    return q or {}
+    return p.get("queries") or {}
 
 
 def gate_refs():
@@ -77,8 +77,7 @@ def main():
             scan.append((n, path))
     scan += [(n, p) for (n, p) in gate_refs() if n >= min(SCAN_ROUNDS)]
     for n, path in scan:
-        if path.endswith("gate_1.json") or path.endswith("gate_2.json") \
-                or "bench_gate_refs" in path:
+        if "bench_gate_refs" in path:
             with open(path) as f:
                 d = json.load(f)
             q = {} if d.get("errors") else d.get("queries", {})
@@ -95,8 +94,8 @@ def main():
     out = {
         "_meta": {
             "what": "per-row quiet-band minimum driver-bench seconds; "
-                    "Bench.scala flags rows over ATTR_RATIO x floor in "
-                    "the compact line's attr block",
+                    "Bench.scala flags rows over AttrRatio (1.4) x floor "
+                    "in the compact line's attr block",
             "sf": "/root/testdata/sf0.1",
             "cpus": 32,
             "reps": "best-of-3",
