@@ -78,9 +78,19 @@ object PipelineFlagshipRehearsal {
     val outDir = if (args.length > 2) args(2) else "target/flagship_pipe"
     val repsOverlap = reps.min(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE exists for the recorded 300× partition A/B
+    // (SURVEY §8.5): the hypothesis that the 300× super-linear rows
+    // were per-partition sort size was TESTED and REJECTED — 128
+    // partitions made every heavy stage equal-or-slower than 32 on
+    // this box (overlap 330→495 s), because the binding constraint is
+    // the single shared disk all shuffle/checkpoint/parquet IO funnels
+    // through, which more partitions only fragment. That ceiling is
+    // exactly what a multi-node cluster removes; the plans' exchange
+    // counts stay constant with scale (the property we can pin here).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
