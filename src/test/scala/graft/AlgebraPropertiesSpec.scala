@@ -81,6 +81,63 @@ class AlgebraPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: renameCols through an injective map is a relabeling " +
+      "(dense content preserved; identity is a no-op)") {
+    forAllSeeded(genCells) { cells =>
+      val a = rel(cells)
+      val f = (c: String) => c + "_x" // injective on any label set
+      val renamed = densify(a.renameCols(f))
+      val base = densify(a)
+      assert(renamed === base.map { case ((k, c), v) => (k, f(c)) -> v }
+        .withDefaultValue(0.0))
+      assert(densify(a.renameCols(identity)) === base)
+    }
+  }
+
+  test("property: vstack content is the disjoint union — cellwise sums " +
+      "add like add(outer)") {
+    forAllSeeded(Gen.zip(genCells, genCells)) { case (ca, cb) =>
+      // vstack keeps duplicate labels; summing per (key, col) after the
+      // stack must therefore equal the aligned add of the two frames
+      val stacked = densify(rel(ca).vstack(rel(cb)))
+      val added = densify(rel(ca).add(rel(cb), AlignHow.Outer))
+      assert(stacked === added)
+    }
+  }
+
+  test("property: add key-set laws — Inner intersects, Left keeps a's " +
+      "keys, Right keeps b's") {
+    forAllSeeded(Gen.zip(genCells, genCells)) { case (ca, cb) =>
+      val a = rel(ca); val b = rel(cb)
+      def keys(r: SparseRel): Set[Int] =
+        r.df.select("k").distinct().collect().map(_.getInt(0)).toSet
+      val (ka, kb) = (keys(a), keys(b))
+      assert(keys(a.add(b, AlignHow.Inner)) === (ka & kb))
+      assert(keys(a.add(b, AlignHow.Left)) === ka)
+      assert(keys(a.add(b, AlignHow.Right)) === kb)
+      assert(keys(a.add(b, AlignHow.Outer)) === (ka ++ kb))
+    }
+  }
+
+  test("property: csrSizeBytes matches the reference accounting model " +
+      "recomputed driver-side") {
+    forAllSeeded(genCells) { cells =>
+      if (cells.nonEmpty) {
+        val a = rel(cells)
+        // sparse_frame.py:339-344 members over the COO content: data
+        // <f8 + indices/indptr <i8 + index <i8 (int keys) + columns
+        // <U{maxCodePoints} — the model the r20 code-point/NULL fixes
+        // pinned
+        val nCells = cells.size.toLong
+        val nRows = cells.map(_._1).distinct.size.toLong
+        val colW = cols.map(c => c.codePointCount(0, c.length)).max.toLong
+        val expected = 8L * nCells * 2 + 8L * (nRows + 1) +
+          8L * nRows + 4L * colW * cols.size
+        assert(a.csrSizeBytes === expected)
+      }
+    }
+  }
+
   test("property: sampleFraction is monotone — a larger fraction keeps a superset") {
     import spark.implicits._
     import graft.operators.Sampling
