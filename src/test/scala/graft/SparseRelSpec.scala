@@ -504,6 +504,26 @@ class SparseRelSpec extends SparkSpecBase {
     assert(e.getMessage.contains("non-numeric"))
   }
 
+  test("groupbySumLevel groups on a MultiIndex subset; an unknown " +
+      "level fails loud (sparse_frame.py:220-224's ValueError)") {
+    import spark.implicits._
+    val cells = Seq((1, 10, "a", 1.0), (1, 20, "a", 2.0), (2, 10, "b", 4.0))
+      .toDF("k1", "k2", COL, VALUE)
+    val r = SparseRel(cells, Seq("k1", "k2"),
+      ColUniverse.Explicit(Seq("a", "b")))
+    val g = r.groupbySumLevel(Seq("k1"))
+    assert(g.indexCols === Seq("k1"))
+    assert(g.df.collect().map(x =>
+      (x.getInt(0), x.getString(1), x.getDouble(2))).toSet ===
+      Set((1, "a", 3.0), (2, "b", 4.0)))
+    // the reference raises "Cannot use level in a non MultiIndex
+    // Frame" when the requested level does not exist; here any level
+    // not among the index columns hits the same loud guard
+    val e = intercept[IllegalArgumentException](
+      g.groupbySumLevel(Seq("k2")))
+    assert(e.getMessage.contains("unknown index level"))
+  }
+
   test("csrSizeBytes counts CODE POINTS for label widths and keeps " +
       "NULL-level index rows (r19 advice)") {
     import spark.implicits._
