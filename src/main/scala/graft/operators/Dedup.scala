@@ -391,6 +391,14 @@ object Dedup {
       .filter(size(tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc"), shingleHashes(col(textCol), shingleN).as("sh"))
 
+  /** The index's (doc, sh) signature relation, for callers that stage
+    * one hash pass and feed several consumers (the streaming ingest
+    * loop probes AND admits from a single pass). Must stay the one
+    * definition above — see its scaladoc. */
+  private[graft] def signaturesOf(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    signatures(docs, idCol, textCol, shingleN)
+
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, shingleN: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
     val spark = docs.sparkSession
@@ -445,9 +453,25 @@ object Dedup {
   def appendToNearDupIndex(newDocs: DataFrame, idCol: String,
       textCol: String, path: String, maxIndexFiles: Int = 64): Unit = {
     val spark = newDocs.sparkSession
-    val (shingleN, k, bands) = readIndexParams(spark, path)
+    val params @ (shingleN, _, _) = readIndexParams(spark, path)
+    appendSigToNearDupIndex(
+      signatures(newDocs, idCol, textCol, shingleN), path, params,
+      maxIndexFiles)
+  }
+
+  /** [[appendToNearDupIndex]] over an ALREADY-HASHED (doc, sh)
+    * signature relation with the index params in hand — the streaming
+    * ingest loop's entry point: the probe has already paid the
+    * tokenize+shingle-hash pass for the batch, so admitting it must
+    * not hash the text a second time (and must not re-open the
+    * sidecar the loop read at start). Same idempotency anti-join,
+    * write ordering and compaction contract as the public face. */
+  private[graft] def appendSigToNearDupIndex(sig: DataFrame, path: String,
+      params: (Int, Int, Int), maxIndexFiles: Int = 64): Unit = {
+    val spark = sig.sparkSession
+    val (_, k, bands) = params
     val indexed = spark.read.parquet(s"$path/hashes").select(col("doc"))
-    val newH = signatures(newDocs, idCol, textCol, shingleN)
+    val newH = sig
       .join(indexed, Seq("doc"), "left_anti")
       .localCheckpoint() // hash once; both writes read the materialized batch
     // skip the append jobs entirely for a fully-deduplicated batch —
@@ -489,20 +513,36 @@ object Dedup {
     val spark = newDocs.sparkSession
     // signature parameters come from the index itself — passing them
     // again would let a mismatch silently return zero candidates
-    val (shingleN, k, bands) = readIndexParams(spark, indexPath)
-    val newH = newDocs
-      .filter(size(tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("doc_new"),
-        shingleHashes(col(textCol), shingleN).as("sh_new"))
-    val newBands = newH.select(col("doc_new"),
+    val params @ (shingleN, _, _) = readIndexParams(spark, indexPath)
+    incrementalNearDuplicatesOfSig(
+      signatures(newDocs, idCol, textCol, shingleN)
+        .select(col("doc").as("doc_new"), col("sh").as("sh_new")),
+      indexPath, params, threshold)
+  }
+
+  /** [[incrementalNearDuplicates]] over an ALREADY-HASHED
+    * (doc_new, sh_new) batch signature relation with the index params
+    * in hand — the streaming ingest loop's probe: the loop stages one
+    * signature pass per micro-batch (localCheckpoint) and feeds BOTH
+    * the probe and the admit from it, instead of tokenizing +
+    * shingle-hashing the batch text once per consumer. Join strategy
+    * is left to the planner: with the batch leg checkpointed its size
+    * estimate is accurate, and forcing broadcasts here measured
+    * SLOWER on the drain (three broadcast builds per micro-batch cost
+    * more than the tiny shuffles they replaced). */
+  private[graft] def incrementalNearDuplicatesOfSig(sigNew: DataFrame,
+      indexPath: String, params: (Int, Int, Int),
+      threshold: Double): DataFrame = {
+    val spark = sigNew.sparkSession
+    val (_, k, bands) = params
+    val newBands = sigNew.select(col("doc_new"),
       explode(HashExprs.minhashBandKeys(col("sh_new"), k, bands)).as("bh"))
     val cands = newBands
       .join(spark.read.parquet(s"$indexPath/bands"), Seq("bh"))
       .filter(col("doc_new") =!= col("doc"))
       .select(col("doc_new"), col("doc").as("doc_indexed"))
       .distinct()
-    cands
-      .join(newH, Seq("doc_new"))
+    cands.join(sigNew, Seq("doc_new"))
       .join(spark.read.parquet(s"$indexPath/hashes")
         .withColumnRenamed("doc", "doc_indexed")
         .withColumnRenamed("sh", "sh_idx"), Seq("doc_indexed"))

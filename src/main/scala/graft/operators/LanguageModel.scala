@@ -55,10 +55,18 @@ object LanguageModel {
       (a, b) => concat(a, lit(" "), b))
   }
 
-  /** Train the bigram model over `docs`. Three distributed jobs
-    * (vocab, mapped unigrams, mapped bigrams), each one shuffle with
-    * partial aggregation; every collect is bounded by the closed
-    * alphabet, not the corpus. */
+  /** Train the bigram model over `docs`. TWO distributed jobs (was
+    * three): the vocab top-k, then ONE corpus pass counting mapped
+    * unigrams and bigrams together — a bigram key contains a space
+    * and a token cannot (tokens come from splitting on " "), so one
+    * count over `m ++ bigramKeys(m)` partitions exactly back into the
+    * two maps. The OOV-mapping transform is also evaluated once per
+    * document instead of three times (once in the unigram pass, twice
+    * via the two slices of the bigram pass): `m` is staged as its own
+    * projection, and CollapseProject keeps non-cheap multiply-
+    * referenced aliases staged. Identical counts, one fewer corpus
+    * scan + shuffle + collect; every collect remains bounded by the
+    * closed alphabet, not the corpus. */
   def train(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 64, alpha: Double = 0.5): BigramLm = {
     val t = toks(col(textCol))
@@ -66,14 +74,15 @@ object LanguageModel {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
-    val m = mapped(t, vocab)
-    val unigrams = docs.select(explode(m).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bigrams = docs.select(explode(bigramKeys(m)).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    BigramLm(vocab, unigrams, bigrams, vocab.size + 1, alpha)
+    val all = docs.select(mapped(t, vocab).as("m"))
+      .select(explode(concat(col("m"), bigramKeys(col("m")))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect()
+    val (bg, ug) = all.partition(_.getString(0).contains(" "))
+    BigramLm(vocab,
+      ug.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      bg.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      vocab.size + 1, alpha)
   }
 
   /** Token-distribution drift between two corpus snapshots — the mix

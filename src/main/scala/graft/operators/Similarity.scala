@@ -550,16 +550,18 @@ object Similarity {
       }
       (cents, err)
     }
-    // deterministic restart seeds; strict < keeps the FIRST best run
-    // on ties, so re-runs and resumes agree bit-for-bit
-    var best = runOnce(seed)
-    var r = 1
-    while (r < math.max(1, restarts)) {
-      val cand = runOnce(seed + r * 0x100000001B3L)
-      if (cand._2 < best._2) best = cand
-      r += 1
-    }
-    best._1
+    // deterministic restart seeds; runs are independent, so they
+    // execute in PARALLEL on the driver (the trainer is pure local
+    // compute over the bounded sample — restarts were the dominant
+    // serial cost of the staged quantizer training). The reduction
+    // stays in restart order with strict <, keeping the FIRST best
+    // run on ties, so the result is bit-for-bit what the serial loop
+    // produced — re-runs and resumes agree.
+    val runs = (0 until math.max(1, restarts)).toArray.map { r =>
+      val s = if (r == 0) seed else seed + r * 0x100000001B3L
+      java.util.concurrent.CompletableFuture.supplyAsync(() => runOnce(s))
+    }.map(_.join())
+    runs.reduceLeft((best, cand) => if (cand._2 < best._2) cand else best)._1
   }
 
   /** IVF-style coarse quantization: assign every corpus vector to its
@@ -862,23 +864,35 @@ object Similarity {
       dsub: Int, ksub: Int, iters: Int,
       seed: Long): Array[Array[Array[Double]]] = {
     val nextUnit = splitmixUnit(seed)
+    // The shared stream is consumed ONLY by seeding, exactly k draws
+    // per subspace (one per centroid), in subspace order — so the
+    // whole draw sequence is pre-computed here and the (independent)
+    // per-subspace trainings run in PARALLEL on the driver while
+    // consuming their own slice of it. Bit-for-bit the serial
+    // trainer's output; subspace training was the dominant serial
+    // cost of PQ codebook training (m×ksub Lloyd runs on one core).
+    val kDraws = math.min(ksub, pts.length)
+    val draws = Array.fill(m * kDraws)(nextUnit())
     def d2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < b.length) { val df = a(aOff + i) - b(i); s += df * df; i += 1 }
       s
     }
     Array.tabulate(m) { j =>
+      java.util.concurrent.CompletableFuture.supplyAsync(() => {
+      var drawAt = j * kDraws
+      def nextDraw(): Double = { val v = draws(drawAt); drawAt += 1; v }
       val off = j * dsub
       val k = math.min(ksub, pts.length)
       // k-means++ D² seeding per subspace, same deterministic stream
       val cents = new Array[Array[Double]](k)
-      cents(0) = java.util.Arrays.copyOfRange(pts((nextUnit() * pts.length).toInt
+      cents(0) = java.util.Arrays.copyOfRange(pts((nextDraw() * pts.length).toInt
         .min(pts.length - 1)), off, off + dsub)
       val bestD = pts.map(p => d2(p, off, cents(0)))
       var c = 1
       while (c < k) {
         val total = bestD.sum
-        var r = nextUnit() * total
+        var r = nextDraw() * total
         var pick = 0
         while (pick < pts.length - 1 && r > bestD(pick)) { r -= bestD(pick); pick += 1 }
         cents(c) = java.util.Arrays.copyOfRange(pts(pick), off, off + dsub)
@@ -922,7 +936,8 @@ object Similarity {
         it += 1
       }
       cents
-    }
+      })
+    }.map(_.join())
   }
 
   /** The PQ code relation of a vector column: (vec_id, m-byte binary

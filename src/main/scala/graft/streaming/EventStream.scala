@@ -298,6 +298,12 @@ object EventStream {
       admitMatched: Boolean = false, maxIndexFiles: Int = 64)(
       onPairs: (DataFrame, Long) => Unit) = {
     import graft.operators.Dedup
+    // index params read ONCE at stream start (the index exists before
+    // ingestion begins — the probe contract), not twice per
+    // micro-batch: at streaming cadence the per-batch sidecar opens
+    // were pure fixed overhead
+    val params @ (shingleN, _, _) =
+      Dedup.readIndexParams(docs.sparkSession, indexPath)
     // admitMatched = audit mode: matched documents are indexed anyway
     // (the dedup decision is deferred downstream), so the index holds
     // the full corpus and the emitted pairs are exactly the
@@ -306,14 +312,20 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val b = batch.toDF().localCheckpoint()
-        val pairs = Dedup.incrementalNearDuplicates(b, idCol, textCol,
-          indexPath, threshold).localCheckpoint()
-        val admit = if (admitMatched) b else {
-          val dups = pairs.select(col("doc_new").as(idCol)).distinct()
-          b.join(dups, Seq(idCol), "left_anti")
+        // ONE tokenize+shingle-hash pass per micro-batch, staged and
+        // shared by the probe and the admit — before this the probe
+        // and appendToNearDupIndex each re-hashed the batch text, and
+        // the batch rows themselves were checkpointed a third time
+        val sig = Dedup.signaturesOf(batch.toDF(), idCol, textCol, shingleN)
+          .localCheckpoint()
+        val pairs = Dedup.incrementalNearDuplicatesOfSig(
+          sig.select(col("doc").as("doc_new"), col("sh").as("sh_new")),
+          indexPath, params, threshold).localCheckpoint()
+        val admit = if (admitMatched) sig else {
+          val dups = pairs.select(col("doc_new").as("doc")).distinct()
+          sig.join(dups, Seq("doc"), "left_anti")
         }
-        Dedup.appendToNearDupIndex(admit, idCol, textCol, indexPath,
+        Dedup.appendSigToNearDupIndex(admit, indexPath, params,
           maxIndexFiles)
         onPairs(pairs, batchId)
       }
@@ -377,13 +389,24 @@ object EventStream {
     val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var primary: Throwable = null
     try {
-      // staged once: the residue loop and prepare() would otherwise
+      // staged once: prepare() and the write below would otherwise
       // re-evaluate whatever plan produced src per use
       val src = src0.localCheckpoint()
-      (0 until files).foreach { i =>
-        src.filter(pmod(col(keyCol), lit(files)) === i).coalesce(1)
-          .write.mode(if (i == 0) "overwrite" else "append").parquet(stage)
-      }
+      // ONE staging job writing all residue files (was `files`
+      // sequential filter+coalesce(1) jobs — one scan of src per
+      // residue class, each paying full job latency). partitionBy
+      // splits rows by the residue VALUE within the single coalesced
+      // task, so exactly one data file lands per class — the batch-
+      // membership contract (one parquet FILE per `keyCol % files`)
+      // is unchanged. coalesce(1) is safe here by construction: the
+      // drain stages a bounded fixture (this is the finite-drain test
+      // harness, not the production ingest path, which reads a real
+      // stream). The stream read below declares the data schema; the
+      // discovered __res partition column is appended by the source
+      // and ignored by every consumer (all select named columns).
+      src.withColumn("__res", pmod(col(keyCol), lit(files)))
+        .coalesce(1)
+        .write.partitionBy("__res").mode("overwrite").parquet(stage)
       prepare(src, idx)
       val q = start(stage, idx,
         (pairs, _) => batches.synchronized { batches += pairs })
