@@ -111,10 +111,29 @@ object Multimodal {
     * animated GIF (id-derived frame count, per-frame solid gray) — so
     * every scale factor gets a genuine media corpus without shipping
     * binaries. Encoding runs distributed inside `mapPartitions`. */
+  /** Spread the encode ids over the session's full parallelism BEFORE
+    * the codec mapPartitions: the documents table is small enough to
+    * arrive as one scan split, which serialized every synthetic
+    * encode pass onto a single core (guide §2.5 input skew — fix
+    * right after the read). Only the bare id column shuffles (8
+    * bytes/row); the encoded payloads are produced already spread, so
+    * downstream decode stages need no second, bytes-carrying
+    * exchange. Hash on doc_id, not round-robin: keyless
+    * repartition(n) pays a local sort per task
+    * (spark.sql.execution.sortBeforeRepartition) and its output
+    * placement would not be a pure key property. The count follows
+    * the session (defaultParallelism = total cores locally and on a
+    * cluster), never a constant tuned to one box. */
+  private def spreadIds(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spreadIds(docs).as[Long].mapPartitions { ids =>
       ImageIO.setUseCache(false)   // in-memory streams; no temp-file cache
       ids.map { id =>
         (id % 3) match {
@@ -584,7 +603,7 @@ object Multimodal {
   def syntheticPatternMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spreadIds(docs).as[Long].mapPartitions { ids =>
       ImageIO.setUseCache(false)
       ids.map { id =>
         MediaFile(id, "image", encodePatternPng(id),
@@ -678,7 +697,7 @@ object Multimodal {
       ampScale: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    spreadIds(docs).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val n = audioSamples(id)
         MediaFile(id, "audio", encodeModulatedWav(id, ampScale),

@@ -30,6 +30,25 @@ object Scale {
       indexCols: Seq[String], universe: Seq[String]): SparseRel =
     SparseRel(spark.table(table), indexCols, universe)
 
+  /** Spread a COMPUTE-DENSE relation across the session's parallelism
+    * before an expensive per-row kernel (shingle/winnow hashing, codec
+    * work, signature math) — but only when the upstream plan provides
+    * FEWER partitions than the session has cores. A small parquet
+    * fixture arrives as one scan split (and one row group, so scan
+    * splitting cannot help), which serializes the kernel onto a single
+    * core; at warehouse scale the input has thousands of splits and
+    * this is a NO-OP — the condition, not a constant, carries the
+    * scale-dependence (guide §2.5: fix input skew right after the
+    * read). Hash-repartition on `key` (deterministic placement; keyless
+    * round-robin pays a per-task sort and is retry-fragile). Call with
+    * scan-rooted/narrow frames: the partition-count probe plans the
+    * frame but runs no job. */
+  def spreadForKernel(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Salted equi-join for a skewed build side: the hot keys of `left`
     * are spread over `factor` salt values (deterministic hash of the
     * tuple — no RNG, so re-runs agree), and `right` is replicated
