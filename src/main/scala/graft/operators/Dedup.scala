@@ -126,6 +126,13 @@ object Dedup {
   private def lshCandidatesOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val banded = sig
       .select(col("doc"), explode(HashExprs.minhashBandKeys(col("sh"), k, bands)).as("bh"))
+    // stays a two-leg self-join ON PURPOSE (r21 audit): LSH bucket
+    // size is unbounded on a duplicate-dense corpus (every copy of a
+    // hot document shares all band keys), so a per-bucket collect_list
+    // rewrite (the overlapPairs §2.4 trick — safe there because the
+    // stop-fingerprint guard caps bucket size) would buffer an
+    // unbounded id array in ONE aggregation row that cannot spill —
+    // the join's build side can
     banded.as("x").join(banded.as("y"),
         col("x.bh") === col("y.bh") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))

@@ -62,11 +62,16 @@ object ImportanceSampling {
   def train(raw: DataFrame, isTarget: Column, textCol: String,
       vocabSize: Int = 64, alpha: Double = 0.5): RatioModel = {
     val t = toks(col(textCol))
-    val vocab = raw.select(explode(t).as("w"))
+    // spread before the tokenize+explode passes (no-op at scale — see
+    // Scale.spreadForKernel); counts are order-independent, so the
+    // model is identical. Keyed on the text hash: the trainer has no
+    // id column in scope and only needs an even spread.
+    val rawS = Scale.spreadForKernel(raw, col(textCol))
+    val vocab = rawS.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
-    val counts = raw
+    val counts = rawS
       .select(isTarget.as("is_t"), explode(mapped(t, vocab)).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cr"),

@@ -70,11 +70,16 @@ object LanguageModel {
   def train(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 64, alpha: Double = 0.5): BigramLm = {
     val t = toks(col(textCol))
-    val vocab = docs.select(explode(t).as("w"))
+    // spread before the tokenize+explode passes: a one-split fixture
+    // scan would run both corpus passes single-core (no-op at scale —
+    // see Scale.spreadForKernel); aggregation results are
+    // order-independent counts, so the model is identical
+    val docsS = Scale.spreadForKernel(docs, col(idCol))
+    val vocab = docsS.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
-    val all = docs.select(mapped(t, vocab).as("m"))
+    val all = docsS.select(mapped(t, vocab).as("m"))
       .select(explode(concat(col("m"), bigramKeys(col("m")))).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
       .collect()

@@ -1266,6 +1266,11 @@ object Similarity {
       .withColumn("cells", graft.functions.IvfCells.cells(col("v"), cents, probes))
       .localCheckpoint()
     val leg = assigned.select(col("vec_id"), explode(col("cells")).as("cell"))
+    // stays a two-leg self-join ON PURPOSE (r21 audit): an IVF cell
+    // holds ~corpus/nlist vectors, so a per-cell collect_list rewrite
+    // (the Dedup.lshCandidatesOf / overlapPairs §2.4 trick) would
+    // buffer a corpus-scale id array in ONE aggregation row that
+    // cannot spill — the join's build side can
     val cand = leg.as("a")
       .join(leg.as("b"), col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -408,17 +408,26 @@ object TextAnalysis {
     val inv = fingerprintWinnow(docs, idCol, textCol, w, g)
       .select(col(idCol).as("doc"), explode(col("fps")).as("fp"))
       .localCheckpoint() // hash the corpus once (histogram + filter read this)
-    // kept is itself staged: it feeds BOTH self-join legs, and without
-    // staging each leg would re-run the df histogram aggregate + join
-    val kept = inv.join(
-      inv.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDocFreq)
-        .select(col("fp")),
-      Seq("fp"))
-      .localCheckpoint()
-    kept.as("x").join(kept.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+    // Pair generation via ONE per-bucket aggregation instead of the
+    // former two-leg self-join (r21, guide §2.4): group the kept
+    // postings by fingerprint, collect each bucket's doc list (bounded
+    // by maxDocFreq — the stop-fingerprint guard above is what makes
+    // the collect safe), and generate the a<b pairs by a double
+    // explode of the bucket. Same pair multiset as the equi-self-join
+    // (each co-occurrence in a bucket yields exactly one a<b pair),
+    // but the exploded posting relation crosses the network once
+    // (groupBy fp) instead of three times (two join legs + their
+    // staged checkpoint), and the `kept` materialization disappears.
+    inv.join(
+        inv.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq)
+          .select(col("fp")),
+        Seq("fp"))
+      .groupBy(col("fp")).agg(collect_list(col("doc")).as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

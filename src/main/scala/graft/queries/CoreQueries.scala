@@ -476,7 +476,17 @@ object CoreQueries {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
     QueryDef("price_quantiles",
-      (s, dir) => Tables.lineitem(s, dir)
+      // spread the scan before the exact-percentile aggregate (r21):
+      // the fixture's lineitem arrives as ONE scan split, so the
+      // value-collecting partial aggregation (the dominant cost — it
+      // buffers every row per group) ran on a single core. Hash on
+      // l_orderkey (high-cardinality; the 3-value group key would
+      // skew), partial buffers then build in parallel and merge in the
+      // 3-group final agg. No-op at scale (Scale.spreadForKernel);
+      // percentile's count-map buffer is order-independent, so the
+      // result is bit-identical.
+      (s, dir) => graft.operators.Scale.spreadForKernel(
+          Tables.lineitem(s, dir), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         // ONE percentile aggregate with an array of targets, not
         // three: each percentile(col, p) call is its own aggregate
