@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document mean negative log-likelihood under a FROZEN bigram
@@ -190,7 +191,90 @@ case class RatioSum(child: Expression, vocab: Array[String],
   override def prettyName: String = "ratio_sum"
 }
 
+/** OOV-mapped token keys for the LM / DSIR TRAINING passes — the
+  * corpus-sized map side of model training as ONE primitive pass per
+  * row with a HASHED vocab probe.
+  *
+  * Replaces the Column-composed chain `transform(split(text, " "),
+  * w => when(array_contains(v, w), w).otherwise("<unk>"))` (plus,
+  * with `withBigrams`, the `concat(m, zip_with(slice, slice, ..))`
+  * bigram-key append): higher-order functions are CodegenFallback
+  * (interpreted per row) and `array_contains` on the V-element
+  * literal is a linear scan — O(tokens × V) per document; this kernel
+  * is O(tokens) inside whole-stage codegen with the SAME value to the
+  * bit: identical `split(text, " ")` tokenization (trailing empties
+  * kept), identical OOV→<unk> mapping, and under `withBigrams` the
+  * identical `m ++ bigramKeys(m)` layout — the n mapped unigrams in
+  * token order, then the max(n−1, 0) adjacent "a b" pairs in order
+  * (a bigram key contains the split space, a token cannot, so the
+  * trainer's count partition stays exact). NULL text → NULL; the
+  * emitted array never contains nulls. The `LanguageModel` /
+  * `ImportanceSampling` golden specs pin hand-computed models and the
+  * DuckDB oracle replays the counts, so a divergence in any of those
+  * contracts turns a gate red. */
+case class MappedKeys(child: Expression, vocab: Array[String],
+    withBigrams: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  private val unk = "<unk>"
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    var i = 0
+    while (i < n) {
+      if (!vocabSet.contains(toks(i))) toks(i) = unk
+      i += 1
+    }
+    val out = new Array[Any](if (withBigrams) n + math.max(n - 1, 0) else n)
+    i = 0
+    while (i < n) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    if (withBigrams) {
+      var j = 0
+      while (j < n - 1) {
+        out(n + j) = UTF8String.fromString(toks(j) + " " + toks(j + 1))
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mappedKeysExpr", this, classOf[MappedKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MappedKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "mapped_keys"
+}
+
 object LmExprs {
+  /** Column API: OOV-mapped tokens of `text` (token order), plus —
+    * when `withBigrams` — the adjacent mapped "a b" bigram keys
+    * appended after them. */
+  def mappedKeys(text: Column, vocab: Array[String],
+      withBigrams: Boolean): Column =
+    ColumnBridge.column(MappedKeys(ColumnBridge.expression(text),
+      vocab, withBigrams))
+
   /** Column API: mean negative log-likelihood of `text` under the
     * frozen bigram counts. */
   def bigramNll(text: Column, vocab: Array[String],

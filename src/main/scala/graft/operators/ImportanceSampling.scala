@@ -48,12 +48,6 @@ object ImportanceSampling {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  private def mapped(t: Column, vocab: Seq[String]): Column = {
-    val v = typedLit(vocab)
-    transform(t, w =>
-      when(array_contains(v, w), w).otherwise(lit(LanguageModel.Unk)))
-  }
-
   /** Train the ratio model: vocab over RAW (count-desc/token
     * tie-break — the q side defines the support, per DSIR), then one
     * aggregation counting each mapped token on both sides at once
@@ -62,17 +56,19 @@ object ImportanceSampling {
   def train(raw: DataFrame, isTarget: Column, textCol: String,
       vocabSize: Int = 64, alpha: Double = 0.5): RatioModel = {
     val t = toks(col(textCol))
-    // spread before the tokenize+explode passes (no-op at scale — see
-    // Scale.spreadForKernel); counts are order-independent, so the
-    // model is identical. Keyed on the text hash: the trainer has no
-    // id column in scope and only needs an even spread.
-    val rawS = Scale.spreadForKernel(raw, col(textCol))
+    // NOT spread (r21, measured): the spread repartitioned the TEXT
+    // payload and both passes re-executed that exchange — interleaved
+    // A/B at sf0.1 read ~1.05 s with the spread vs ~0.6 s without.
+    // See LanguageModel.train for the same finding and the contrast
+    // with the kernels where the spread does win.
+    val rawS = raw
     val vocab = rawS.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
     val counts = rawS
-      .select(isTarget.as("is_t"), explode(mapped(t, vocab)).as("w"))
+      .select(isTarget.as("is_t"), explode(graft.functions.LmExprs
+        .mappedKeys(col(textCol), vocab.toArray, withBigrams = false)).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))

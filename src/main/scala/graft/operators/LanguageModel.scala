@@ -43,44 +43,34 @@ object LanguageModel {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  /** OOV-map a token array against the model vocab. */
-  private def mapped(t: Column, vocab: Seq[String]): Column = {
-    val v = typedLit(vocab)
-    transform(t, w => when(array_contains(v, w), w).otherwise(lit(Unk)))
-  }
-
-  private def bigramKeys(m: Column): Column = {
-    val n1 = greatest(size(m) - 1, lit(0))
-    zip_with(slice(m, lit(1), n1), slice(m, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
-  }
-
   /** Train the bigram model over `docs`. TWO distributed jobs (was
     * three): the vocab top-k, then ONE corpus pass counting mapped
     * unigrams and bigrams together — a bigram key contains a space
     * and a token cannot (tokens come from splitting on " "), so one
     * count over `m ++ bigramKeys(m)` partitions exactly back into the
-    * two maps. The OOV-mapping transform is also evaluated once per
-    * document instead of three times (once in the unigram pass, twice
-    * via the two slices of the bigram pass): `m` is staged as its own
-    * projection, and CollapseProject keeps non-cheap multiply-
-    * referenced aliases staged. Identical counts, one fewer corpus
-    * scan + shuffle + collect; every collect remains bounded by the
-    * closed alphabet, not the corpus. */
+    * two maps. The tokenize + OOV-map + bigram-key chain is the
+    * native [[graft.functions.MappedKeys]] kernel (r21): one codegen
+    * pass per document with a hashed vocab probe, replacing the
+    * interpreted `transform`/`array_contains` HOF chain that cost
+    * O(tokens × V) per document. Identical counts (kernel
+    * spec-pinned against the Column-composed chain); every collect
+    * remains bounded by the closed alphabet, not the corpus. */
   def train(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 64, alpha: Double = 0.5): BigramLm = {
     val t = toks(col(textCol))
-    // spread before the tokenize+explode passes: a one-split fixture
-    // scan would run both corpus passes single-core (no-op at scale —
-    // see Scale.spreadForKernel); aggregation results are
-    // order-independent counts, so the model is identical
-    val docsS = Scale.spreadForKernel(docs, col(idCol))
+    // NOT spread (r21, measured): Scale.spreadForKernel here
+    // repartitions the TEXT payload and both passes re-execute that
+    // exchange — interleaved A/B at sf0.1 read ~2.9 s with the spread
+    // vs ~1.3 s without. The per-token work is cheap enough that the
+    // payload shuffle dominates; contrast token_count_bpe, where the
+    // merge-loop kernel dwarfs its input shuffle and the spread wins.
+    val docsS = docs
     val vocab = docsS.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
-    val all = docsS.select(mapped(t, vocab).as("m"))
-      .select(explode(concat(col("m"), bigramKeys(col("m")))).as("k"))
+    val all = docsS.select(explode(graft.functions.LmExprs.mappedKeys(
+        col(textCol), vocab.toArray, withBigrams = true)).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
       .collect()
     val (bg, ug) = all.partition(_.getString(0).contains(" "))
@@ -104,15 +94,19 @@ object LanguageModel {
     * model-sized, never corpus-sized. */
   def divergence(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 64): DataFrame = {
-    val t = toks(col(textCol))
-    val tagged = a.select(lit("a").as("side"), t.as("t"))
-      .unionByName(b.select(lit("b").as("side"), t.as("t")))
-    val vocab = tagged.select(explode(col("t")).as("w"))
+    // carry the RAW text through the union (not the pre-split array):
+    // the native mapped_keys kernel tokenizes + OOV-maps in one
+    // codegen pass (r21 — see MappedKeys; the transform/array_contains
+    // chain evaluated interpreted at O(tokens × V) per document)
+    val tagged = a.select(lit("a").as("side"), col(textCol).as("txt"))
+      .unionByName(b.select(lit("b").as("side"), col(textCol).as("txt")))
+    val vocab = tagged.select(explode(toks(col("txt"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
     val counts = tagged
-      .select(col("side"), explode(mapped(col("t"), vocab)).as("tok"))
+      .select(col("side"), explode(graft.functions.LmExprs.mappedKeys(
+        col("txt"), vocab.toArray, withBigrams = false)).as("tok"))
       .groupBy(col("tok"))
       .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))

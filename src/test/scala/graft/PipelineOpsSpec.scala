@@ -192,6 +192,55 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("native MappedKeys equals the Column-composed OOV/bigram-key chain") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.LanguageModel
+    // the Column-composed trainer chain MappedKeys replaced (r21) —
+    // kept as the executable reference, same discipline as the
+    // BigramNll test above
+    def reference(docs: org.apache.spark.sql.DataFrame,
+        vocab: Seq[String], withBigrams: Boolean): Seq[Seq[String]] = {
+      val v = typedLit(vocab)
+      val m = transform(split(col("text"), " "),
+        w => when(array_contains(v, w), w).otherwise(lit(LanguageModel.Unk)))
+      val n1 = greatest(size(m) - 1, lit(0))
+      val bk = zip_with(slice(m, lit(1), n1), slice(m, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      docs.orderBy("doc_id")
+        .select((if (withBigrams) concat(m, bk) else m).as("k"))
+        .collect().toSeq.map(r =>
+          if (r.isNullAt(0)) null else r.getSeq[String](0))
+    }
+    def native(docs: org.apache.spark.sql.DataFrame,
+        vocab: Seq[String], withBigrams: Boolean): Seq[Seq[String]] =
+      docs.orderBy("doc_id")
+        .select(graft.functions.LmExprs.mappedKeys(
+          col("text"), vocab.toArray, withBigrams).as("k"))
+        .collect().toSeq.map(r =>
+          if (r.isNullAt(0)) null else r.getSeq[String](0))
+    // adversarial vocabs: empty, the literal "<unk>" and "" as vocab
+    // members (a double-space corpus can rank "" into the top-k)
+    val vocabs = Seq(Seq.empty[String], Seq("a", "b"),
+      Seq("<unk>", "", "é"), Seq("a", "cc", "ddd"))
+    val word = Gen.oneOf("a", "b", "cc", "ddd", "é", "<unk>")
+    val genDoc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val genCorpus = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, genDoc))
+      .map(_ ++ Seq("", " ", "a  b", " a", "b ", null))
+    (0 until 4).foreach { i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+          .toDF("doc_id", "text")
+        for (vocab <- vocabs; wb <- Seq(true, false))
+          assert(native(docs, vocab, wb) === reference(docs, vocab, wb),
+            s"seed $i vocab $vocab withBigrams $wb diverged")
+      }
+    }
+  }
+
   test("corpus divergence: identical snapshots give 0, disjoint give ln 2") {
     import spark.implicits._
     import graft.operators.LanguageModel
