@@ -173,8 +173,16 @@ object Bench {
               case ("sf", JString(s)) => s
             }
           }.flatten
-          if (metaSf.exists(_ != sfDir)) {
-            System.err.println(s"[bench] floors recorded at ${metaSf.get}, " +
+          // normalize both sides before comparing (r21, ADVICE): a
+          // trailing slash or redundant path segment must not silently
+          // disable floors; an ABSENT/unreadable _meta.sf is treated
+          // as a mismatch rather than applying floors to any dir
+          def norm(p: String): String =
+            try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+            catch { case _: Throwable => p }
+          if (!metaSf.map(norm).contains(norm(sfDir))) {
+            System.err.println(s"[bench] floors recorded at " +
+              s"${metaSf.getOrElse("<no _meta.sf>")}, " +
               s"run is $sfDir — attr floors disabled")
             Map.empty[String, Double]
           } else top.collectFirst {
@@ -474,9 +482,11 @@ object Bench {
         s""""sf":${jstr(sfDir)}}""")
     // Budget: the driver keeps the run's LAST 2000 chars; sbt's
     // trailing "[success] Total time: ..." line costs ~75 of them, so
-    // the line survives intact up to ~1925. 1800 keeps >120 margin
-    // (r16 chose 1700 before the attr/subtotal blocks existed).
-    val compact = candidates.find(_.length <= 1800).getOrElse(candidates.last)
+    // the line survives intact up to ~1925. 1750 (r21, ADVICE: was
+    // 1800) keeps ~175 chars of margin for any shutdown straggler
+    // longer than the assumed sbt trailer — the ladder preserves the
+    // subtotals either way.
+    val compact = candidates.find(_.length <= 1750).getOrElse(candidates.last)
     System.err.flush()
     println(compact)
     System.out.flush()

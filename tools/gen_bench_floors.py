@@ -25,7 +25,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # IVF/PQ training (ann_stage_cents), which was the last bench-wide
 # restructure. r17 is excluded (the round shipped a compile break; its
 # bench ran pre-break code).
-SCAN_ROUNDS = (16, 18, 19)
+# r20 added per the r20 verdict's ask #4: its committed BENCH_r20.json
+# and the four quiet release-gate lines extend the quiet band.
+SCAN_ROUNDS = (16, 18, 19, 20)
 
 # Rows whose semantics changed AFTER r16 — floor must come only from
 # rounds at-or-after the change:
