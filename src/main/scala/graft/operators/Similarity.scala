@@ -297,8 +297,20 @@ object Similarity {
     // would otherwise each re-evaluate all tables×planes hyperplane
     // dot products per row; the staged relation is two longs per
     // (vector, table) — scale-safe to materialize, unlike the corpus.
-    val keyed = c0.withColumn("__keys", keysOf(col("v")))
-      .select(col("vec_id"), explode(col("__keys")).as("bucket"))
+    // The checkpointed key legs are SPREAD to the session's parallelism
+    // before materializing (r22, guide §2.5): a single-split fixture
+    // scan hands the explode ONE partition, and localCheckpoint
+    // preserves partitioning — so every later candidate join streamed
+    // this leg as ONE task (profiled 1.05 s/evaluation single-task
+    // stage: bucket join + pair dedup partials + both vector-fetch
+    // broadcast joins, all chained into that stage). The spread moves
+    // (vec_id, bucket) longs only — decision data, never the vectors
+    // (§8) — and is conditional: at warehouse scale the scan has
+    // thousands of splits and spreadForKernel is a no-op.
+    val keyed = Scale.spreadForKernel(
+      c0.withColumn("__keys", keysOf(col("v")))
+        .select(col("vec_id"), explode(col("__keys")).as("bucket")),
+      col("vec_id"))
       .localCheckpoint()
     // ASYMMETRIC query-directed multi-probe (`multiProbe` > 0): one
     // join leg (the "index" side) keeps the base keys ONLY — the
@@ -315,9 +327,11 @@ object Similarity {
     // base-only; multiProbe=1 measures 0.92-0.96).
     val keyedProbe =
       if (multiProbe <= 0) keyed
-      else c0.withColumn("__keys",
-          tableProbeKeys(col("v"), allPlanes, multiProbe))
-        .select(col("vec_id"), explode(col("__keys")).as("bucket"))
+      else Scale.spreadForKernel(
+          c0.withColumn("__keys",
+            tableProbeKeys(col("v"), allPlanes, multiProbe))
+          .select(col("vec_id"), explode(col("__keys")).as("bucket")),
+          col("vec_id"))
         .localCheckpoint()
     // Skew guard: clustered embeddings concentrate sign patterns, and
     // one hot bucket holding k vectors contributes k²/2 pairs no
@@ -397,10 +411,19 @@ object Similarity {
       .join(c0.select(col("vec_id").as("ib"), col("v").as("vb")), Seq("ib"))
       .select(col("ia"), col("ib"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
+    // both directions via ONE explode over the scored rows, not a
+    // two-leg union (r22, guide §2.3): a union re-EXECUTES the whole
+    // scored subtree — candidate join, pair dedup exchange, both
+    // vector-fetch joins — once per leg (the r21 plan shows the
+    // duplicated subtrees), where the explode emits the same row
+    // multiset from a single evaluation. Same rows, half the work.
     val directed = scored
-      .select(col("ia").as("qid"), col("ib").as("vec_id"), col("cos"))
-      .unionByName(scored
-        .select(col("ib").as("qid"), col("ia").as("vec_id"), col("cos")))
+      .select(explode(array(
+        struct(col("ia").as("qid"), col("ib").as("vec_id"), col("cos")),
+        struct(col("ib").as("qid"), col("ia").as("vec_id"), col("cos"))))
+        .as("e"))
+      .select(col("e.qid").as("qid"), col("e.vec_id").as("vec_id"),
+        col("e.cos").as("cos"))
     // top-1 via hash aggregate (max of a lexicographic struct; negated
     // id = min-id tie-break), not a window: no per-partition sort, and
     // map-side partial aggregation shrinks the shuffle
