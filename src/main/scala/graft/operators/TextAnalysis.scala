@@ -405,31 +405,67 @@ object TextAnalysis {
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 16, g: Int = 7, minShared: Int = 2,
       maxDocFreq: Int = 1000): DataFrame = {
-    val inv = fingerprintWinnow(docs, idCol, textCol, w, g)
-      .select(col(idCol).as("doc"), explode(col("fps")).as("fp"))
-      .localCheckpoint() // hash the corpus once (histogram + filter read this)
     // Pair generation via ONE per-bucket aggregation instead of the
-    // former two-leg self-join (r21, guide §2.4): group the kept
-    // postings by fingerprint, collect each bucket's doc list (bounded
-    // by maxDocFreq — the stop-fingerprint guard above is what makes
-    // the collect safe), and generate the a<b pairs by a double
-    // explode of the bucket. Same pair multiset as the equi-self-join
-    // (each co-occurrence in a bucket yields exactly one a<b pair),
-    // but the exploded posting relation crosses the network once
-    // (groupBy fp) instead of three times (two join legs + their
-    // staged checkpoint), and the `kept` materialization disappears.
-    inv.join(
-        inv.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq)
-          .select(col("fp")),
-        Seq("fp"))
-      .groupBy(col("fp")).agg(collect_list(col("doc")).as("ds"))
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    // former two-leg self-join (r21, guide §2.4), and — for the
+    // integral-id case every declared query hits — that aggregation is
+    // a BOUNDED capped collect fused with the stop-fingerprint guard
+    // (r22, §2.3/§2.4): collect up to maxDocFreq+1 docs per
+    // fingerprint (the cap is what makes the collect spill-safe — a
+    // ubiquitous fingerprint costs O(cap) buffer, never O(bucket)),
+    // drop buckets that hit the cap (exactly the df > maxDocFreq
+    // stop-fingerprints — their member lists may be truncated, but
+    // they are discarded, and kept buckets are provably complete), and
+    // generate each bucket's value-ordered pairs with the native
+    // OrderedPairs kernel (one n²/2 walk; the former double explode
+    // materialized all n² ordered position pairs — the first explode
+    // copying the bucket array into each row — then filtered half
+    // away). vs r21 this removes one full pass over the posting
+    // relation (the separate df histogram + its broadcast semi-join)
+    // and the posting checkpoint: the corpus is winnow-hashed and the
+    // postings cross the network exactly once. Pair multiset
+    // unchanged (oracle-green): per bucket each unordered doc pair
+    // with distinct ids yields exactly one (min, max) pair, equal ids
+    // yield none — identical to explode×explode + a<b.
+    val docType = docs.schema(idCol).dataType
+    // The winnow-hash kernel input is SPREAD to session parallelism
+    // when the scan provides fewer partitions (r22, §2.5): a
+    // single-split fixture serialized the whole rolling-hash pass onto
+    // one core (profiled 0.72 s single-task job). The text payload
+    // crosses that conditional exchange ONCE and is consumed once —
+    // the fused aggregation below is the postings' only reader — so
+    // the r21 trainer-spread trap (payload re-shuffled per consuming
+    // pass) does not apply; at warehouse scale the condition no-ops.
+    val inv0 = fingerprintWinnow(Scale.spreadForKernel(docs, col(idCol)),
+        idCol, textCol, w, g)
+      .select(col(idCol).as("doc"), explode(col("fps")).as("fp"))
+    if (docType == org.apache.spark.sql.types.LongType) {
+      val cap = if (maxDocFreq == Int.MaxValue) maxDocFreq else maxDocFreq + 1
+      inv0
+        .groupBy(col("fp"))
+        .agg(graft.functions.CappedListAgg.capped_list(cap)(col("doc")).as("ds"))
+        .filter(size(col("ds")) <= maxDocFreq)
+        .select(explode(graft.functions.PairExprs.orderedPairs(col("ds"))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+    } else {
+      // generic-id fallback: the r21 shape (histogram + semi-join +
+      // collect_list + double explode). The checkpoint stages the one
+      // hash pass that both the histogram and the bucket collect read.
+      val inv = inv0.localCheckpoint()
+      inv.join(
+          inv.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxDocFreq)
+            .select(col("fp")),
+          Seq("fp"))
+        .groupBy(col("fp")).agg(collect_list(col("doc")).as("ds"))
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+    }
   }
 
   /** Per-document top-`k` overlap partners — the PRODUCTION variant of

@@ -1417,6 +1417,77 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("overlapPairs fused long-id path equals the generic fallback (r22)") {
+    import spark.implicits._
+    // ids stay single-digit so the fallback's STRING a<b ordering
+    // agrees with the numeric one — the comparison isolates the path
+    // difference, not the id collation
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val extra = "one two three four five six seven eight nine ten eleven"
+    val d = Seq(
+      (0L, boiler + " " + extra + " zero"),
+      (1L, "one " + boiler + " " + extra),
+      (2L, "two " + boiler + " t2"),
+      (3L, "three " + boiler + " t3"),
+      (4L, "unrelated text with no shared long substring anywhere at all"))
+      .toDF("doc_id", "text")
+    // maxDocFreq = 3 drops the 4-doc boilerplate fingerprints in BOTH
+    // paths (capped collect hitting the cap vs the df histogram), so
+    // the equality also pins the stop-fingerprint guard equivalence
+    for (mdf <- Seq(3, 10); ms <- Seq(1, 2)) {
+      val fused = TextAnalysis.overlapPairs(d, "doc_id", "text",
+          minShared = ms, maxDocFreq = mdf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val generic = TextAnalysis.overlapPairs(
+          d.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+          "doc_id", "text", minShared = ms, maxDocFreq = mdf)
+        .collect()
+        .map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getLong(2)))
+        .toSet
+      assert(fused === generic,
+        s"fused vs fallback diverged at maxDocFreq=$mdf minShared=$ms")
+    }
+    // the long-id plan must actually take the fused path (native
+    // pair kernel + capped collect — no df-histogram join)
+    val plan = TextAnalysis.overlapPairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ordered_pairs"), s"fused kernel missing:\n$plan")
+    assert(!plan.contains("Join"), s"fused path must not join:\n$plan")
+  }
+
+  test("OrderedPairs equals double explode + a<b filter (dups, equals, nulls)") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq[java.lang.Long](1L, 2L, 3L),
+      Seq[java.lang.Long](5L, 5L, 2L),          // equal values pair with nothing
+      Seq[java.lang.Long](7L, null, 3L, 7L),    // null slots never pair
+      Seq[java.lang.Long](9L),
+      Seq.empty[java.lang.Long])
+    val d = rows.toDF("ds")
+    val kernel = d.select(explode(
+        graft.functions.PairExprs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val composed = d.select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(kernel.toSeq === composed.toSeq)
+  }
+
+  test("CappedListAgg keeps complete groups exact and marks over-cap groups") {
+    import spark.implicits._
+    val d = (1 to 7).map(i => ("big", i.toLong)) ++
+      Seq(("ok", 100L), ("ok", 101L), ("one", 5L))
+    val got = d.toDF("g", "id").repartition(4)
+      .groupBy(col("g"))
+      .agg(graft.functions.CappedListAgg.capped_list(5)(col("id")).as("ds"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(got("big").length === 5, "over-cap group must truncate AT the cap")
+    assert(got("ok") === Seq(100L, 101L))
+    assert(got("one") === Seq(5L))
+  }
+
   test("overlapTopK caps each document at k partners, ranked by shared desc") {
     import spark.implicits._
     // one boilerplate block shared by docs 0-3 (a 4-cluster: 3
