@@ -475,6 +475,19 @@ object Dedup {
     * write ordering and compaction contract as the public face. */
   private[graft] def appendSigToNearDupIndex(sig: DataFrame, path: String,
       params: (Int, Int, Int), maxIndexFiles: Int = 64): Unit = {
+    appendSigNoCompact(sig, path, params)
+    compactNearDupIndex(sig.sparkSession, path, maxIndexFiles)
+  }
+
+  /** The append half of [[appendSigToNearDupIndex]] WITHOUT the
+    * compaction sweep — for the streaming ingest loop, which runs the
+    * admit append CONCURRENTLY with the batch's probe jobs (§2.6; the
+    * probe's index reads snapshotted their file listing before the
+    * append, and appends never delete files) and must defer compaction
+    * — which DOES rewrite and delete files — until the probe has
+    * finished reading, via [[compactNearDupIndex]]. */
+  private[graft] def appendSigNoCompact(sig: DataFrame, path: String,
+      params: (Int, Int, Int)): Unit = {
     val spark = sig.sparkSession
     val (_, k, bands) = params
     val indexed = spark.read.parquet(s"$path/hashes").select(col("doc"))
@@ -490,6 +503,16 @@ object Dedup {
         .write.mode("append").parquet(s"$path/bands")
       newH.write.mode("append").parquet(s"$path/hashes")
     }
+  }
+
+  /** The compaction half of [[appendSigToNearDupIndex]] — bands before
+    * hashes, same crash-ordering rationale as the appends. Must not
+    * run while any plan holding a pre-compaction file listing of this
+    * index still has jobs to execute (compaction deletes the listed
+    * files). */
+  private[graft] def compactNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxIndexFiles: Int): Unit = {
     graft.sources.ParquetCompact.compactIfNeeded(spark, s"$path/bands",
       maxIndexFiles)
     graft.sources.ParquetCompact.compactIfNeeded(spark, s"$path/hashes",

@@ -124,11 +124,15 @@ object Multimodal {
     * placement would not be a pure key property. The count follows
     * the session (defaultParallelism = total cores locally and on a
     * cluster), never a constant tuned to one box. */
-  private def spreadIds(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    docs.select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-  }
+  /** The bare id column of `docs`, spread across the session's cores
+    * for the codec kernels — conditional like Scale.spreadForKernel
+    * (r22, ADVICE): only when the projected input arrives with fewer
+    * partitions than the session has cores. At warehouse scale a
+    * many-split scan keeps its own (wider) partitioning and this is a
+    * no-op; the repartition moves 8-byte ids only, never media
+    * bytes. */
+  private def spreadIds(docs: DataFrame): DataFrame =
+    Scale.spreadForKernel(docs.select(col("doc_id")), col("doc_id"))
 
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

@@ -40,9 +40,19 @@ object Scale {
     * this is a NO-OP — the condition, not a constant, carries the
     * scale-dependence (guide §2.5: fix input skew right after the
     * read). Hash-repartition on `key` (deterministic placement; keyless
-    * round-robin pays a per-task sort and is retry-fragile). Call with
-    * scan-rooted/narrow frames: the partition-count probe plans the
-    * frame but runs no job. */
+    * round-robin pays a per-task sort and is retry-fragile).
+    *
+    * RESTRICTION — scan-rooted/narrow inputs only (r21 verdict): the
+    * partition-count probe (`df.rdd.getNumPartitions`) instantiates
+    * the frame's physical plan and RDD lineage. On a scan-rooted or
+    * narrow frame that is cheap (no job runs) and the count is the
+    * real scan split count. On a POST-SHUFFLE frame it would read the
+    * STATIC pre-AQE estimate (spark.sql.shuffle.partitions), not the
+    * runtime-coalesced partition count — the condition would then be
+    * meaningless (and the probe could get expensive on a frame whose
+    * lineage embeds materialization side effects). Do not call this on
+    * exchange-rooted frames; checkpoint them first if a spread is
+    * genuinely needed there. */
   def spreadForKernel(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df

@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dedicated bounded pool for the driver-side quantizer trainers
+    * (k-means restarts, PQ subspace Lloyd loops) — r22. These ran on
+    * the ForkJoinPool commonPool (width = cores − 1): on a loaded host
+    * the cores-wide burst contends with everything else on the box and
+    * the quiet-box ~2× training win evaporated (the r21 driver read
+    * ann_stage_cents flat under load). A pool of max(2, cores/4)
+    * daemon threads still covers the real task counts (4 restarts /
+    * 8 subspaces) while leaving headroom under contention. Reductions
+    * stay in submission order, so results remain bit-for-bit the
+    * serial trainer's. */
+  private lazy val trainPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors() / 4),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-train-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Cast an array<float> to array<double> for stable math — a plain
     * array `Cast` (whole-stage-codegen'd), not a `transform` lambda
     * (higher-order functions evaluate interpreted and break the
@@ -582,7 +604,8 @@ object Similarity {
     // produced — re-runs and resumes agree.
     val runs = (0 until math.max(1, restarts)).toArray.map { r =>
       val s = if (r == 0) seed else seed + r * 0x100000001B3L
-      java.util.concurrent.CompletableFuture.supplyAsync(() => runOnce(s))
+      java.util.concurrent.CompletableFuture.supplyAsync(() => runOnce(s),
+        trainPool)
     }.map(_.join())
     runs.reduceLeft((best, cand) => if (cand._2 < best._2) cand else best)._1
   }
@@ -959,7 +982,7 @@ object Similarity {
         it += 1
       }
       cents
-      })
+      }, trainPool)
     }.map(_.join())
   }
 

@@ -599,8 +599,13 @@ object PipelineQueries {
           "graft_dedup_index_q_" +
             java.lang.Integer.toHexString(dir.hashCode) +
             "_" + ProcessHandle.current().pid()).getAbsolutePath
+        // ONE params triple feeds both the index write and the sig
+        // probe below (r22, ADVICE): duplicated literals were exactly
+        // the silent-mismatch risk the operator's own contract warns
+        // about if either side is ever edited alone
+        val params @ (shingleN, k, bands) = (3, 128, 32)
         Dedup.writeNearDupIndex(docs, "doc_id", "text",
-          idx, shingleN = 3, k = 128, bands = 32)
+          idx, shingleN, k, bands)
         // self-matches are already excluded by the operator's
         // candidate filter (doc_new =!= indexed doc). The probe result
         // is CHECKPOINTED so the on-disk index can be deleted here —
@@ -619,7 +624,7 @@ object PipelineQueries {
           Dedup.incrementalNearDuplicatesOfSig(
             s.read.parquet(s"$idx/hashes")
               .select(col("doc").as("doc_new"), col("sh").as("sh_new")),
-            idx, (3, 128, 32), threshold = 0.8).localCheckpoint()
+            idx, params, threshold = 0.8).localCheckpoint()
         finally {
           val fs = new org.apache.hadoop.fs.Path(idx)
             .getFileSystem(s.sparkContext.hadoopConfiguration)

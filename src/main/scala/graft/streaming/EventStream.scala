@@ -318,15 +318,43 @@ object EventStream {
         // the batch rows themselves were checkpointed a third time
         val sig = Dedup.signaturesOf(batch.toDF(), idCol, textCol, shingleN)
           .localCheckpoint()
-        val pairs = Dedup.incrementalNearDuplicatesOfSig(
+        // probe plan CONSTRUCTED before any append: spark.read.parquet
+        // snapshots the index file listing here, so the probe sees the
+        // index as it stood before this batch whatever runs when
+        val probe = Dedup.incrementalNearDuplicatesOfSig(
           sig.select(col("doc").as("doc_new"), col("sh").as("sh_new")),
-          indexPath, params, threshold).localCheckpoint()
-        val admit = if (admitMatched) sig else {
-          val dups = pairs.select(col("doc_new").as("doc")).distinct()
-          sig.join(dups, Seq("doc"), "left_anti")
+          indexPath, params, threshold)
+        val pairs = if (!admitMatched) {
+          // dedup mode: the admit anti-joins the probe result — strictly
+          // sequential, as before
+          val p = probe.localCheckpoint()
+          val dups = p.select(col("doc_new").as("doc")).distinct()
+          Dedup.appendSigToNearDupIndex(
+            sig.join(dups, Seq("doc"), "left_anti"), indexPath, params,
+            maxIndexFiles)
+          p
+        } else {
+          // audit mode: the admit is the staged signatures themselves —
+          // independent of the probe — so the probe jobs materialize
+          // CONCURRENTLY with the append writes (guide §2.6: overlap
+          // independent jobs; half of each micro-batch's wall was the
+          // other half's driver planning gaps). Appends only add files,
+          // and the probe's listing snapshot predates them; compaction
+          // (which deletes files) waits for the probe to finish.
+          val task = new java.util.concurrent.FutureTask(
+            () => probe.localCheckpoint())
+          val t = new Thread(task, s"graft-probe-batch-$batchId")
+          t.setDaemon(true)
+          t.start()
+          Dedup.appendSigNoCompact(sig, indexPath, params)
+          val p =
+            try task.get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e) }
+          Dedup.compactNearDupIndex(sig.sparkSession, indexPath,
+            maxIndexFiles)
+          p
         }
-        Dedup.appendSigToNearDupIndex(admit, indexPath, params,
-          maxIndexFiles)
         onPairs(pairs, batchId)
       }
       .start()
@@ -404,6 +432,14 @@ object EventStream {
       // stream). The stream read below declares the data schema; the
       // discovered __res partition column is appended by the source
       // and ignored by every consumer (all select named columns).
+      // NOTE: the single write gives every residue file the same
+      // modification time, so FileStreamSource's timestamp-ordered
+      // pickup no longer replays batches in residue order (the old
+      // sequential writes did). Batch ORDER is therefore not
+      // deterministic — correctness rests on admitMatched=true plus
+      // direction-normalized pairs making the emitted SET a pure
+      // property of the batch partition, order-independent by
+      // construction. That invariant is load-bearing here.
       src.withColumn("__res", pmod(col(keyCol), lit(files)))
         .coalesce(1)
         .write.partitionBy("__res").mode("overwrite").parquet(stage)
@@ -480,7 +516,7 @@ object EventStream {
           .filter(col("vec_new") =!= col("vec_id"))
           .select(col("vec_new"), col("vec_id").as("vec_indexed"))
           .distinct()
-        val pairs = cand
+        val probe = cand
           .join(b.select(col(idCol).as("vec_new"), col("__v").as("vn")),
             Seq("vec_new"))
           .join(idx.select(col("vec_id").as("vec_indexed"), col("v")),
@@ -490,17 +526,39 @@ object EventStream {
           .filter(col("__c") >= threshold)
           .select(col("vec_new"), col("vec_indexed"),
             round(col("__c"), 6).as("cos"))
-          .localCheckpoint()
-        val admit = if (admitMatched) b else {
-          val dups = pairs.select(col("vec_new").as(idCol)).distinct()
-          b.join(dups, Seq(idCol), "left_anti")
+        def admitWrite(admit: DataFrame): Unit =
+          admit.select(col(idCol).as("vec_id"), col("__v").as("v"),
+              col("__cells").as("cells"))
+            .write.mode("append").parquet(indexPath)
+        val pairs = if (!admitMatched) {
+          // dedup mode: the admit anti-joins the probe result — strictly
+          // sequential, as before
+          val p = probe.localCheckpoint()
+          val dups = p.select(col("vec_new").as(idCol)).distinct()
+          admitWrite(b.join(dups, Seq(idCol), "left_anti"))
+          p
+        } else {
+          // audit mode: admit = the whole staged batch, independent of
+          // the probe — materialize the probe jobs CONCURRENTLY with
+          // the append (guide §2.6). `idx` snapshotted its file
+          // listing above, so the probe reads the pre-batch index
+          // whatever runs first; compaction (which deletes files)
+          // waits for the probe below.
+          val task = new java.util.concurrent.FutureTask(
+            () => probe.localCheckpoint())
+          val t = new Thread(task, s"graft-semprobe-batch-$batchId")
+          t.setDaemon(true)
+          t.start()
+          admitWrite(b)
+          try task.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e) }
         }
-        admit.select(col(idCol).as("vec_id"), col("__v").as("v"),
-            col("__cells").as("cells"))
-          .write.mode("append").parquet(indexPath)
         // per-batch appends accumulate small files; past the cap the
         // index is rewritten coalesced (content-preserving, see
-        // ParquetCompact) so probe cost tracks index SIZE, not age
+        // ParquetCompact) so probe cost tracks index SIZE, not age.
+        // Runs strictly AFTER the probe checkpoint: the rewrite
+        // deletes files a still-running probe could be reading.
         graft.sources.ParquetCompact.compactIfNeeded(spark, indexPath,
           maxIndexFiles)
         onPairs(pairs, batchId)
