@@ -238,18 +238,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val exact = ngramJaccardPairsOf(sig, threshold).localCheckpoint()
-    val extra = lsh.join(exact.select(col("doc_a"), col("doc_b")),
-        Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("n_extra"))
-    val planted = exact.filter(col("jaccard") >= plantedThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val missed = planted.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("n_missed"))
-    val ok = planted.agg(count(lit(1)).as("n_planted"))
-      .crossJoin(extra).crossJoin(missed)
+    certifiedPairs(lsh, exact, "lsh_ok", plantedThreshold, recallFloor)
+  }
+
+  /** Shared certificate tail of [[nearDuplicatesChecked]] /
+    * [[simhashNearDuplicatesChecked]]: attach `flagName` — "the approx
+    * pair set is a subset of exact AND recovered ≥ recallFloor of the
+    * planted (jaccard ≥ plantedThreshold) pairs" — to the exact rows,
+    * with the non-vacuous sentinel on a pair-free corpus.
+    *
+    * ONE full-outer join + ONE aggregate computes every certificate
+    * count (r22, §2.3 — was three separate anti-join/count branches +
+    * two crossJoins, each spawning its own plan legs over the same two
+    * checkpointed pair relations: ~14 small jobs per evaluation at
+    * bench scale, and three passes over the pair relations at any
+    * scale). Flags: a pair is in approx, in exact, or both; every
+    * count is a flag predicate, so the count algebra is identical to
+    * the anti-join formulation (both inputs hold each pair at most
+    * once, so the join is 1:1 on its keys). */
+  private def certifiedPairs(approx: DataFrame, exact: DataFrame,
+      flagName: String, plantedThreshold: Double,
+      recallFloor: Double): DataFrame = {
+    val flags = approx.withColumn("__l", lit(true))
+      .join(exact.select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .withColumn("__e", lit(true)),
+        Seq("doc_a", "doc_b"), "full_outer")
+    val ok = flags.agg(
+        count(when(col("__l") && col("__e").isNull, 1)).as("n_extra"),
+        count(when(col("__e") && col("jaccard") >= plantedThreshold, 1))
+          .as("n_planted"),
+        count(when(col("__e") && col("jaccard") >= plantedThreshold &&
+          col("__l").isNull, 1)).as("n_missed"),
+        count(when(col("__e"), 1)).as("n_exact"))
       .select((col("n_extra") === 0 &&
         col("n_missed") <= (lit(1.0) - recallFloor) * col("n_planted"))
-        .as("lsh_ok"))
+        .as(flagName), col("n_exact"))
+      .localCheckpoint() // one cert evaluation feeds both consumers below
     // the certificate must not be VACUOUS on a pair-free corpus:
     // riding only on output rows, a false flag attached to zero rows
     // would vanish and the empty result would still match the empty
@@ -257,13 +281,14 @@ object Dedup {
     // cast the sentinel ids to exact's ACTUAL id type: with a string
     // idCol, a bare lit(-1L) would make unionByName coerce doc_a/doc_b
     // to string for the whole result — silent schema drift vs
-    // nearDuplicates and the exact path
-    val sentinel = exact.agg(count(lit(1)).as("__n")).crossJoin(ok)
-      .filter(col("__n") === 0 && !col("lsh_ok"))
+    // the unchecked operators and the exact path
+    val sentinel = ok
+      .filter(col("n_exact") === 0 && !col(flagName))
       .select(lit(-1L).cast(exact.schema("doc_a").dataType).as("doc_a"),
         lit(-1L).cast(exact.schema("doc_b").dataType).as("doc_b"),
-        lit(-1.0).as("jaccard"), col("lsh_ok"))
-    exact.crossJoin(broadcast(ok)).unionByName(sentinel)
+        lit(-1.0).as("jaccard"), col(flagName))
+    exact.crossJoin(broadcast(ok.select(col(flagName))))
+      .unionByName(sentinel)
   }
 
   /** All-pairs n-gram Jaccard above a threshold — EXACT, via prefix
@@ -590,21 +615,92 @@ object Dedup {
     * settles in ~20 rounds, not a million. Every round is hash joins +
     * an aggregate, all key-partitioned — no driver-side graph. Returns
     * (doc, cluster) for every doc appearing in a pair. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    duplicateClustersWithIters(pairs, maxIter)._1
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Bounded DRIVER fast path (r22): after heavy dedup filtering the
+    // pair relation is often tiny (hundreds of rows at the fixtures;
+    // still small after a selective threshold at scale), yet the
+    // propagation loop below pays ~3 distributed jobs per round plus
+    // per-job driver planning — the quantizer-trainer discipline
+    // (bounded sample to the driver, distributed beyond the bound)
+    // applies exactly. `take(cap + 1)` on the checkpointed edge list
+    // either proves the graph exceeds the cap (then: distributed
+    // propagation, unchanged) or hands ALL edges to a local union-find
+    // whose min-root labels are definitionally the propagation
+    // fixpoint: cluster(doc) = min(component). Long ids only — other
+    // id types keep the distributed path (min-label order must be the
+    // column type's, not a driver cast's).
+    val lt = org.apache.spark.sql.types.LongType
+    if (pairs.schema("doc_a").dataType == lt &&
+        pairs.schema("doc_b").dataType == lt) {
+      val edges = undirectedEdges(pairs)
+      val sample = edges.take(SmallGraphMaxEdges + 1)
+      if (sample.length <= SmallGraphMaxEdges)
+        smallGraphClusters(pairs.sparkSession, sample)
+      else propagateClusters(edges, maxIter)._1
+    } else duplicateClustersWithIters(pairs, maxIter)._1
+  }
+
+  /** Edge cap for the driver union-find fast path: 1M undirected edge
+    * rows ≈ 16 MB collected — broadcast-sized, well under any driver
+    * budget, and a graph past it is exactly what the distributed
+    * propagation exists for. */
+  private[graft] val SmallGraphMaxEdges: Int = 1 << 20
+
+  /** Min-root union-find over a collected edge list: union keeps the
+    * SMALLER root as parent, so every component's root — and therefore
+    * every member's label — is the component minimum, bit-identical to
+    * the propagation fixpoint. Path-halving keeps finds near O(α). */
+  private def smallGraphClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { d =>
+      out.add(org.apache.spark.sql.Row(d, find(d))); ()
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc BIGINT NOT NULL, cluster BIGINT NOT NULL"))
+  }
 
   /** [[duplicateClusters]] plus the CONVERGENCE ROUND COUNT — the
     * scale-evidence hook: pointer jumping promises O(log diameter)
     * rounds, and ScaleRehearsal records the observed count at
     * replicated cluster density to back that claim with a number
-    * instead of an assertion. */
+    * instead of an assertion. Always the DISTRIBUTED path (the round
+    * count is the evidence being gathered). */
   private[graft] def duplicateClustersWithIters(pairs: DataFrame,
-      maxIter: Int = 50): (DataFrame, Int) = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      maxIter: Int = 50): (DataFrame, Int) =
+    propagateClusters(undirectedEdges(pairs), maxIter)
+
+  /** The checkpointed undirected edge list of a pair relation. */
+  private def undirectedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
+
+  private def propagateClusters(edges: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     // localCheckpoint per round: truncates the iterative lineage (an
     // uncached loop would double the plan per iteration) and lets the
     // convergence probe reuse the materialized labels.
@@ -931,23 +1027,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val exact = ngramJaccardPairsOf(sig, threshold).localCheckpoint()
-    val extra = sim.join(exact.select(col("doc_a"), col("doc_b")),
-        Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("n_extra"))
-    val planted = exact.filter(col("jaccard") >= plantedThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val missed = planted.join(sim, Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("n_missed"))
-    val ok = planted.agg(count(lit(1)).as("n_planted"))
-      .crossJoin(extra).crossJoin(missed)
-      .select((col("n_extra") === 0 &&
-        col("n_missed") <= (lit(1.0) - recallFloor) * col("n_planted"))
-        .as("simhash_ok"))
-    val sentinel = exact.agg(count(lit(1)).as("__n")).crossJoin(ok)
-      .filter(col("__n") === 0 && !col("simhash_ok"))
-      .select(lit(-1L).cast(exact.schema("doc_a").dataType).as("doc_a"),
-        lit(-1L).cast(exact.schema("doc_b").dataType).as("doc_b"),
-        lit(-1.0).as("jaccard"), col("simhash_ok"))
-    exact.crossJoin(broadcast(ok)).unionByName(sentinel)
+    certifiedPairs(sim, exact, "simhash_ok", plantedThreshold, recallFloor)
   }
 }

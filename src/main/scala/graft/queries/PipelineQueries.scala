@@ -670,13 +670,23 @@ object PipelineQueries {
         // cosine on the full vectors before thresholding).
         val inSub = (c: org.apache.spark.sql.Column) =>
           c < certStratum || c >= twinOffsetBatch
-        val extras = approx.filter(inSub(col("vec_a")) && inSub(col("vec_b")))
-          .join(exact, Seq("vec_a", "vec_b"), "left_anti")
-          .agg(count(lit(1)).as("n_extra"))
-        val hits = exact.join(approx, Seq("vec_a", "vec_b"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val ok = exact.agg(count(lit(1)).as("tot"))
-          .crossJoin(hits).crossJoin(extras)
+        // ONE full-outer join + ONE aggregate for all three cert
+        // counts (r22, §2.3 — was an anti-join branch, a semi-join
+        // branch and a count branch + two crossJoins over the same two
+        // checkpointed pair relations). exact ⊆ the subset by
+        // construction, so approx rows outside the subset can never
+        // match an exact row — hits over the subset-filtered approx
+        // equals hits over the full approx; both inputs hold each pair
+        // once, so the join is 1:1 and the counts are identical to the
+        // branch formulation.
+        val flags = exact.withColumn("__e", lit(true))
+          .join(approx.filter(inSub(col("vec_a")) && inSub(col("vec_b")))
+              .withColumn("__a", lit(true)),
+            Seq("vec_a", "vec_b"), "full_outer")
+        val ok = flags.agg(
+            count(when(col("__a") && col("__e").isNull, 1)).as("n_extra"),
+            count(when(col("__e") && col("__a"), 1)).as("hits"),
+            count(when(col("__e"), 1)).as("tot"))
           .select((col("n_extra") === 0 &&
             col("hits") >= col("tot") * 0.8).as("sem_ok"))
         exact.crossJoin(ok)
@@ -2437,9 +2447,14 @@ object PipelineQueries {
         val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
             shingleN = 3, threshold = 0.9)
           .select(col("doc_a"), col("doc_b"))
-        val hits = planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        planted.agg(count(lit(1)).as("n_planted")).crossJoin(hits)
+        // ONE pass over planted computes total and hits (r22, §2.3 —
+        // was a semi-join branch + a count branch + crossJoin, each
+        // re-planning the planted sweep's consumer side). found holds
+        // each pair once (overlapPairs groups by pair), so the left
+        // join is 1:≤1 and count(1) stays the planted total.
+        planted.join(found.withColumn("__f", lit(true)),
+            Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_planted"), count(col("__f")).as("hits"))
           .select(col("n_planted"),
             (col("hits") >= col("n_planted") * 0.8).as("recall_ok"))
       },
@@ -2485,10 +2500,12 @@ object PipelineQueries {
         val found = topk.select(least(col("doc"), col("partner")).as("doc_a"),
             greatest(col("doc"), col("partner")).as("doc_b"))
           .distinct()
-        val hits = planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        planted.agg(count(lit(1)).as("n_planted"))
-          .crossJoin(capped).crossJoin(hits)
+        // one pass over planted for total + hits (same fold as
+        // overlap_recall_cert; found is distinct so the join is 1:≤1)
+        planted.join(found.withColumn("__f", lit(true)),
+            Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_planted"), count(col("__f")).as("hits"))
+          .crossJoin(capped)
           .select(col("n_planted"), col("capped_ok"),
             (col("hits") >= col("n_planted") * 0.8).as("recall_ok"))
       },

@@ -352,6 +352,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(cc.size === 101)
   }
 
+  test("duplicateClusters driver fast path equals distributed propagation (r22)") {
+    import spark.implicits._
+    // chains + stars + an isolated pair, with edges in adversarial
+    // order; the public face takes the union-find fast path (long ids,
+    // under the cap), WithIters is pinned to the distributed loop
+    val pairs = Seq((9L, 8L), (1L, 2L), (8L, 7L), (2L, 3L), (7L, 1L),
+      (30L, 31L), (30L, 32L), (32L, 33L), (50L, 51L))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.duplicateClustersWithIters(pairs)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+    // non-long ids must keep the distributed path (min-label order is
+    // the column type's) — and agree with the long-id labels
+    val strPairs = pairs.select(col("doc_a").cast("string").as("doc_a"),
+      col("doc_b").cast("string").as("doc_b"))
+    val str = Dedup.duplicateClusters(strPairs)
+      .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+    assert(str === dist)
+  }
+
   test("dedupSurvivors keeps ONE survivor on a >5-hop duplicate chain") {
     import spark.implicits._
     // same 7-hop chain as above, flowing through the registered
