@@ -319,20 +319,23 @@ object Similarity {
     // would otherwise each re-evaluate all tables×planes hyperplane
     // dot products per row; the staged relation is two longs per
     // (vector, table) — scale-safe to materialize, unlike the corpus.
-    // The checkpointed key legs are SPREAD to the session's parallelism
-    // before materializing (r22, guide §2.5): a single-split fixture
-    // scan hands the explode ONE partition, and localCheckpoint
-    // preserves partitioning — so every later candidate join streamed
-    // this leg as ONE task (profiled 1.05 s/evaluation single-task
-    // stage: bucket join + pair dedup partials + both vector-fetch
-    // broadcast joins, all chained into that stage). The spread moves
-    // (vec_id, bucket) longs only — decision data, never the vectors
-    // (§8) — and is conditional: at warehouse scale the scan has
-    // thousands of splits and spreadForKernel is a no-op.
-    val keyed = Scale.spreadForKernel(
-      c0.withColumn("__keys", keysOf(col("v")))
-        .select(col("vec_id"), explode(col("__keys")).as("bucket")),
-      col("vec_id"))
+    // The key legs are SPREAD to the session's parallelism BEFORE the
+    // hyperplane kernel and the checkpoint (r22, guide §2.5): a
+    // single-split fixture scan hands everything ONE partition, and
+    // localCheckpoint preserves partitioning — so the tables×planes
+    // dot-product kernel ran single-task at stage time AND every later
+    // candidate join streamed the leg as ONE task (profiled 1.05 s/
+    // evaluation single-task stage: bucket join + pair dedup partials
+    // + both vector-fetch broadcast joins chained into it). The spread
+    // is conditional — at warehouse scale the scan has thousands of
+    // splits and spreadForKernel is a no-op — and each leg's exchange
+    // carries one projected vector row per input row, comparable bytes
+    // to the exploded (vec_id, bucket) relation it used to carry; the
+    // corpus itself stays un-materialized (scale-safety contract
+    // above: only the key legs are ever checkpointed).
+    val spread = Scale.spreadForKernel(c0, col("vec_id"))
+    val keyed = spread.withColumn("__keys", keysOf(col("v")))
+      .select(col("vec_id"), explode(col("__keys")).as("bucket"))
       .localCheckpoint()
     // ASYMMETRIC query-directed multi-probe (`multiProbe` > 0): one
     // join leg (the "index" side) keeps the base keys ONLY — the
@@ -349,11 +352,9 @@ object Similarity {
     // base-only; multiProbe=1 measures 0.92-0.96).
     val keyedProbe =
       if (multiProbe <= 0) keyed
-      else Scale.spreadForKernel(
-          c0.withColumn("__keys",
-            tableProbeKeys(col("v"), allPlanes, multiProbe))
-          .select(col("vec_id"), explode(col("__keys")).as("bucket")),
-          col("vec_id"))
+      else spread.withColumn("__keys",
+          tableProbeKeys(col("v"), allPlanes, multiProbe))
+        .select(col("vec_id"), explode(col("__keys")).as("bucket"))
         .localCheckpoint()
     // Skew guard: clustered embeddings concentrate sign patterns, and
     // one hot bucket holding k vectors contributes k²/2 pairs no

@@ -604,7 +604,16 @@ object PipelineQueries {
         // the silent-mismatch risk the operator's own contract warns
         // about if either side is ever edited alone
         val params @ (shingleN, k, bands) = (3, 128, 32)
-        Dedup.writeNearDupIndex(docs, "doc_id", "text",
+        // spread the hash-kernel input (r22, §2.5): the single-split
+        // fixture serialized the signature pass AND the index write
+        // onto one task (profiled 0.34 s + 0.22 s single-task write
+        // jobs); conditional — no-op on many-split inputs — and the
+        // text crosses the exchange once into the one write pass.
+        // Call-site spread, not inside writeNearDupIndex: the stream
+        // drains prepare indexes from limit(0) frames where a spread
+        // would only manufacture empty part-files.
+        Dedup.writeNearDupIndex(graft.operators.Scale.spreadForKernel(
+            docs, col("doc_id")), "doc_id", "text",
           idx, shingleN, k, bands)
         // self-matches are already excluded by the operator's
         // candidate filter (doc_new =!= indexed doc). The probe result
@@ -657,7 +666,15 @@ object PipelineQueries {
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-        val corpus = base.unionByName(plantedNearDups(base, twinOffsetBatch))
+        // spread before checkpointing (r22, §2.5): the union of two
+        // single-split legs checkpoints as 2 partitions, serializing
+        // every downstream cosine/cell kernel onto 2 tasks (profiled
+        // 0.33 s 2-task candidate-join stage per rep). One conditional
+        // exchange of the vectors INTO the checkpoint; every consumer
+        // then reads 32-way blocks — no repeated payload shuffle.
+        val corpus = graft.operators.Scale.spreadForKernel(
+            base.unionByName(plantedNearDups(base, twinOffsetBatch)),
+            col("vec_id"))
           .localCheckpoint()
         val exact = certExactPairs(corpus, 0.95, twinOffsetBatch).localCheckpoint()
         val approx = Similarity
