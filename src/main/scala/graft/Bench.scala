@@ -16,6 +16,20 @@ import org.apache.spark.sql.SparkSession
   * per line) and a clean run deletes it — rc-only callers should test
   * for that file; JSON consumers check `"errors"`, which is exactly
   * what tools/release_check.sh does.
+  *
+  * SCALING-PROBE LIMITATION (r22, documenting the r21 verdict's
+  * finding): the driver also re-runs this bench at a lower
+  * `SPARK_GRAFT_CPUS` and compares per-row times across core counts.
+  * At sf0.1 every row is dominated by fixed per-job/driver overhead
+  * (micro-batch planning, AQE stage scheduling, parquet footer reads)
+  * — the r21 measurement found NO row reaching even half the ideal
+  * core ratio, and rows with MANY tiny jobs can read faster at 8
+  * cores than 32 under ambient load. So the low-core comparison at
+  * this scale factor distinguishes overhead-bound rows from
+  * compute-bound ones; it cannot certify an operator as serial. A
+  * genuine serial-operator probe needs a larger scale factor (point
+  * `SPARK_GRAFT_SF_DIR` at one — the harness is SF-agnostic); none
+  * ships in this sandbox, so the limitation is recorded here instead.
   */
 object Bench {
 

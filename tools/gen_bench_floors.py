@@ -27,7 +27,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # bench ran pre-break code).
 # r20 added per the r20 verdict's ask #4: its committed BENCH_r20.json
 # and the four quiet release-gate lines extend the quiet band.
-SCAN_ROUNDS = (16, 18, 19, 20)
+# r21 added per the round-closing convention: its committed artifacts
+# (BENCH_r21.json ran under documented ambient load, but the r21 gate
+# refs under tools/bench_gate_refs/ are quiet pairs) join the scan.
+SCAN_ROUNDS = (16, 18, 19, 20, 21)
 
 # Rows whose semantics changed AFTER r16 — floor must come only from
 # rounds at-or-after the change:
