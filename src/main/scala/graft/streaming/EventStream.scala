@@ -346,7 +346,15 @@ object EventStream {
           val t = new Thread(task, s"graft-probe-batch-$batchId")
           t.setDaemon(true)
           t.start()
-          Dedup.appendSigNoCompact(sig, indexPath, params)
+          // a failed append must still AWAIT the probe before
+          // propagating: the drain's cleanup deletes the staging/index
+          // dirs, and racing that delete against still-running probe
+          // jobs turns one failure into a cascade
+          try Dedup.appendSigNoCompact(sig, indexPath, params)
+          catch { case e: Throwable =>
+            try task.get() catch { case _: Throwable => () }
+            throw e
+          }
           val p =
             try task.get()
             catch { case e: java.util.concurrent.ExecutionException =>
@@ -549,7 +557,12 @@ object EventStream {
           val t = new Thread(task, s"graft-semprobe-batch-$batchId")
           t.setDaemon(true)
           t.start()
-          admitWrite(b)
+          // same await-before-propagate discipline as the minhash loop
+          try admitWrite(b)
+          catch { case e: Throwable =>
+            try task.get() catch { case _: Throwable => () }
+            throw e
+          }
           try task.get()
           catch { case e: java.util.concurrent.ExecutionException =>
             throw Option(e.getCause).getOrElse(e) }
